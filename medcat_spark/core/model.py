@@ -1,0 +1,220 @@
+"""Broadcastable model containers: CDB (concept database) + Vocab.
+
+The reference holds these as dict-of-dict attributes on classes
+(medcat/cdb.py:26-111, medcat/vocab.py:10-29).  Here they are plain
+picklable containers built FROM Spark tables (see cdb_build.py) and
+broadcast to executors; the annotation UDFs read them as local dicts /
+numpy arrays — Spark broadcast-hash-join territory (SURVEY §2.3 J1-J3).
+
+Everything is deterministic: list-valued fields keep insertion order the
+same way the reference does (name2cuis is an append-ordered list,
+cdb.py:314-331), because linking tie-breaks depend on candidate order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+import re
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from medcat_spark.config import EngineConfig
+from medcat_spark.core.normalizer import normalize_name_tokens
+from medcat_spark.core.tokenizer import tag_skip_and_punct, tokenize
+
+_NON_LETTER = re.compile("[^A-Za-z]*")
+_PH_REMOVE = re.compile(r"\([^\)]*\)")  # parenthesised qualifiers in P-names
+                                        # (reference cdb_maker.py:31, 187-191)
+
+
+def unitvec(arr: np.ndarray) -> np.ndarray:
+    """L2-normalize (reference medcat/utils/matutils.py:5-6 via gensim)."""
+    a = np.asarray(arr, dtype=np.float64)
+    n = np.linalg.norm(a)
+    return a / n if n > 0 else a
+
+
+def prepare_name(raw_name: str, config: EngineConfig,
+                 names: Optional[Dict[str, dict]] = None) -> Dict[str, dict]:
+    """Generate LOWER and CLEAN versions of a concept name.
+
+    Reference: medcat/preprocessing/cleaners.py:10-66.  Produces
+    ``{name: {tokens, snames, raw_name, is_upper}}`` where ``name`` is the
+    '~'-joined normalized token sequence and ``snames`` are all its
+    token prefixes (the trie surrogate, cdb.py:75).
+    """
+    if names is None:
+        names = {}
+    toks = tag_skip_and_punct(tokenize(raw_name, config), config)
+    kept = [t for t in toks if not t.to_skip]
+    is_upper = raw_name.isupper()
+
+    for version in config.name_versions:
+        if version == "LOWER":
+            tokens = [t.lower for t in kept]
+        elif version == "CLEAN":
+            tokens = normalize_name_tokens([t.text for t in kept], config)
+        else:
+            continue
+        if not tokens:
+            continue
+        name = config.separator.join(tokens)
+        min_letters = config.min_letters_required
+        if min_letters and len(_NON_LETTER.sub("", name)) < min_letters:
+            continue
+        if name in names:
+            continue
+        snames: Set[str] = set()
+        sname = ""
+        for token in tokens:
+            sname = sname + config.separator + token if sname else token
+            snames.add(sname.strip())
+        names[name] = {"tokens": tokens, "snames": snames,
+                       "raw_name": raw_name, "is_upper": is_upper}
+    return names
+
+
+def strip_parenthesis(raw_name: str) -> str:
+    """P-name parenthesis removal (reference cdb_maker.py:187-191)."""
+    return _PH_REMOVE.sub(" ", raw_name).strip()
+
+
+class CdbModel:
+    """Concept database; field-for-field semantics of medcat/cdb.py:72-100."""
+
+    def __init__(self) -> None:
+        self.name2cuis: Dict[str, List[str]] = {}
+        self.name2cuis2status: Dict[str, Dict[str, str]] = {}
+        self.snames: Set[str] = set()
+        self.cui2names: Dict[str, Set[str]] = {}
+        self.cui2snames: Dict[str, Set[str]] = {}
+        self.cui2context_vectors: Dict[str, Dict[str, np.ndarray]] = {}
+        self.cui2count_train: Dict[str, int] = {}
+        self.cui2type_ids: Dict[str, Set[str]] = {}
+        self.cui2preferred_name: Dict[str, str] = {}
+        self.cui2average_confidence: Dict[str, float] = {}
+        self.name_isupper: Dict[str, bool] = {}
+        self.vocab: Dict[str, int] = {}  # token counts (spell-check dictionary)
+        self.addl_info: Dict[str, dict] = {"cui2group": {}, "cui2icd10": {},
+                                           "cui2ontologies": {}, "cui2description": {},
+                                           "cui2original_names": {}}
+        self.weighted_average_factor: float = 0.0004
+
+    # -- model building (driver-side exact path; the Spark job in
+    #    cdb_build.py produces identical contents via DataFrame aggs) --
+    def add_concept(self, cui: str, names: Dict[str, dict], ontologies: Set[str],
+                    name_status: str, type_ids: Set[str], description: str,
+                    full_build: bool = False) -> None:
+        """Reference: medcat/cdb.py:249-386 (_add_concept)."""
+        cui = cui.strip().upper()
+        if cui not in self.cui2names:
+            self.cui2names[cui] = set()
+            self.cui2snames[cui] = set()
+            self.cui2type_ids[cui] = set(type_ids)
+        else:
+            self.cui2type_ids[cui].update(type_ids)
+
+        name_info = None
+        for name, info in names.items():
+            name_info = info
+            self.snames.update(info["snames"])
+            self.cui2names[cui].add(name)
+            self.cui2snames[cui].update(info["snames"])
+            self.name_isupper[name] = info["is_upper"]
+            if name in self.name2cuis:
+                if cui not in self.name2cuis[name]:
+                    self.name2cuis[name].append(cui)
+                    self.name2cuis2status[name][cui] = name_status
+                elif name_status == "P":
+                    self.name2cuis2status[name][cui] = name_status
+            else:
+                self.name2cuis[name] = [cui]
+                self.name2cuis2status[name] = {cui: name_status}
+            for token in info["tokens"]:
+                self.vocab[token] = self.vocab.get(token, 0) + 1
+
+        if name_info is not None and name_status == "P" \
+                and cui not in self.cui2preferred_name:
+            self.cui2preferred_name[cui] = name_info["raw_name"]
+
+        if full_build:
+            if ontologies:
+                self.addl_info["cui2ontologies"].setdefault(cui, set()).update(ontologies)
+            if description:
+                self.addl_info["cui2description"][cui] = description
+            self.addl_info["cui2original_names"].setdefault(cui, set()).update(
+                info["raw_name"] for info in names.values())
+
+    def update_context_vector(self, cui: str, vectors: Dict[str, np.ndarray],
+                              negative: bool = False, lr: Optional[float] = None,
+                              config: Optional[EngineConfig] = None) -> None:
+        """L7 streaming update (reference medcat/cdb.py:406-471)."""
+        cfg = config or EngineConfig()
+        if cui not in self.cui2context_vectors:
+            self.cui2context_vectors[cui] = {}
+            self.cui2count_train.setdefault(cui, 0)
+        for context_type, vector in vectors.items():
+            cvs = self.cui2context_vectors[cui]
+            if context_type in cvs:
+                cv = cvs[context_type]
+                similarity = float(np.dot(unitvec(cv), unitvec(vector)))
+                if lr is None:
+                    lr = cfg.get_lr_linking(self.cui2count_train.get(cui, 0))
+                if negative:
+                    b = max(0, similarity) * lr
+                    cvs[context_type] = cv * (1 - b) - vector * b
+                else:
+                    b = (1 - max(0, similarity)) * lr
+                    cvs[context_type] = cv * (1 - b) + vector * b
+            else:
+                cvs[context_type] = -1 * vector if negative else vector
+        if not negative:
+            self.cui2count_train[cui] = self.cui2count_train.get(cui, 0) + 1
+
+    def update_average_confidence(self, cui: str, sim: float) -> None:
+        """Reference: medcat/cdb.py:145-148 (running mean over count_train)."""
+        cnt = self.cui2count_train.get(cui, 0)
+        avg = self.cui2average_confidence.get(cui, 0.0)
+        self.cui2average_confidence[cui] = (avg * cnt + sim) / (cnt + 1)
+
+    def content_hash(self) -> str:
+        """Deterministic model hash for snapshot lineage (cdb.py:894-922 analogue)."""
+        h = hashlib.sha256()
+        for name in sorted(self.name2cuis):
+            h.update(name.encode())
+            h.update(",".join(self.name2cuis[name]).encode())
+        for cui in sorted(self.cui2count_train):
+            h.update(f"{cui}:{self.cui2count_train[cui]}".encode())
+        for cui in sorted(self.cui2context_vectors):
+            for ct in sorted(self.cui2context_vectors[cui]):
+                h.update(np.asarray(self.cui2context_vectors[cui][ct],
+                                    dtype=np.float64).tobytes())
+        return h.hexdigest()[:16]
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "CdbModel":
+        return pickle.loads(b)
+
+
+class VocabModel:
+    """Word-embedding vocab (reference medcat/vocab.py:10-29)."""
+
+    def __init__(self) -> None:
+        self.word2vec: Dict[str, np.ndarray] = {}
+        self.word2cnt: Dict[str, int] = {}
+
+    def add(self, word: str, cnt: int, vec: Optional[np.ndarray]) -> None:
+        self.word2cnt[word] = cnt
+        if vec is not None:
+            self.word2vec[word] = np.asarray(vec, dtype=np.float64)
+
+    def __contains__(self, word: str) -> bool:
+        return word in self.word2cnt
+
+    def vec(self, word: str) -> Optional[np.ndarray]:
+        return self.word2vec.get(word)
