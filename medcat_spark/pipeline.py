@@ -1,0 +1,168 @@
+"""The annotation job: documents DataFrame → annotations DataFrame.
+
+Spark lifecycle (SURVEY §3.1-3.2): ``docs → salted repartition →
+mapInPandas(annotate_batch) → annotation rows → broadcast-joined
+projections → triple aggregation → snapshot write``.  The reference's
+multiprocessing machinery (cat.py:1304-1470) maps 1:1 onto Spark:
+partitions ≈ char-budget batches, executors ≈ worker processes, Arrow
+batches ≈ inner batches, snapshot commits ≈ pickle parts.
+
+The CDB+Vocab model is broadcast once (a few GB for full UMLS — the
+reference needs ≥5 GB per worker process too, cat.py:1354-1355) and
+materialized lazily once per Python worker via a module-level cache.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from medcat_spark.config import EngineConfig
+from medcat_spark.core.annotate import annotate_document
+from medcat_spark.core.docs import char_to_span, reconstruct_text, span_index
+from medcat_spark.core.model import CdbModel, VocabModel
+from medcat_spark.core.normalizer import SpellChecker
+
+ANNOTATION_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("ent_id", IntegerType()),
+    StructField("cui", StringType()),
+    StructField("detected_name", StringType()),
+    StructField("source_value", StringType()),
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("context_similarity", DoubleType()),
+    StructField("span_idx", IntegerType()),      # interleaved-doc coords
+    StructField("span_offset", IntegerType()),
+    StructField("part_id", IntegerType()),       # lineage: task partition
+    StructField("batch_us", LongType()),         # lineage: per-batch cost
+])
+
+# Executor-side lazy model cache: one deserialize per Python worker
+# process per model version (keyed by content hash), regardless of how
+# many tasks/batches it runs.  This is the broadcast-lifecycle device the
+# reference approximates with per-process model loads (cat.py:1508-1543).
+_MODEL_CACHE: dict = {}
+
+
+def _get_model(bc) -> Tuple[CdbModel, VocabModel, EngineConfig, SpellChecker]:
+    key = id(bc)
+    hit = _MODEL_CACHE.get(key)
+    if hit is None:
+        cdb, vocab, config = bc.value
+        sc = SpellChecker(cdb.vocab, config) if config.spell_check else None
+        hit = (cdb, vocab, config, sc)
+        _MODEL_CACHE.clear()   # one model resident at a time
+        _MODEL_CACHE[key] = hit
+    return hit
+
+
+def broadcast_model(spark: SparkSession, cdb: CdbModel, vocab: VocabModel,
+                    config: Optional[EngineConfig] = None):
+    cfg = config or EngineConfig()
+    return spark.sparkContext.broadcast((cdb, vocab, cfg))
+
+
+def _annotate_batches(bc, has_spans: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cdb, vocab, config, sc = _get_model(bc)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            t0 = time.monotonic_ns()
+            out = {f.name: [] for f in ANNOTATION_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                doc_id = str(row.doc_id)
+                if has_spans:
+                    spans = [dict(s) for s in row.spans]
+                    text = reconstruct_text(spans)
+                    starts, ends, idxs = span_index(spans)
+                else:
+                    text = row.text or ""
+                    starts = ends = idxs = None
+                ents, _ = annotate_document(text, cdb, vocab, config, sc)
+                for e in ents:
+                    if has_spans:
+                        si, so = char_to_span(e.start, starts, ends, idxs)
+                    else:
+                        si, so = 0, e.start
+                    out["doc_id"].append(doc_id)
+                    out["ent_id"].append(e.ent_id)
+                    out["cui"].append(e.cui)
+                    out["detected_name"].append(e.detected_name)
+                    out["source_value"].append(e.source_value)
+                    out["start"].append(e.start)
+                    out["end"].append(e.end)
+                    out["context_similarity"].append(e.context_similarity)
+                    out["span_idx"].append(si if si is not None else -1)
+                    out["span_offset"].append(so if so is not None else -1)
+            n = len(out["doc_id"])
+            batch_us = (time.monotonic_ns() - t0) // 1000
+            out["part_id"] = [pid] * n
+            out["batch_us"] = [batch_us] * n
+            yield pd.DataFrame(out)
+    return fn
+
+
+def salted_repartition(docs: DataFrame, num_partitions: int,
+                       prefix_len: int = 4, salt: int = 8) -> DataFrame:
+    """Explicit salted repartition on doc_id prefixes (north_rule).
+
+    doc_id prefixes typically encode source/date, so raw prefix
+    partitioning puts hot sources on few partitions; the deterministic
+    per-doc salt spreads each prefix over ``salt`` buckets while keeping
+    prefix locality for downstream per-source scans.  Deterministic
+    (hash-based, no rand()) so resume/retry re-creates identical
+    partitions.
+    """
+    prefix = F.substring(F.col("doc_id"), 1, prefix_len)
+    salt_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt))
+    return docs.repartition(num_partitions, prefix, salt_col)
+
+
+def annotate(docs: DataFrame, bc, num_partitions: Optional[int] = None,
+             keep_lineage_cols: bool = False) -> DataFrame:
+    """Annotate a documents DataFrame.
+
+    Accepts either the interleaved input_hint shape
+    ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)`` or a
+    flat ``(doc_id, text)`` table.  Returns ANNOTATION_SCHEMA rows.
+    """
+    has_spans = "spans" in docs.columns
+    cols = ["doc_id", "spans"] if has_spans else ["doc_id", "text"]
+    src = docs.select(*[F.col(c).cast("string") if c == "doc_id" else F.col(c)
+                        for c in cols])
+    if num_partitions:
+        src = salted_repartition(src, num_partitions)
+    ann = src.mapInPandas(_annotate_batches(bc, has_spans),
+                          schema=ANNOTATION_SCHEMA)
+    if not keep_lineage_cols:
+        ann = ann.drop("part_id", "batch_us")
+    return ann
+
+
+def project_output(ann: DataFrame, concepts: DataFrame) -> DataFrame:
+    """P5: the `_doc_to_out` projection (cat.py:1729-1795) — join the
+    small per-CUI attribute table broadcast-side (SURVEY §2.3 J4)."""
+    attrs = concepts.select("cui", "preferred_name", "type_ids", "ontologies")
+    return (ann.join(F.broadcast(attrs), "cui", "left")
+            .withColumnRenamed("preferred_name", "pretty_name"))
+
+
+def lineage_metrics(ann_with_lineage: DataFrame) -> DataFrame:
+    """Per-partition lineage rows (north_rule: resumable with
+    per-partition lineage + metrics; reference analogue: the
+    part_N.pickle manifest, cat.py:1403-1421)."""
+    return (ann_with_lineage.groupBy("part_id")
+            .agg(F.min("doc_id").alias("doc_id_min"),
+                 F.max("doc_id").alias("doc_id_max"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_annotations"),
+                 (F.sum("batch_us") / F.count("*")).alias("avg_row_cost_us")))

@@ -1,0 +1,38 @@
+"""SparkSession factory with the scale-oriented defaults this engine
+assumes (AQE + skew-join handling, Arrow batching, sane shuffle sizing)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "medcat-spark", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER",
+                                      f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS",
+                                                max(32, cores)))
+    b = (
+        SparkSession.builder.appName(app_name).master(master)
+        # AQE: runtime coalesce + skew-join splitting for hot-CUI aggs
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDF / mapInPandas transfer; bigger batches keep
+        # the Python-side annotation kernel amortized
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
