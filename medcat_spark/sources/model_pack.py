@@ -1,0 +1,134 @@
+"""S4: model pack save/load — the CDB+Vocab+Config snapshot as parquet
+tables + JSON config (reference: zip of dill/pickle blobs + JSON-split
+maps, cat.py:235-449, utils/saving/serializer.py:18-23).
+
+Columnar layout (one parquet per CDB map) instead of pickled dicts, so a
+model pack is scannable/joinable by any engine and diffs between model
+versions are queryable.  Small enough to write driver-side with pyarrow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from medcat_spark.config import EngineConfig
+from medcat_spark.core.model import CdbModel, VocabModel
+
+
+def _write(path: str, table: pa.Table) -> None:
+    pq.write_table(table, path)
+
+
+def save_model_pack(path: str, cdb: CdbModel, vocab: VocabModel,
+                    config: Optional[EngineConfig] = None) -> dict:
+    cfg = config or EngineConfig()
+    os.makedirs(path, exist_ok=True)
+
+    names = [(n, c, cdb.name2cuis2status[n][c], cdb.name_isupper.get(n, False))
+             for n in sorted(cdb.name2cuis) for c in cdb.name2cuis[n]]
+    _write(os.path.join(path, "names.parquet"), pa.table({
+        "name": [r[0] for r in names], "cui": [r[1] for r in names],
+        "status": [r[2] for r in names], "is_upper": [r[3] for r in names],
+        "cand_order": [i for i, _ in enumerate(names)]}))
+
+    _write(os.path.join(path, "snames.parquet"),
+           pa.table({"sname": sorted(cdb.snames)}))
+
+    cuis = sorted(cdb.cui2names)
+    _write(os.path.join(path, "concepts.parquet"), pa.table({
+        "cui": cuis,
+        "preferred_name": [cdb.cui2preferred_name.get(c) for c in cuis],
+        "type_ids": [sorted(cdb.cui2type_ids.get(c, ())) for c in cuis],
+        "names": [sorted(cdb.cui2names[c]) for c in cuis],
+        "snames": [sorted(cdb.cui2snames.get(c, ())) for c in cuis],
+        "count_train": [cdb.cui2count_train.get(c, 0) for c in cuis],
+        "average_confidence": [cdb.cui2average_confidence.get(c, 0.0) for c in cuis],
+        "ontologies": [sorted(cdb.addl_info["cui2ontologies"].get(c, ())) for c in cuis],
+        "description": [cdb.addl_info["cui2description"].get(c) for c in cuis],
+        "group": [cdb.addl_info["cui2group"].get(c) for c in cuis],
+    }))
+
+    cv_rows = [(c, ct, v) for c in sorted(cdb.cui2context_vectors)
+               for ct, v in sorted(cdb.cui2context_vectors[c].items())]
+    _write(os.path.join(path, "context_vectors.parquet"), pa.table({
+        "cui": [r[0] for r in cv_rows], "ctx_type": [r[1] for r in cv_rows],
+        "vec": [np.asarray(r[2], dtype=np.float64).tolist() for r in cv_rows]}))
+
+    _write(os.path.join(path, "token_counts.parquet"), pa.table({
+        "token": sorted(cdb.vocab),
+        "cnt": [cdb.vocab[t] for t in sorted(cdb.vocab)]}))
+
+    words = sorted(vocab.word2cnt)
+    _write(os.path.join(path, "vocab.parquet"), pa.table({
+        "word": words, "cnt": [vocab.word2cnt[w] for w in words],
+        "vec": [None if vocab.vec(w) is None else vocab.vec(w).tolist()
+                for w in words]}))
+
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    manifest = {"cdb_hash": cdb.content_hash(),
+                "config_hash": cfg.content_hash(),
+                "weighted_average_factor": cdb.weighted_average_factor}
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_model_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
+    with open(os.path.join(path, "config.json")) as f:
+        d = json.load(f)
+    for k in ("words_to_skip", "keep_punct", "filter_cuis",
+              "filter_cuis_exclude"):
+        d[k] = frozenset(d[k])
+    d["stopwords"] = frozenset(d["stopwords"]) if d.get("stopwords") else None
+    d["name_versions"] = tuple(d["name_versions"])
+    cfg = EngineConfig(**d)
+
+    cdb = CdbModel()
+    t = pq.read_table(os.path.join(path, "names.parquet")).to_pylist()
+    for r in sorted(t, key=lambda r: r["cand_order"]):
+        cdb.name2cuis.setdefault(r["name"], [])
+        if r["cui"] not in cdb.name2cuis[r["name"]]:
+            cdb.name2cuis[r["name"]].append(r["cui"])
+        cdb.name2cuis2status.setdefault(r["name"], {})[r["cui"]] = r["status"]
+        cdb.name_isupper[r["name"]] = r["is_upper"]
+    cdb.snames = set(pq.read_table(os.path.join(path, "snames.parquet"))
+                     .column("sname").to_pylist())
+    for r in pq.read_table(os.path.join(path, "concepts.parquet")).to_pylist():
+        c = r["cui"]
+        cdb.cui2names[c] = set(r["names"])
+        cdb.cui2snames[c] = set(r["snames"])
+        cdb.cui2type_ids[c] = set(r["type_ids"])
+        if r["preferred_name"] is not None:
+            cdb.cui2preferred_name[c] = r["preferred_name"]
+        if r["count_train"]:
+            cdb.cui2count_train[c] = r["count_train"]
+        if r["average_confidence"]:
+            cdb.cui2average_confidence[c] = r["average_confidence"]
+        if r["ontologies"]:
+            cdb.addl_info["cui2ontologies"][c] = set(r["ontologies"])
+        if r["description"] is not None:
+            cdb.addl_info["cui2description"][c] = r["description"]
+        if r["group"] is not None:
+            cdb.addl_info["cui2group"][c] = r["group"]
+    for r in pq.read_table(os.path.join(path, "context_vectors.parquet")).to_pylist():
+        cdb.cui2context_vectors.setdefault(r["cui"], {})[r["ctx_type"]] = \
+            np.asarray(r["vec"], dtype=np.float64)
+    for r in pq.read_table(os.path.join(path, "token_counts.parquet")).to_pylist():
+        cdb.vocab[r["token"]] = r["cnt"]
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        cdb.weighted_average_factor = json.load(f).get(
+            "weighted_average_factor", 0.0004)
+
+    vocab = VocabModel()
+    for r in pq.read_table(os.path.join(path, "vocab.parquet")).to_pylist():
+        vocab.add(r["word"], r["cnt"],
+                  None if r["vec"] is None else np.asarray(r["vec"]))
+    return cdb, vocab, cfg
