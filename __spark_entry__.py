@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG query (full annotation pipeline →
+co-occurrence triples) on sf0.001; ``queries``/``oracle_sql`` expose each
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+extras, with DuckDB-runnable ANSI-SQL oracles wherever the operator is
+SQL-expressible (non-SQL-expressible ops — context-vector disambiguation
+— are rows-only by design, see SURVEY §2.4/§2.5).
 """
 
 from __future__ import annotations
@@ -12,27 +13,543 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from medcat_spark import demo
+from medcat_spark.cdb_build import build_cdb_tables
+from medcat_spark.config import EngineConfig
+from medcat_spark.functions import dedup as ddp
+from medcat_spark.functions import similarity as simf
+from medcat_spark.functions import text as txt
+from medcat_spark.functions.media import media_features
+from medcat_spark.stats import per_cui_stats
+from medcat_spark.triples import cooccurrence_triples, mention_triples
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: annotate sf0.001 docs with the combined demo CDB through
+    the full pipeline and emit entity co-occurrence triples."""
+    ann = demo.flagship_annotations(spark, SF0001, num_partitions=8)
+    return cooccurrence_triples(ann)
 
+
+# ---------------------------------------------------------------------------
+# query helpers
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                string_split(text, ' ') AS arr FROM documents),
+tok AS (SELECT doc_id, unnest(arr) AS tok,
+               generate_subscripts(arr, 1) AS pos FROM toks),
+tokn AS (SELECT doc_id, tok, pos,
+                lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         FROM tok)
+"""
+
+_UNI_DICT_SQL = ("(VALUES ('spark','D001'),('merge','D002'),('window','D003'),"
+                 "('vector','D004'),('stream','D005'),('filter','D006'))"
+                 " AS d(name, cui)")
+_BI_DICT_SQL = ("(VALUES ('hash','join','D101'),('merge','join','D102'),"
+                "('sort','join','D103'),('table','scan','D104'))"
+                " AS d(w1, w2, cui)")
+
+
+def _uni_ann(spark, sf_dir):
+    return demo.ner_annotations(spark, sf_dir, demo.UNIGRAM_ROWS)
+
+
+def _bi_ann(spark, sf_dir):
+    return demo.ner_annotations(spark, sf_dir, demo.BIGRAM_ROWS)
+
+
+def _flag_ann(spark, sf_dir):
+    return demo.flagship_annotations(spark, sf_dir)
+
+
+def _mentions_agg(ann):
+    return (ann.groupBy("doc_id", "cui")
+            .agg(F.count("*").alias("n_mentions")))
+
+
+# demo CDB-build input rows exercising order-dependent status semantics
+CDB_DEMO_ROWS = [
+    (0, "X1", "spark|fast spark", "", "P", "T1", ""),
+    (1, "X2", "merge", "", "A", "T1", ""),
+    (2, "X3", "merge", "", "P", "T1", ""),
+    (3, "X4", "sort join|merge", "", "N", "T2", ""),
+    (4, "X2", "merge", "", "P", "T1", ""),   # P overwrites X2's earlier A
+    (5, "X2", "merge", "", "N", "T1", ""),   # N does NOT overwrite P
+    (6, "X1", "big spark|spark", "", "A", "T1", ""),
+]
+
+_CDB_DEMO_SQL_ROWS = ",".join(
+    f"({r[0]},'{r[1]}','{r[2]}','{r[4]}')" for r in CDB_DEMO_ROWS)
+
+_CDB_PREP_CTE = f"""
+raw AS (SELECT * FROM (VALUES {_CDB_DEMO_SQL_ROWS})
+        AS t(row_id, cui, name, status)),
+nm AS (SELECT row_id, cui, status,
+              replace(trim(unnest(string_split(name, '|'))), ' ', '~') AS name
+       FROM raw)
+"""
+
+
+def _cdb_demo_tables(spark):
+    df = spark.createDataFrame(
+        CDB_DEMO_ROWS,
+        "row_id long, cui string, name string, ontologies string, "
+        "name_status string, type_ids string, description string")
+    return build_cdb_tables(df, EngineConfig())
+
+
+def _interleaved_docs(spark, sf_dir):
+    """Wrap the flat documents table into the interleaved input_hint
+    shape with one synthetic media span per doc."""
+    docs = demo.load_docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(0).alias("offset")),
+            F.struct(F.lit("image").alias("kind"),
+                     F.lit(None).cast("string").alias("text"),
+                     F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
+                     .alias("media_ref"),
+                     (F.length("text") + 1).alias("offset")),
+        ).alias("spans"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- NER / KG pipeline (SURVEY §2.4, §2.5 L5-direct, §2.6 O1, §2.7 A3)
+    q["ner_unigram_mentions"] = lambda s, d: _mentions_agg(_uni_ann(s, d))
+    q["ner_bigram_mentions"] = lambda s, d: _mentions_agg(_bi_ann(s, d))
+    q["ner_flagship_mentions"] = lambda s, d: _mentions_agg(_flag_ann(s, d))
+    q["ner_offsets"] = lambda s, d: _bi_ann(s, d).select(
+        "doc_id", "start", "end", "cui", "source_value")
+    q["kg_mention_triples"] = lambda s, d: mention_triples(
+        _flag_ann(s, d), distinct=True).drop("doc_id")
+    q["kg_cooccurrence"] = lambda s, d: cooccurrence_triples(_uni_ann(s, d))
+    q["ner_disambiguation"] = lambda s, d: (
+        demo.disamb_annotations(s, d)
+        .select("doc_id", "start", "cui",
+                F.round("context_similarity", 6).alias("sim")))
 
+    # --- CDB build (SURVEY §2.7 A1, §2.6 O6)
+    q["cdb_names"] = lambda s, d: _cdb_demo_tables(s)["names"] \
+        .select("name", "cui", "status")
+    q["cdb_snames"] = lambda s, d: _cdb_demo_tables(s)["snames"]
+    q["cdb_token_counts"] = lambda s, d: _cdb_demo_tables(s)["token_counts"]
+
+    # --- metrics joins (SURVEY §2.3 J5, §2.7 A4)
+    def _pr(s, d):
+        pred = _uni_ann(s, d).select("doc_id", "start", "cui")
+        gold = pred.where((F.col("doc_id").cast("long") % 2 == 0)
+                          & (F.col("cui") != "D001"))
+        st = per_cui_stats(pred, gold)
+        return st.select("cui", "tp", "fp", "fn",
+                         F.round("precision", 6).alias("precision"),
+                         F.round("recall", 6).alias("recall"),
+                         F.round("f1", 6).alias("f1"))
+    q["pr_stats_per_cui"] = _pr
+
+    # --- relation stand-in: co-mention within a 3-token window (J1 as a
+    #     pure-DataFrame broadcast join over exploded tokens)
+    def _rel(s, d):
+        t = txt.tokens(demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string")))
+        dict_df = s.createDataFrame(
+            [(n, c) for n, c in demo.UNIGRAM_NAMES.items()], "tok string, cui string")
+        m = t.join(F.broadcast(dict_df), "tok")
+        a, b = m.alias("a"), m.alias("b")
+        return (a.join(b, "doc_id")
+                .where((F.col("a.pos") < F.col("b.pos"))
+                       & (F.col("b.pos") - F.col("a.pos") <= 3))
+                .groupBy(F.concat(F.lit("cui:"), F.col("a.cui")).alias("subj"),
+                         F.lit("near").alias("pred"),
+                         F.concat(F.lit("cui:"), F.col("b.cui")).alias("obj"))
+                .agg(F.count("*").alias("n_pairs")))
+    q["kg_rel_near"] = _rel
+
+    # --- dedup family
+    q["dedup_exact_groups"] = lambda s, d: ddp.exact_dup_groups(
+        demo.load_docs(s, d).withColumn("doc_id", F.col("doc_id").cast("string")))
+    q["dedup_minhash_sig"] = lambda s, d: ddp.minhash_signatures(
+        demo.load_docs(s, d)).withColumn("doc_id", F.col("doc_id").cast("long"))
+    q["dedup_lsh_pairs"] = lambda s, d: ddp.lsh_candidate_pairs(
+        demo.load_docs(s, d))
+    q["dedup_jaccard_pairs"] = lambda s, d: ddp.ngram_jaccard_pairs(
+        demo.load_docs(s, d), min_jaccard=0.2)
+    q["dedup_simhash"] = lambda s, d: ddp.simhash32(demo.load_docs(s, d))
+
+    # --- text analysis
+    q["text_quality"] = lambda s, d: txt.text_quality(demo.load_docs(s, d))
+    q["token_count"] = lambda s, d: txt.token_count(demo.load_docs(s, d))
+    q["lang_id"] = lambda s, d: txt.lang_id(demo.load_docs(s, d))
+    q["doc_fingerprint"] = lambda s, d: txt.fingerprint(demo.load_docs(s, d))
+
+    # --- similarity search over embeddings
+    def _topk(s, d):
+        emb = demo.load_embeddings(s, d)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return simf.cosine_topk(emb, qv, k=20)
+    q["ann_cosine_topk"] = _topk
+
+    def _topk_lsh(s, d):
+        emb = demo.load_embeddings(s, d)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return simf.cosine_topk_lsh(emb, qv, k=20, probe_dims=4)
+    q["ann_lsh_topk"] = _topk_lsh
+
+    q["emb_near_dup"] = lambda s, d: simf.pairwise_cosine_within(
+        demo.load_embeddings(s, d), "label", min_sim=0.8)
+
+    # --- multimodal plumbing
+    q["media_features"] = lambda s, d: media_features(_interleaved_docs(s, d))
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["ner_unigram_mentions"] = f"""
+WITH {_TOKS_CTE}
+SELECT t.doc_id, d.cui, COUNT(*) AS n_mentions
+FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name
+GROUP BY 1, 2
+"""
+
+    o["ner_bigram_mentions"] = f"""
+WITH {_TOKS_CTE}
+SELECT t.doc_id, d.cui, COUNT(*) AS n_mentions
+FROM tokn t JOIN {_BI_DICT_SQL} ON t.tok = d.w1 AND t.nxt = d.w2
+GROUP BY 1, 2
+"""
+
+    # flagship = bigrams + unigrams minus the O1-subsumed 'merge join' case
+    o["ner_flagship_mentions"] = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT t.doc_id, d.cui
+  FROM tokn t JOIN {_BI_DICT_SQL} ON t.tok = d.w1 AND t.nxt = d.w2
+  UNION ALL
+  SELECT t.doc_id, d.cui
+  FROM tokn t JOIN {_UNI_DICT_SQL} ON t.tok = d.name
+  WHERE NOT (t.tok = 'merge' AND COALESCE(t.nxt, '') = 'join')
+)
+SELECT doc_id, cui, COUNT(*) AS n_mentions FROM m GROUP BY 1, 2
+"""
+
+    # char offsets: start = sum(len+1) of preceding tokens
+    o["ner_offsets"] = f"""
+WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, tok, nxt, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tokn)
+SELECT p.doc_id, CAST(p.start AS INT) AS start,
+       CAST(p.start + length(d.w1) + 1 + length(d.w2) AS INT) AS "end",
+       d.cui, d.w1 || ' ' || d.w2 AS source_value
+FROM pos p JOIN {_BI_DICT_SQL} ON p.tok = d.w1 AND p.nxt = d.w2
+"""
+
+    o["kg_mention_triples"] = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT t.doc_id, d.cui
+  FROM tokn t JOIN {_BI_DICT_SQL} ON t.tok = d.w1 AND t.nxt = d.w2
+  UNION ALL
+  SELECT t.doc_id, d.cui
+  FROM tokn t JOIN {_UNI_DICT_SQL} ON t.tok = d.name
+  WHERE NOT (t.tok = 'merge' AND COALESCE(t.nxt, '') = 'join')
+)
+SELECT DISTINCT 'doc:' || doc_id AS subj, 'mentions' AS pred,
+       'cui:' || cui AS obj
+FROM m
+"""
+
+    o["kg_cooccurrence"] = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT t.doc_id, d.cui
+      FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name)
+SELECT 'cui:' || a.cui AS subj, 'cooccurs_with' AS pred,
+       'cui:' || b.cui AS obj, COUNT(*) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui
+GROUP BY 1, 2, 3
+"""
+
+    o["cdb_names"] = f"""
+WITH {_CDB_PREP_CTE}
+SELECT name, cui,
+       CASE WHEN MAX(CASE WHEN status = 'P' THEN 1 ELSE 0 END) = 1
+            THEN 'P' ELSE arg_min(status, row_id) END AS status
+FROM nm GROUP BY name, cui
+"""
+
+    o["cdb_snames"] = f"""
+WITH {_CDB_PREP_CTE},
+t AS (SELECT string_split(name, '~') AS toks FROM nm),
+p AS (SELECT array_to_string(toks[1:i], '~') AS sname
+      FROM t, (SELECT unnest(range(1, 9)) AS i) ii
+      WHERE i <= len(toks))
+SELECT DISTINCT sname FROM p
+"""
+
+    o["cdb_token_counts"] = f"""
+WITH {_CDB_PREP_CTE},
+t AS (SELECT row_id, name, unnest(string_split(name, '~')) AS token
+      FROM (SELECT DISTINCT row_id, name FROM nm))
+SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+"""
+
+    o["pr_stats_per_cui"] = f"""
+WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok),
+pred AS (SELECT DISTINCT p.doc_id, CAST(p.start AS INT) AS start, d.cui
+         FROM pos p JOIN {_UNI_DICT_SQL} ON p.tok = d.name),
+gold AS (SELECT * FROM pred
+         WHERE CAST(doc_id AS BIGINT) % 2 = 0 AND cui <> 'D001'),
+conf AS (
+  SELECT cui,
+         SUM(CASE WHEN g THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN g THEN 0 ELSE 1 END) AS fp, 0 AS fn
+  FROM (SELECT p.cui, EXISTS(SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+            AND g.start = p.start AND g.cui = p.cui) AS g FROM pred p)
+  GROUP BY cui
+  UNION ALL
+  SELECT cui, 0, 0, COUNT(*) FROM gold g
+  WHERE NOT EXISTS (SELECT 1 FROM pred p WHERE g.doc_id = p.doc_id
+        AND g.start = p.start AND g.cui = p.cui)
+  GROUP BY cui),
+agg AS (SELECT cui, SUM(tp) tp, SUM(fp) fp, SUM(fn) fn FROM conf GROUP BY cui)
+SELECT cui, tp, fp, fn,
+  ROUND(tp / GREATEST(tp + fp, 1), 6) AS precision,
+  ROUND(tp / GREATEST(tp + fn, 1), 6) AS recall,
+  CASE WHEN (tp / GREATEST(tp+fp,1)) + (tp / GREATEST(tp+fn,1)) > 0
+       THEN ROUND(2 * (tp / GREATEST(tp+fp,1)) * (tp / GREATEST(tp+fn,1)) /
+            ((tp / GREATEST(tp+fp,1)) + (tp / GREATEST(tp+fn,1))), 6)
+       ELSE 0.0 END AS f1
+FROM agg
+"""
+
+    o["kg_rel_near"] = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT t.doc_id, t.pos, d.cui
+      FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name)
+SELECT 'cui:' || a.cui AS subj, 'near' AS pred, 'cui:' || b.cui AS obj,
+       COUNT(*) AS n_pairs
+FROM m a JOIN m b ON a.doc_id = b.doc_id
+WHERE a.pos < b.pos AND b.pos - a.pos <= 3
+GROUP BY 1, 2, 3
+"""
+
+    o["dedup_exact_groups"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS fp,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                          ORDER BY CAST(doc_id AS VARCHAR)) AS dup_rank
+FROM documents
+"""
+
+    _SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       (SELECT unnest(range(1, 2000)) AS i) ii
+  WHERE i <= len(arr) - 2)
+"""
+
+    o["dedup_minhash_sig"] = f"""
+WITH {_SHINGLES}
+SELECT doc_id,
+       MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+       MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+FROM sh GROUP BY doc_id
+"""
+
+    o["dedup_lsh_pairs"] = f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+  FROM sh GROUP BY doc_id),
+bk AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || h3) AS bucket FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+    o["dedup_jaccard_pairs"] = f"""
+WITH {_SHINGLES},
+shs AS (SELECT s.doc_id, s.shingle, d.source
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM shs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shs a JOIN shs b
+    ON a.shingle = b.shingle AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.inter, sa.size AS size_a, sb.size AS size_b,
+       ROUND(i.inter * 1.0 / (sa.size + sb.size - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 1.0 / (sa.size + sb.size - i.inter) >= 0.2
+"""
+
+    o["dedup_simhash"] = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv FROM t),
+bits AS (SELECT doc_id, b.b,
+                SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM h, (SELECT unnest(range(0, 32)) AS b) b
+         GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+    o["text_quality"] = """
+WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS arr
+           FROM documents)
+SELECT doc_id,
+  len(arr) AS n_tokens,
+  len(list_distinct(arr)) AS n_types,
+  ROUND(len(list_distinct(arr)) * 1.0 / len(arr), 6) AS type_token_ratio,
+  ROUND(len(list_filter(arr, t -> t IN ('the','a','and','of','to','in')))
+        * 1.0 / len(arr), 6) AS stopword_ratio,
+  ROUND(list_aggregate(list_transform(arr, t -> length(t)), 'sum')
+        * 1.0 / len(arr), 6) AS avg_token_len,
+  ROUND(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        * 1.0 / length(text), 6) AS punct_ratio
+FROM q
+"""
+
+    o["token_count"] = """
+WITH q AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+SELECT doc_id, len(arr) AS ws_tokens,
+       CAST(list_aggregate(list_transform(arr,
+            t -> CAST(ceil(length(t) / 4.0) AS INT)), 'sum') AS INT)
+       AS bpe_tokens
+FROM q
+"""
+
+    o["lang_id"] = """
+WITH q AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+h AS (SELECT doc_id,
+  len(list_filter(arr, t -> t IN ('der','die','das','und','ist','ein','zu','den'))) AS h_de,
+  len(list_filter(arr, t -> t IN ('the','a','and','of','to','in','is','it'))) AS h_en,
+  len(list_filter(arr, t -> t IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+  len(list_filter(arr, t -> t IN ('le','la','de','et','un','une','est','les'))) AS h_fr
+  FROM q)
+SELECT doc_id,
+  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+  GREATEST(h_de, h_en, h_es, h_fr) AS hits
+FROM h
+"""
+
+    o["doc_fingerprint"] = """
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+           ' ')) AS fp_bag
+FROM documents
+"""
+
+    _COS = """
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+ex AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+qx AS (SELECT unnest(CAST(qv AS DOUBLE[])) AS y,
+              generate_subscripts(qv, 1) AS i FROM q),
+dot AS (SELECT e.vec_id, SUM(e.x * qx.y) AS d, SUM(e.x * e.x) AS na,
+               SUM(qx.y * qx.y) AS nb
+        FROM ex e JOIN qx ON e.i = qx.i GROUP BY e.vec_id),
+sims AS (SELECT vec_id, ROUND(d / (sqrt(na) * sqrt(nb)), 6) AS sim FROM dot)
+"""
+
+    o["ann_cosine_topk"] = f"""
+WITH {_COS}
+SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 20
+"""
+
+    o["ann_lsh_topk"] = f"""
+WITH {_COS},
+qb AS (SELECT
+    (CASE WHEN qv[1] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN qv[2] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN qv[3] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN qv[4] >= 0 THEN '1' ELSE '0' END) AS b FROM q),
+eb AS (SELECT vec_id,
+    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS b FROM embeddings)
+SELECT s.vec_id, s.sim
+FROM sims s JOIN eb ON s.vec_id = eb.vec_id JOIN qb ON eb.b = qb.b
+ORDER BY s.sim DESC, s.vec_id LIMIT 20
+"""
+
+    o["emb_near_dup"] = """
+WITH ex AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+p AS (SELECT a.label AS g, a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(a.x * b.x) AS d, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+      FROM ex a JOIN ex b ON a.label = b.label AND a.i = b.i
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3)
+SELECT g, id_a, id_b, ROUND(d / (sqrt(na) * sqrt(nb)), 6) AS sim
+FROM p WHERE ROUND(d / (sqrt(na) * sqrt(nb)), 6) >= 0.8
+"""
+
+    o["media_features"] = """
+WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+           FROM documents)
+SELECT doc_id, 1 AS span_idx, 'image' AS kind, media_ref,
+  CAST(64 + CAST(('0x' || substr(md5(media_ref), 1, 4)) AS BIGINT) % 1024
+       AS INT) AS width,
+  CAST(64 + CAST(('0x' || substr(md5(media_ref), 5, 4)) AS BIGINT) % 1024
+       AS INT) AS height,
+  substr(md5(media_ref), 1, 16) AS phash
+FROM m
+"""
+
+    # ner_disambiguation intentionally has no oracle: context-vector
+    # similarity scoring is not SQL-expressible (SURVEY §2.5).
+    return o

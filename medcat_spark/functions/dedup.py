@@ -1,0 +1,141 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Spark-first design notes (100 TB posture):
+  * everything below is built-in expressions (JVM, codegen) — no Python;
+  * MinHash signatures are ONE groupBy over exploded shingles with N
+    min() aggregates (map-side partial agg does the heavy lifting);
+  * LSH candidate generation is a self-equi-join on band values — a
+    shuffle join on a high-cardinality key, AQE-skew-safe;
+  * verified Jaccard joins only candidate pairs, never the full corpus
+    cross-product.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: every doc with its group size and
+    rank (rank 1 = keeper)."""
+    fp = docs.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("fp")
+    return (fp
+            .withColumn("group_size", F.count("*").over(w))
+            .withColumn("dup_rank", F.row_number().over(
+                w.orderBy(F.col("doc_id")))))
+
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct k-gram token shingles, space-joined.
+
+    Docs shorter than k tokens contribute their whole text as the single
+    shingle so they still participate in signatures.
+    """
+    arr = F.split(F.col(text_col), " ")
+    n = F.size(arr)
+    sh = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(arr, i + 1, k), " ")
+    )).otherwise(F.array(F.col(text_col)))
+    return (docs.select("doc_id", F.explode(sh).alias("shingle")).distinct())
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 4,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, h0..h{n-1}): MinHash via min(md5(seed || ':' || shingle)).
+
+    md5 hex strings order lexicographically, so min() over them is a
+    valid min-hash; md5 is identical across engines, which makes the
+    signatures oracle-checkable bit-for-bit.
+    """
+    sh = shingles(docs, k, text_col)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
+            .alias(f"h{j}") for j in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 4,
+                        bands: int = 2, text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, band): pairs sharing at least one LSH band bucket.
+
+    Band value = md5 of the band's concatenated signature rows.
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, k, n_hashes, text_col)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(*[F.col(f"h{b * rows + r}")
+                                  for r in range(rows)])).alias("bucket"))
+        for b in range(bands)]
+    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("doc_id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, ["band", "bucket"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"), "band")
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
+                        group_col: Optional[str] = "source",
+                        min_jaccard: float = 0.0,
+                        text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b, jaccard) over doc pairs
+    within the same ``group_col`` (blocking key to avoid the full
+    cross-product; pass candidate pairs from LSH for the unblocked path).
+    """
+    sh = shingles(docs, k, text_col)
+    if group_col:
+        sh = sh.join(docs.select("doc_id", group_col), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    on = [F.col("a.shingle") == F.col("b.shingle")]
+    if group_col:
+        on.append(F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    inter = (a.join(b, on)
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("size").alias("size_b"))
+    j = (inter.join(sa, "doc_a").join(sb, "doc_b")
+         .withColumn("jaccard", F.round(
+             F.col("inter") /
+             (F.col("size_a") + F.col("size_b") - F.col("inter")), 6)))
+    return j.where(F.col("jaccard") >= min_jaccard) \
+            .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over tokens (duplicates count).
+
+    Token hash = engine-portable ``conv(substr(md5(t),1,8),16,10)``;
+    simhash bit b = 1 iff more tokens set bit b than not (ties -> 0).
+    One explode + one groupBy with 32 conditional sums — map-side
+    partial aggregation keeps the shuffle tiny (one row per doc).
+    """
+    t = docs.select("doc_id",
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    aggs = [F.sum(F.when(F.shiftright(hv, b) % 2 == 1, 1).otherwise(-1))
+            .alias(f"b{b}") for b in range(32)]
+    g = t.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"b{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.alias("simhash"))

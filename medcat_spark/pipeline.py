@@ -53,7 +53,9 @@ _MODEL_CACHE: dict = {}
 
 
 def _get_model(bc) -> Tuple[CdbModel, VocabModel, EngineConfig, SpellChecker]:
-    key = id(bc)
+    # the broadcast spill path is unique per broadcast id and stable on
+    # the worker (id(bc) is NOT: CPython reuses ids across GC'd objects)
+    key = getattr(bc, "_path", None) or id(bc)
     hit = _MODEL_CACHE.get(key)
     if hit is None:
         cdb, vocab, config = bc.value
