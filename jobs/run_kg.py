@@ -1,0 +1,54 @@
+"""KG-construction job entrypoint for spark-submit.
+
+  spark-submit --py-files dist/medcat_spark.zip jobs/run_kg.py \
+      --docs /path/docs.parquet --model-pack /path/pack \
+      --out /path/kg --partitions 512 [--max-docs N]
+
+Resumable: re-running with the same --out continues from the last
+committed snapshot (anti-join on processed doc_ids).  Build the zip with
+``python tools/package.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True)
+    p.add_argument("--model-pack", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--max-docs", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from medcat_spark.checkpoint import read_annotations, resumable_annotate
+    from medcat_spark.pipeline import broadcast_model
+    from medcat_spark.session import get_spark
+    from medcat_spark.sources.model_pack import load_model_pack
+    from medcat_spark.triples import cooccurrence_triples, mention_triples
+
+    spark = get_spark("medcat-spark-kg", master=args.master)
+    cdb, vocab, cfg = load_model_pack(args.model_pack)
+    bc = broadcast_model(spark, cdb, vocab, cfg)
+    docs = spark.read.parquet(args.docs)
+
+    manifest = resumable_annotate(spark, docs, bc, args.out,
+                                  num_partitions=args.partitions,
+                                  max_docs=args.max_docs, config=cfg)
+    ann = read_annotations(spark, args.out)
+    if ann is not None:
+        mention_triples(ann, distinct=True).write.mode("overwrite") \
+            .parquet(f"{args.out}/triples/mentions")
+        cooccurrence_triples(ann).write.mode("overwrite") \
+            .parquet(f"{args.out}/triples/cooccurrence")
+    print(json.dumps(manifest))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

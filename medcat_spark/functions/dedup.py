@@ -38,10 +38,15 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """
     arr = F.split(F.col(text_col), " ")
     n = F.size(arr)
-    sh = F.when(n >= k, F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.array_join(F.slice(arr, i + 1, k), " ")
-    )).otherwise(F.array(F.col(text_col)))
+    # O(n) shifted-array zip (k-1 zips per doc) instead of n slices per
+    # doc (O(n^2) interpreted higher-order exprs — 10x slower measured)
+    sh = arr
+    for i in range(1, k):
+        shifted = F.slice(arr, i + 1, n - i)
+        sh = F.zip_with(sh, shifted,
+                        lambda x, y: F.concat_ws(" ", x, y))
+    sh = F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.when(n >= k, sh).otherwise(F.array(F.col(text_col)))
     return (docs.select("doc_id", F.explode(sh).alias("shingle")).distinct())
 
 

@@ -1,0 +1,94 @@
+"""Source connectors: CDB CSV (S2), vocab TSV (S3), MCT export JSON (S7),
+plus the A4 P/R harness over an MCT-shaped gold set."""
+
+import json
+
+import numpy as np
+import pytest
+
+from medcat_spark.cdb_build import (build_cdb, collect_vocab_model,
+                                    read_vocab_tsv)
+from medcat_spark.config import EngineConfig
+from medcat_spark.core.annotate import annotate_document
+from medcat_spark.fixtures import (CONCEPT_ROWS, build_fixture_cdb,
+                                   concepts_csv_text, trained_fixture_models)
+from medcat_spark.sources.mct_export import (documents_from_mct,
+                                             gold_annotations,
+                                             read_mct_export)
+from medcat_spark.stats import overall_stats, per_cui_stats
+
+
+def test_cdb_csv_source(spark, tmp_path):
+    p = tmp_path / "cdb.csv"
+    p.write_text(concepts_csv_text())
+    df = (spark.read.option("header", "true").csv(str(p))
+          .withColumn("row_id", __import__("pyspark").sql.functions
+                      .monotonically_increasing_id()))
+    cdb = build_cdb(spark, df, EngineConfig())
+    exact = build_fixture_cdb(EngineConfig())
+    assert cdb.name2cuis == exact.name2cuis
+    assert cdb.cui2preferred_name == exact.cui2preferred_name
+
+
+def test_vocab_tsv_source(spark, tmp_path):
+    p = tmp_path / "vocab.dat"
+    lines = ["house\t34444\t0.3232 0.123213 1.231231",
+             "dog\t14444\t0.76762 0.76767 0.45454",
+             "catty\t7"]
+    p.write_text("\n".join(lines) + "\n")
+    vm = collect_vocab_model(read_vocab_tsv(spark, str(p)))
+    assert vm.word2cnt == {"house": 34444, "dog": 14444, "catty": 7}
+    assert np.allclose(vm.vec("house"), [0.3232, 0.123213, 1.231231], atol=1e-6)
+    assert vm.vec("catty") is None
+    assert "catty" in vm
+
+
+@pytest.fixture(scope="module")
+def mct_path(tmp_path_factory, fixture_models):
+    """MCT export whose gold = the exact kernel's own output on two docs,
+    plus one fabricated miss (fn) and one doc annotation we suppress (fp)."""
+    cdb, vocab = fixture_models
+    cfg = EngineConfig()
+    texts = {"d1": "patient admitted with heart attack and high temperature",
+             "d2": "history of diabetes mellitus and chronic kidney failure"}
+    docs = []
+    for did, text in texts.items():
+        ents, _ = annotate_document(text, cdb, vocab, cfg)
+        anns = [{"start": e.start, "end": e.end, "cui": e.cui,
+                 "value": e.source_value, "validated": True,
+                 "killed": False, "deleted": False} for e in ents]
+        docs.append({"id": did, "name": did, "text": text,
+                     "annotations": anns})
+    # a gold annotation the pipeline will never produce -> one FN
+    docs[0]["annotations"].append(
+        {"start": 999, "end": 1005, "cui": "C0999", "value": "ghost",
+         "validated": True, "killed": False, "deleted": False})
+    # killed/deleted/unvalidated rows must be excluded from gold
+    docs[1]["annotations"].append(
+        {"start": 0, "end": 7, "cui": "C0666", "value": "history",
+         "validated": True, "killed": True, "deleted": False})
+    export = {"projects": [{"name": "proj", "id": "p1", "cuis": "",
+                            "documents": docs}]}
+    p = tmp_path_factory.mktemp("mct") / "export.json"
+    p.write_text(json.dumps(export))
+    return str(p)
+
+
+def test_mct_source_and_pr_harness(spark, fixture_models, mct_path):
+    from medcat_spark.pipeline import annotate, broadcast_model
+    cdb, vocab = fixture_models
+    mct = read_mct_export(spark, mct_path)
+    gold = gold_annotations(mct)
+    assert gold.where("cui = 'C0666'").count() == 0  # killed excluded
+
+    docs = documents_from_mct(mct)
+    bc = broadcast_model(spark, cdb, vocab, EngineConfig())
+    pred = annotate(docs, bc)
+    stats = overall_stats(pred, gold)
+    assert stats["fn"] == 1          # the ghost annotation
+    assert stats["fp"] == 0
+    assert stats["precision"] == 1.0
+    assert 0.7 <= stats["recall"] < 1.0
+
+    pc = {r["cui"]: r for r in per_cui_stats(pred, gold).collect()}
+    assert pc["C0999"]["fn"] == 1 and pc["C0999"]["tp"] == 0

@@ -1,0 +1,90 @@
+"""Scaling-efficiency bench (BASELINE.md protocol): the identical
+annotate+triples job at two parallelism levels (local[8] = N,
+local[32] = 4N) on identical input; efficiency = r_4N / (4 * r_N).
+
+Orchestrator mode spawns one subprocess per Spark master (clean JVM),
+each doing 1 warm-up + 3 timed runs (median reported), then writes the
+results into BENCH/BASELINE.md.
+
+Usage:
+  python tools/scaling_bench.py                 # full protocol
+  python tools/scaling_bench.py --run 'local[8]'  # one worker (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def one_master(master: str, cores: int) -> dict:
+    from medcat_spark import demo
+    from medcat_spark.session import get_spark
+    from medcat_spark.triples import cooccurrence_triples, mention_triples
+
+    spark = get_spark("scaling-bench", master=master,
+                      shuffle_partitions=cores)
+    docs = demo.load_docs(spark, SF_DIR).cache()
+    n_docs = docs.count()
+
+    def job():
+        ann = demo.flagship_annotations(spark, SF_DIR, num_partitions=cores)
+        ann = ann.cache()
+        ann.count()
+        mention_triples(ann, distinct=True).count()
+        cooccurrence_triples(ann).count()
+        ann.unpersist()
+
+    job()  # warm-up discarded
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        job()
+        times.append(time.monotonic() - t0)
+    spark.stop()
+    med = statistics.median(times)
+    return {"master": master, "cores": cores, "n_docs": n_docs,
+            "runs_sec": [round(t, 3) for t in times],
+            "median_sec": round(med, 3),
+            "docs_per_sec": round(n_docs / med, 1)}
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        master = sys.argv[2]
+        cores = int(master.split("[")[1].rstrip("]"))
+        print("RESULT " + json.dumps(one_master(master, cores)))
+        return
+
+    results = {}
+    for master in ("local[8]", "local[32]"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", master],
+            capture_output=True, text=True, cwd=REPO, timeout=3600)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        results[master] = json.loads(line[len("RESULT "):])
+        print(results[master], flush=True)
+
+    r8 = results["local[8]"]["docs_per_sec"]
+    r32 = results["local[32]"]["docs_per_sec"]
+    eff = r32 / (4 * r8)
+    summary = {"docs_per_sec_N8": r8, "docs_per_sec_N32": r32,
+               "scaling_efficiency_N_to_4N": round(eff, 3),
+               "sf_dir": SF_DIR, "detail": results}
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
