@@ -75,6 +75,7 @@ class SpellChecker:
     def __init__(self, vocab: Dict[str, int], config: EngineConfig) -> None:
         self.vocab = vocab
         self.config = config
+        self._fix_cache: Dict[str, Optional[str]] = {}
 
     def __contains__(self, word: str) -> bool:
         return word in self.vocab
@@ -84,8 +85,16 @@ class SpellChecker:
         return -1 / cnt if cnt != 0 else 0
 
     def fix(self, word: str) -> Optional[str]:
+        """Memoized (fix is a pure function of the word given a fixed
+        vocab; the edits-1 candidate generation is ~54*len strings per
+        call — the kernel's hottest path without the cache)."""
+        if word in self._fix_cache:
+            return self._fix_cache[word]
         fix = max(self.candidates(word), key=self.P)
-        return fix if fix != word else None
+        out = fix if fix != word else None
+        if len(self._fix_cache) < 500_000:
+            self._fix_cache[word] = out
+        return out
 
     def candidates(self, word: str) -> Iterable[str]:
         if self.config.spell_check_deep:

@@ -26,19 +26,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "160"))
+
+
 def one_master(master: str, cores: int) -> dict:
+    from pyspark.sql import functions as F
+
     from medcat_spark import demo
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.core.model import VocabModel
+    from medcat_spark.pipeline import annotate, broadcast_model
     from medcat_spark.session import get_spark
     from medcat_spark.triples import cooccurrence_triples, mention_triples
 
     spark = get_spark("scaling-bench", master=master,
                       shuffle_partitions=cores)
-    docs = demo.load_docs(spark, SF_DIR).cache()
+    # BASELINE.md protocol: size the input so local[8] runs >= 60 s —
+    # replicate the sf corpus with doc_id suffixes (FIXTURES.md F3)
+    base = demo.load_docs(spark, SF_DIR)
+    docs = (spark.range(REPLICATE).crossJoin(base)
+            .select(F.concat(F.col("doc_id").cast("string"),
+                             F.lit("_"), F.col("id")).alias("doc_id"),
+                    "text")
+            .cache())
     n_docs = docs.count()
+    bc = broadcast_model(spark, demo.flagship_cdb(), VocabModel(),
+                         EngineConfig())
 
     def job():
-        ann = demo.flagship_annotations(spark, SF_DIR, num_partitions=cores)
-        ann = ann.cache()
+        ann = annotate(docs, bc, num_partitions=cores * 4).cache()
         ann.count()
         mention_triples(ann, distinct=True).count()
         cooccurrence_triples(ann).count()
