@@ -1,0 +1,203 @@
+"""Model-level DataFrame operators: most_similar top-k (O3), CDB subset
+(O4), vocab build (A2), average-confidence update (A6), and the scalable
+(approximate) distributed trainer (SURVEY §7 Stage 4b).
+
+Reference cites: cdb.py:760-850 (most_similar), cdb.py:660-738
+(filter_by_cui), utils/make_vocab.py:64-176 (vocab build),
+cdb.py:145-148 (avg confidence), cdb.py:585-611 (import_training
+count-weighted merge — the basis for the distributed combine).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from medcat_spark.config import EngineConfig
+from medcat_spark.core.model import CdbModel, VocabModel, unitvec
+
+
+def context_vectors_df(spark: SparkSession, cdb: CdbModel) -> DataFrame:
+    rows = [(cui, ct, [float(x) for x in unitvec(v)],
+             int(cdb.cui2count_train.get(cui, 0)),
+             sorted(cdb.cui2type_ids.get(cui, {"unk"})))
+            for cui in cdb.cui2context_vectors
+            for ct, v in cdb.cui2context_vectors[cui].items()]
+    return spark.createDataFrame(
+        rows, "cui string, ctx_type string, unit_vec array<double>, "
+              "cnt long, type_ids array<string>")
+
+
+def most_similar(cv: DataFrame, cui: str, context_type: str,
+                 type_id_filter: Optional[List[str]] = None,
+                 min_cnt: int = 0, topn: int = 50) -> DataFrame:
+    """O3: brute-force cosine of one CUI's unit vector against all
+    trained CUI unit vectors of the same context type, filtered by
+    type_id/min count, top-n (cdb.py:760-850).
+
+    Pure DataFrame: broadcast the single query vector, dot product via
+    zip_with/aggregate, TakeOrderedAndProject for the top-k.
+    """
+    base = cv.where((F.col("ctx_type") == context_type))
+    q = base.where(F.col("cui") == cui).select(
+        F.col("unit_vec").alias("qv"))
+    dot = F.aggregate(F.zip_with(F.col("unit_vec"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    out = (base.crossJoin(F.broadcast(q))
+           .where(F.col("cnt") >= min_cnt))
+    if type_id_filter:
+        out = out.where(F.arrays_overlap(
+            "type_ids", F.array(*[F.lit(t) for t in type_id_filter])))
+    return (out.select("cui", F.round(dot, 9).alias("sim"), "cnt")
+            .orderBy(F.desc("sim"), "cui").limit(topn))
+
+
+def subset_by_cui(tables: dict, cuis_to_keep: DataFrame) -> dict:
+    """O4: 2-hop closure subset (cdb.py:660-738 filter_by_cui): keep
+    names reachable from the kept CUIs, then all CUIs reachable from
+    those names — two semi-joins."""
+    names = tables["names"]
+    kept_names = names.join(cuis_to_keep, "cui", "left_semi") \
+                      .select("name").distinct()
+    kept_pairs = names.join(kept_names, "name", "left_semi")
+    kept_cuis = kept_pairs.select("cui").distinct()
+    return {
+        "names": kept_pairs,
+        "concepts": tables["concepts"].join(kept_cuis, "cui", "left_semi"),
+        "cui2names": tables["cui2names"].join(kept_cuis, "cui", "left_semi"),
+        "snames": tables["cui2names"].join(kept_cuis, "cui", "left_semi")
+                  .select(F.explode("snames").alias("sname")).distinct(),
+        "token_counts": tables["token_counts"],
+        "prepared": tables["prepared"],
+    }
+
+
+def build_vocab_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """A2 (counting half): corpus word counts (make_vocab.py:64-121).
+    Word2Vec vectors can be attached via pyspark.ml.feature.Word2Vec on
+    the same tokenized corpus when embeddings training is wanted."""
+    return (docs.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                        .alias("word"))
+            .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+def avg_confidence_update(ann: DataFrame) -> DataFrame:
+    """A6: per-CUI running-mean inputs (cdb.py:145-148) as a single agg;
+    merge into the model with combine_avg_confidence()."""
+    return (ann.where(F.col("context_similarity") >= 0)
+            .groupBy("cui").agg(F.sum("context_similarity").alias("sim_sum"),
+                                F.count("*").alias("n")))
+
+
+def combine_avg_confidence(cdb: CdbModel, rows) -> None:
+    for r in rows:
+        cnt = cdb.cui2count_train.get(r["cui"], 0)
+        avg = cdb.cui2average_confidence.get(r["cui"], 0.0)
+        cdb.cui2average_confidence[r["cui"]] = \
+            (avg * cnt + r["sim_sum"]) / (cnt + r["n"])
+
+
+# ---------------------------------------------------------------------------
+# Distributed (approximate) supervised trainer — SURVEY §7 Stage 4b
+# ---------------------------------------------------------------------------
+
+_CTX_SCHEMA = StructType([
+    StructField("cui", StringType()),
+    StructField("ctx_type", StringType()),
+    StructField("vec_sum", ArrayType(DoubleType())),
+    StructField("n", LongType()),
+])
+
+
+def _context_sums(bc):
+    """mapInPandas fn: per (doc batch), compute the L2 context vectors at
+    each gold annotation and emit per-(cui, ctx_type) partial sums."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from medcat_spark.core.linker import ContextModel
+        from medcat_spark.core.ner import Entity
+        from medcat_spark.pipeline import _get_model
+        cdb, vocab, config, sc = _get_model(bc)
+        cm = ContextModel(cdb, vocab, config)
+        from medcat_spark.core.annotate import preprocess
+        for pdf in batches:
+            acc: dict = {}
+            for row in pdf.itertuples(index=False):
+                toks = preprocess(row.text or "", cdb, config, sc)
+                # entity span = tokens covering [start, end)
+                span = [t for t in toks
+                        if t.start >= row.start and t.end <= row.end]
+                if not span:
+                    continue
+                ent = Entity(tok_start=span[0].i, tok_end=span[-1].i,
+                             start=row.start, end=row.end,
+                             source_value="", detected_name="",
+                             link_candidates=[], ent_id=0)
+                vecs = cm.get_context_vectors(ent, toks)
+                for ct, v in vecs.items():
+                    key = (row.cui, ct)
+                    if key in acc:
+                        acc[key][0] += v
+                        acc[key][1] += 1
+                    else:
+                        acc[key] = [v.copy(), 1]
+            yield pd.DataFrame({
+                "cui": [k[0] for k in acc],
+                "ctx_type": [k[1] for k in acc],
+                "vec_sum": [list(map(float, v[0])) for v in acc.values()],
+                "n": [v[1] for v in acc.values()],
+            })
+    return fn
+
+
+def train_supervised_spark(spark: SparkSession, gold: DataFrame,
+                           docs: DataFrame, bc,
+                           config: Optional[EngineConfig] = None) -> DataFrame:
+    """Distributed supervised training: gold (doc_id, start, end, cui) ×
+    docs (doc_id, text) → per-(cui, ctx_type) context-vector MEANS.
+
+    DOCUMENTED DIVERGENCE (SURVEY §7 Stage 4): the reference trainer is
+    strictly sequential (lr anneals over the running count, cdb.py:441);
+    this job computes the count-weighted mean of all example contexts in
+    one pass — the same combine the reference itself uses when merging
+    models (import_training averaging, cdb.py:585-611).  Exact-parity
+    sequential training for small corpora lives in
+    core.annotate.train_unsupervised.
+    """
+    ex = gold.join(docs, "doc_id").select(
+        "doc_id", "text", F.col("start").cast("int").alias("start"),
+        F.col("end").cast("int").alias("end"), "cui")
+    sums = ex.mapInPandas(_context_sums(bc), schema=_CTX_SCHEMA)
+    # combine partial sums: explode to (cui, ctx_type, dim) cells so the
+    # elementwise sum is a plain shuffle agg (map-side combinable), then
+    # reassemble the mean vector in dim order
+    cells = sums.select("cui", "ctx_type", "n",
+                        F.posexplode("vec_sum").alias("pos", "val"))
+    per_dim = (cells.groupBy("cui", "ctx_type", "pos")
+               .agg(F.sum("val").alias("s"), F.sum("n").alias("n_tot")))
+    return (per_dim.groupBy("cui", "ctx_type")
+            .agg(F.collect_list(F.struct("pos", "s")).alias("cells"),
+                 F.first("n_tot").alias("n"))
+            .select("cui", "ctx_type",
+                    F.transform(F.array_sort("cells"),
+                                lambda e: e["s"] / F.col("n"))
+                    .alias("mean_vec"), "n"))
+
+
+def apply_training(cdb: CdbModel, rows) -> None:
+    """Merge trained means into the model (import_training-style:
+    overwrite vectors, add counts)."""
+    by_cui: dict = {}
+    for r in rows:
+        by_cui.setdefault(r["cui"], {})[r["ctx_type"]] = (
+            np.asarray(r["mean_vec"], dtype=np.float64), int(r["n"]))
+    for cui, cts in by_cui.items():
+        cdb.cui2context_vectors[cui] = {ct: v for ct, (v, _n) in cts.items()}
+        cdb.cui2count_train[cui] = cdb.cui2count_train.get(cui, 0) + \
+            max(n for _v, n in cts.values())
