@@ -49,8 +49,23 @@ _IRREGULAR = {
 _KEEP_SUFFIX = ("ss", "us", "is", "ous")  # never strip plain trailing 's'
 
 
+_LEMMA_CACHE: Dict[str, str] = {}
+
+
 def lemmatize(lower: str) -> str:
-    """Deterministic rule-based English noun lemmatizer (lowercase in/out)."""
+    """Deterministic rule-based English noun lemmatizer (lowercase in/out).
+    Memoized: corpora repeat a small vocabulary, so the cache turns the
+    suffix checks into one dict hit per token occurrence."""
+    hit = _LEMMA_CACHE.get(lower)
+    if hit is not None:
+        return hit
+    out = _lemmatize(lower)
+    if len(_LEMMA_CACHE) < 1_000_000:
+        _LEMMA_CACHE[lower] = out
+    return out
+
+
+def _lemmatize(lower: str) -> str:
     if lower in _IRREGULAR:
         return _IRREGULAR[lower]
     n = len(lower)

@@ -56,8 +56,16 @@ def corpus_vocab(dim: int = 30) -> VocabModel:
     return v
 
 
-def load_docs(spark, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def load_docs(spark, sf_dir: str, spread: bool = True):
+    """Read the docs table.  The sandbox testdata is one small parquet
+    file (a single scan partition); ``spread`` round-robins it across
+    the default parallelism once so downstream stages aren't fed by a
+    single serial map task — at real scale the scan itself produces
+    many partitions and this is a no-op decision."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_embeddings(spark, sf_dir: str):

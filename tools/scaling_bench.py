@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-REPLICATE = int(os.environ.get("SCALING_REPLICATE", "160"))
+REPLICATE = int(os.environ.get("SCALING_REPLICATE", "240"))
 
 
 def one_master(master: str, cores: int) -> dict:
@@ -42,12 +42,17 @@ def one_master(master: str, cores: int) -> dict:
     spark = get_spark("scaling-bench", master=master,
                       shuffle_partitions=cores)
     # BASELINE.md protocol: size the input so local[8] runs >= 60 s —
-    # replicate the sf corpus with doc_id suffixes (FIXTURES.md F3)
-    base = demo.load_docs(spark, SF_DIR)
+    # replicate the sf corpus with doc_id suffixes (FIXTURES.md F3).
+    # Pre-partition the cached input across the cluster BEFORE timing:
+    # the replicated source is one parquet partition, and feeding the
+    # timed job from a 1-partition cache serializes the first shuffle's
+    # map side (measured: 3x slowdown at 32 cores).
+    base = demo.load_docs(spark, SF_DIR, spread=False)
     docs = (spark.range(REPLICATE).crossJoin(base)
             .select(F.concat(F.col("doc_id").cast("string"),
                              F.lit("_"), F.col("id")).alias("doc_id"),
                     "text")
+            .repartition(cores * 4, "doc_id")
             .cache())
     n_docs = docs.count()
     bc = broadcast_model(spark, demo.flagship_cdb(), VocabModel(),
