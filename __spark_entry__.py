@@ -345,7 +345,8 @@ conf AS (
   WHERE NOT EXISTS (SELECT 1 FROM pred p WHERE g.doc_id = p.doc_id
         AND g.start = p.start AND g.cui = p.cui)
   GROUP BY cui),
-agg AS (SELECT cui, SUM(tp) tp, SUM(fp) fp, SUM(fn) fn FROM conf GROUP BY cui)
+agg AS (SELECT cui, CAST(SUM(tp) AS BIGINT) tp, CAST(SUM(fp) AS BIGINT) fp,
+               CAST(SUM(fn) AS BIGINT) fn FROM conf GROUP BY cui)
 SELECT cui, tp, fp, fn,
   ROUND(tp / GREATEST(tp + fp, 1), 6) AS precision,
   ROUND(tp / GREATEST(tp + fn, 1), 6) AS recall,

@@ -27,7 +27,7 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (fp
             .withColumn("group_size", F.count("*").over(w))
             .withColumn("dup_rank", F.row_number().over(
-                w.orderBy(F.col("doc_id")))))
+                w.orderBy(F.col("doc_id"))).cast("long")))
 
 
 def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:

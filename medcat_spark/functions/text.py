@@ -45,8 +45,8 @@ def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_types.alias("n_types"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
         F.round(n_types.cast("double") / n_tokens, 6).alias("type_token_ratio"),
         F.round(stop_hits.cast("double") / n_tokens, 6).alias("stopword_ratio"),
         F.round(sum_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
@@ -64,8 +64,8 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bpe = F.aggregate(
         arr, F.lit(0),
         lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int"))
-    return docs.select("doc_id", ws.alias("ws_tokens"),
-                       bpe.alias("bpe_tokens"))
+    return docs.select("doc_id", ws.cast("long").alias("ws_tokens"),
+                       bpe.cast("long").alias("bpe_tokens"))
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -81,7 +81,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(best["neg_hits"] < 0, best["lang"]).otherwise("und").alias("lang_pred"),
-        (-best["neg_hits"]).alias("hits"))
+        (-best["neg_hits"]).cast("long").alias("hits"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

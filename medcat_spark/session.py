@@ -29,8 +29,11 @@ def get_spark(app_name: str = "medcat-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # local mode: the driver JVM is the executor — size it for the
+        # machine (cache + shuffle of wide intermediate joins)
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
