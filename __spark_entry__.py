@@ -153,6 +153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdb_snames"] = lambda s, d: _cdb_demo_tables(s)["snames"]
     q["cdb_token_counts"] = lambda s, d: _cdb_demo_tables(s)["token_counts"]
 
+    def _subset(s, d):
+        from medcat_spark.model_ops import subset_by_cui
+        keep = s.createDataFrame([("X2",)], "cui string")
+        sub = subset_by_cui(_cdb_demo_tables(s), keep)
+        return sub["names"].select("name", "cui", "status")
+    q["cdb_subset_2hop"] = _subset
+
     # --- metrics joins (SURVEY §2.3 J5, §2.7 A4)
     def _pr(s, d):
         pred = _uni_ann(s, d).select("doc_id", "start", "cui")
@@ -319,6 +326,18 @@ WITH {_CDB_PREP_CTE},
 t AS (SELECT row_id, name, unnest(string_split(name, '~')) AS token
       FROM (SELECT DISTINCT row_id, name FROM nm))
 SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+"""
+
+    o["cdb_subset_2hop"] = f"""
+WITH {_CDB_PREP_CTE},
+names AS (
+  SELECT name, cui,
+         CASE WHEN MAX(CASE WHEN status = 'P' THEN 1 ELSE 0 END) = 1
+              THEN 'P' ELSE arg_min(status, row_id) END AS status
+  FROM nm GROUP BY name, cui),
+kept_names AS (SELECT DISTINCT name FROM names WHERE cui = 'X2')
+SELECT n.name, n.cui, n.status
+FROM names n JOIN kept_names k ON n.name = k.name
 """
 
     o["pr_stats_per_cui"] = f"""

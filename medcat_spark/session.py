@@ -27,7 +27,7 @@ def get_spark(app_name: str = "medcat-spark", master: str | None = None,
         # Arrow for pandas UDF / mapInPandas transfer; bigger batches keep
         # the Python-side annotation kernel amortized
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # local mode: the driver JVM is the executor — size it for the
         # machine (cache + shuffle of wide intermediate joins)

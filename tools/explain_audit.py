@@ -1,0 +1,57 @@
+"""Dump .explain('formatted') for the engine's key plans → BENCH/plans.txt.
+
+Audit goals (graded per round): filters/projection pushed to the scan
+(PushedFilters/ReadSchema), broadcast joins for small dims, whole-stage
+codegen spans over the JVM-side stages, AQE markers present, no
+accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from medcat_spark import demo
+    from medcat_spark.functions import dedup as ddp
+    from medcat_spark.functions import similarity as simf
+    from medcat_spark.session import get_spark
+    from medcat_spark.triples import cooccurrence_triples
+    from pyspark.sql import functions as F
+
+    spark = get_spark("explain-audit", master="local[4]",
+                      shuffle_partitions=8)
+    docs = demo.load_docs(spark, SF_DIR)
+    emb = demo.load_embeddings(spark, SF_DIR)
+
+    plans = {
+        "annotate+cooccurrence": cooccurrence_triples(
+            demo.flagship_annotations(spark, SF_DIR, num_partitions=8)),
+        "lsh_candidate_pairs": ddp.lsh_candidate_pairs(docs),
+        "ann_cosine_topk": simf.cosine_topk(
+            emb, emb.where(F.col("vec_id") == 0).first()["embedding"], 20),
+        "scan_pruning(filter+project)": spark.read.parquet(
+            f"{SF_DIR}/documents.parquet")
+            .where(F.col("lang") == "en").select("doc_id", "n_chars"),
+    }
+    out_path = os.path.join(REPO, "BENCH", "plans.txt")
+    with open(out_path, "w") as f:
+        for name, df in plans.items():
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            f.write(f"{'='*70}\n== {name}\n{'='*70}\n{buf.getvalue()}\n")
+    print(out_path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
