@@ -226,6 +226,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal plumbing
     q["media_features"] = lambda s, d: media_features(_interleaved_docs(s, d))
 
+    # --- meta-annotation (MetaCAT analogue, SURVEY §2.11): negation over
+    #     a 5-token window left of each unigram mention
+    def _meta(s, d):
+        from medcat_spark.functions.meta import meta_annotations
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        ann = _uni_ann(s, d)
+        return meta_annotations(ann, docs, cues=["slow", "small"],
+                                window_left=5)
+    q["meta_negation"] = _meta
+
+    # --- events: tumbling-window agg, sessionization, JSON extraction
+    def _ev(s, d):
+        return s.read.parquet(f"{d}/events.parquet")
+
+    q["events_tumbling"] = lambda s, d: (
+        _ev(s, d).groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value")))
+
+    def _sessions(s, d):
+        from pyspark.sql.window import Window
+        ev = _ev(s, d)
+        w = Window.partitionBy("user_id").orderBy("ts")
+        sec = F.col("ts").cast("timestamp").cast("long")
+        gap = sec - F.lag(sec).over(w)
+        marked = ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        sess = marked.withColumn(
+            "sess_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        return (sess.groupBy("user_id", "sess_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n_sessions"),
+                     F.max("n_events").alias("max_session_events")))
+    q["events_sessionize"] = _sessions
+
+    q["events_json_k"] = lambda s, d: (
+        _ev(s, d).select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k")))
+
     return q
 
 
@@ -568,6 +616,60 @@ SELECT doc_id, 1 AS span_idx, 'image' AS kind, media_ref,
        AS INT) AS height,
   substr(md5(media_ref), 1, 16) AS phash
 FROM m
+"""
+
+    o["meta_negation"] = f"""
+WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok),
+m AS (SELECT p.doc_id, p.start, p.pos AS ent_pos, d.cui
+      FROM pos p JOIN {_UNI_DICT_SQL} ON p.tok = d.name),
+c AS (SELECT doc_id, pos FROM pos WHERE tok IN ('slow', 'small')),
+h AS (SELECT m.doc_id, m.start, m.cui, COUNT(c.pos) AS n_cues
+      FROM m LEFT JOIN c ON c.doc_id = m.doc_id
+        AND c.pos < m.ent_pos AND c.pos >= m.ent_pos - 5
+      GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(start AS INT) AS start, cui,
+       'Negation' AS meta_name,
+       CASE WHEN n_cues > 0 THEN 'negated' ELSE 'present' END AS value,
+       CAST(n_cues AS BIGINT) AS n_cues
+FROM h
+"""
+
+    o["events_tumbling"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["events_sessionize"] = """
+WITH e AS (SELECT user_id, ts, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+g AS (SELECT user_id, ts, value, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, value, SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sess_id FROM g),
+per AS (SELECT user_id, sess_id, COUNT(*) AS n_events
+        FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per GROUP BY 1
+"""
+
+    o["events_json_k"] = """
+WITH e AS (SELECT event_id,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM e GROUP BY 1
 """
 
     # ner_disambiguation intentionally has no oracle: context-vector

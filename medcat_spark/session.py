@@ -24,6 +24,7 @@ def get_spark(app_name: str = "medcat-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas UDF / mapInPandas transfer; bigger batches keep
         # the Python-side annotation kernel amortized
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
