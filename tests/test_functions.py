@@ -1,0 +1,123 @@
+"""Property/behavior tests for the training-data-pipeline operators:
+dedup (exact, minhash/LSH, jaccard, simhash), similarity search (LSH
+recall vs brute force), text analysis, media plumbing, meta-annotation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from medcat_spark.functions import dedup as ddp
+from medcat_spark.functions import similarity as simf
+from medcat_spark.functions import text as txt
+from medcat_spark.functions.media import fake_decode, media_features
+from medcat_spark.functions.meta import meta_annotations
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("a1", base),
+        ("a2", base),                                   # exact dup of a1
+        ("a3", base.replace("kappa", "lambda")),        # near dup (1 token)
+        ("b1", "one two three four five six seven eight nine ten"),
+        ("b2", "cold warm hot cool mild dry wet damp icy snowy"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dup_groups(dup_docs):
+    r = {x["doc_id"]: x for x in ddp.exact_dup_groups(dup_docs).collect()}
+    assert r["a1"]["group_size"] == 2 and r["a2"]["group_size"] == 2
+    assert {r["a1"]["dup_rank"], r["a2"]["dup_rank"]} == {1, 2}
+    assert r["a3"]["group_size"] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(dup_docs):
+    sig = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in ddp.minhash_signatures(dup_docs).collect()}
+    assert sig["a1"] == sig["a2"]
+    assert sig["a1"] != sig["b1"]
+    # near-dup shares most shingles -> most minhashes agree
+    agree = sum(a == b for a, b in zip(sig["a1"], sig["a3"]))
+    assert agree >= 2
+
+
+def test_lsh_pairs_find_dups_not_distinct_docs(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in ddp.lsh_candidate_pairs(dup_docs).collect()}
+    assert ("a1", "a2") in pairs
+    assert ("b1", "b2") not in pairs
+
+
+def test_ngram_jaccard_exact_and_near(dup_docs, spark):
+    docs = dup_docs.withColumn("source", F.lit("s"))
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in ddp.ngram_jaccard_pairs(docs, min_jaccard=0.0).collect()}
+    assert j[("a1", "a2")] == 1.0
+    assert 0.5 < j[("a1", "a3")] < 1.0
+    assert ("a1", "b1") not in j  # zero shared shingles -> no inter row
+
+
+def test_simhash_hamming(dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in ddp.simhash32(dup_docs).collect()}
+    assert sh["a1"] == sh["a2"]
+    ham_near = bin(sh["a1"] ^ sh["a3"]).count("1")
+    ham_far = bin(sh["a1"] ^ sh["b2"]).count("1")
+    assert ham_near < ham_far
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    from medcat_spark.fixtures import det_vec
+    rows = [(i, [float(x) for x in det_vec(f"v{i}", 16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = rows[7][1]
+    exact = [r["vec_id"] for r in simf.cosine_topk(emb, qv, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              simf.cosine_topk_lsh(emb, qv, k=5, probe_dims=2).collect()]
+    assert exact[0] == 7 and approx[0] == 7  # the query itself
+    # bucket filter keeps only matching sign patterns; recall is partial
+    # but the probe scans a fraction of the corpus
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_text_quality_and_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [("d1", "the cat and the hat"), ("d2", "cat hat the and the")],
+        "doc_id string, text string")
+    q = {r["doc_id"]: r for r in txt.text_quality(docs).collect()}
+    assert q["d1"]["n_tokens"] == 5 and q["d1"]["n_types"] == 4
+    assert q["d1"]["stopword_ratio"] == pytest.approx(3 / 5)
+    fp = {r["doc_id"]: r for r in txt.fingerprint(docs).collect()}
+    assert fp["d1"]["fp_exact"] != fp["d2"]["fp_exact"]
+    assert fp["d1"]["fp_bag"] == fp["d2"]["fp_bag"]  # same token set
+
+
+def test_media_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [("m1", [{"kind": "text", "text": "x", "media_ref": None, "offset": 0},
+                 {"kind": "image", "text": None,
+                  "media_ref": "img://m1", "offset": 2}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    rows = media_features(docs).collect()
+    assert len(rows) == 1
+    want = fake_decode("img://m1")
+    assert rows[0]["width"] == want["width"]
+    assert rows[0]["phash"] == want["phash"]
+    assert rows[0]["span_idx"] == 1
+
+
+def test_meta_negation_window(spark):
+    docs = spark.createDataFrame(
+        [("n1", "patient shows no sign of fever today"),
+         ("n2", "patient presented with fever yesterday")],
+        "doc_id string, text string")
+    # fever at char offset: compute via annotate-free path — give ann rows
+    ann = spark.createDataFrame(
+        [("n1", docs.collect()[0]["text"].index("fever"), "C0010"),
+         ("n2", docs.collect()[1]["text"].index("fever"), "C0010")],
+        "doc_id string, start int, cui string")
+    m = {r["doc_id"]: r for r in
+         meta_annotations(ann, docs, cues=["no", "not"]).collect()}
+    assert m["n1"]["value"] == "negated" and m["n1"]["n_cues"] == 1
+    assert m["n2"]["value"] == "present"
