@@ -88,6 +88,27 @@ def build_vocab_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count("*").alias("cnt")))
 
 
+def build_vocab_word2vec(docs: DataFrame, dim: int = 100,
+                         min_count: int = 5, window: int = 10,
+                         text_col: str = "text", seed: int = 42) -> DataFrame:
+    """A2 (embedding half): word vectors via pyspark.ml Word2Vec over the
+    tokenized corpus (the reference trains gensim Word2Vec 300-d,
+    window 10, min_count 10 — make_vocab.py:123-176).
+
+    → (word, vec array<float>) joinable with build_vocab_counts to
+    produce the vocab table the linker broadcasts.
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+    toks = docs.select(F.split(F.lower(F.col(text_col)), " ").alias("tokens"))
+    w2v = Word2Vec(vectorSize=dim, minCount=min_count, windowSize=window,
+                   inputCol="tokens", outputCol="_v", seed=seed)
+    model = w2v.fit(toks)
+    vecs = model.getVectors()  # (word, vector)
+    return vecs.select(
+        "word", vector_to_array("vector", "float32").alias("vec"))
+
+
 def avg_confidence_update(ann: DataFrame) -> DataFrame:
     """A6: per-CUI running-mean inputs (cdb.py:145-148) as a single agg;
     merge into the model with combine_avg_confidence()."""
