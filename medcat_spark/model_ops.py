@@ -211,6 +211,76 @@ def train_supervised_spark(spark: SparkSession, gold: DataFrame,
                     .alias("mean_vec"), "n"))
 
 
+def _unsup_context_sums(bc):
+    """mapInPandas fn for unsupervised training: run NER per doc, apply
+    the L6 train-eligibility rule (context_based_linker.py:63-88 —
+    name length >= disamb_length_limit; single candidate with status !=
+    'N', or multi-candidate only for status in {P, PD}), emit per-(cui,
+    ctx_type) partial context-vector sums."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from medcat_spark.core.annotate import preprocess
+        from medcat_spark.core.linker import ContextModel
+        from medcat_spark.core.ner import detect_entities
+        from medcat_spark.pipeline import _get_model
+        cdb, vocab, config, sc = _get_model(bc)
+        cm = ContextModel(cdb, vocab, config)
+        for pdf in batches:
+            acc: dict = {}
+            for row in pdf.itertuples(index=False):
+                text = (row.text or "")[:config.max_document_length]
+                toks = preprocess(text, cdb, config, sc)
+                for ent in detect_entities(toks, text, cdb, config):
+                    name = ent.detected_name
+                    cuis = ent.link_candidates
+                    if name is None or len(name) < config.disamb_length_limit:
+                        continue
+                    statuses = cdb.name2cuis2status.get(name, {})
+                    if len(cuis) == 1:
+                        train_cuis = [] if statuses.get(cuis[0]) == "N" else [cuis[0]]
+                    else:
+                        train_cuis = [c for c in cuis
+                                      if statuses.get(c) in {"P", "PD"}]
+                    if not train_cuis:
+                        continue
+                    vecs = cm.get_context_vectors(ent, toks)
+                    for cui in train_cuis:
+                        for ct, v in vecs.items():
+                            key = (cui, ct)
+                            if key in acc:
+                                acc[key][0] += v
+                                acc[key][1] += 1
+                            else:
+                                acc[key] = [v.copy(), 1]
+            yield pd.DataFrame({
+                "cui": [k[0] for k in acc],
+                "ctx_type": [k[1] for k in acc],
+                "vec_sum": [list(map(float, v[0])) for v in acc.values()],
+                "n": [v[1] for v in acc.values()],
+            })
+    return fn
+
+
+def train_unsupervised_spark(spark: SparkSession, docs: DataFrame, bc,
+                             config: Optional[EngineConfig] = None) -> DataFrame:
+    """Distributed unsupervised training (cat.py:620-674 analogue) with
+    the same count-weighted mean combine as train_supervised_spark —
+    documented divergence from the reference's sequential lr anneal
+    (see that function's docstring)."""
+    sums = docs.select("doc_id", "text").mapInPandas(
+        _unsup_context_sums(bc), schema=_CTX_SCHEMA)
+    cells = sums.select("cui", "ctx_type", "n",
+                        F.posexplode("vec_sum").alias("pos", "val"))
+    per_dim = (cells.groupBy("cui", "ctx_type", "pos")
+               .agg(F.sum("val").alias("s"), F.sum("n").alias("n_tot")))
+    return (per_dim.groupBy("cui", "ctx_type")
+            .agg(F.collect_list(F.struct("pos", "s")).alias("cells"),
+                 F.first("n_tot").alias("n"))
+            .select("cui", "ctx_type",
+                    F.transform(F.array_sort("cells"),
+                                lambda e: e["s"] / F.col("n"))
+                    .alias("mean_vec"), "n"))
+
+
 def apply_training(cdb: CdbModel, rows) -> None:
     """Merge trained means into the model (import_training-style:
     overwrite vectors, add counts)."""

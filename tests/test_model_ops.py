@@ -113,3 +113,33 @@ def test_train_supervised_spark_mean_combine(spark, fixture_models):
     cdb2 = copy.deepcopy(cdb)
     apply_training(cdb2, res)
     assert cdb2.cui2count_train["C0003"] == cdb.cui2count_train.get("C0003", 0) + 3
+
+
+def test_train_unsupervised_spark_end_to_end(spark, fixture_models):
+    """Distributed unsupervised training populates context vectors that
+    make shared-name disambiguation work on a fresh (untrained) CDB."""
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.core.annotate import annotate_document
+    from medcat_spark.core.docs import reconstruct_text
+    from medcat_spark.fixtures import (build_fixture_cdb,
+                                       build_fixture_vocab,
+                                       fixture_documents)
+    from medcat_spark.model_ops import apply_training, train_unsupervised_spark
+    from medcat_spark.pipeline import broadcast_model
+
+    cfg = EngineConfig()
+    cdb = build_fixture_cdb(cfg)          # no context vectors yet
+    vocab = build_fixture_vocab()
+    docs = spark.createDataFrame(
+        [(d["doc_id"], reconstruct_text(d["spans"]))
+         for d in fixture_documents(60)], "doc_id string, text string")
+    bc = broadcast_model(spark, cdb, vocab, cfg)
+    rows = train_unsupervised_spark(spark, docs, bc).collect()
+    assert rows
+    apply_training(cdb, rows)
+    # trained CUIs carry vectors for every context type that had tokens
+    assert cdb.cui2count_train
+    # the shared name 'virus' (C0008 vs C0009) now disambiguates
+    text = "the virus k strain recovered from blood"
+    main, _ = annotate_document(text, cdb, vocab, cfg)
+    assert any(e.cui in {"C0008", "C0009"} for e in main)
