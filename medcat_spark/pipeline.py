@@ -164,12 +164,36 @@ def annotate(docs: DataFrame, bc, num_partitions: Optional[int] = None,
     return ann
 
 
-def project_output(ann: DataFrame, concepts: DataFrame) -> DataFrame:
+def project_output(ann: DataFrame, concepts: DataFrame,
+                   type_names: Optional[DataFrame] = None,
+                   meta: Optional[DataFrame] = None) -> DataFrame:
     """P5: the `_doc_to_out` projection (cat.py:1729-1795) — join the
-    small per-CUI attribute table broadcast-side (SURVEY §2.3 J4)."""
+    small per-CUI attribute tables broadcast-side (SURVEY §2.3 J4):
+    pretty_name/type_ids/ontologies from concepts, human-readable type
+    names from ``type_names(type_id, type_name)``, and per-entity
+    meta-annotations from ``meta(doc_id, start, cui, meta_name, value)``.
+    """
     attrs = concepts.select("cui", "preferred_name", "type_ids", "ontologies")
-    return (ann.join(F.broadcast(attrs), "cui", "left")
-            .withColumnRenamed("preferred_name", "pretty_name"))
+    out = (ann.join(F.broadcast(attrs), "cui", "left")
+           .withColumnRenamed("preferred_name", "pretty_name"))
+    if type_names is not None:
+        # the type dictionary is tiny (addl_info['type_id2name']) — fold
+        # it into a map literal so the lookup stays in codegen land
+        pairs = type_names.collect()
+        flat = []
+        for r in pairs:
+            flat += [F.lit(r["type_id"]), F.lit(r["type_name"])]
+        tmap = F.create_map(*flat) if flat else F.create_map()
+        out = out.withColumn(
+            "types",
+            F.transform("type_ids", lambda tid: F.coalesce(
+                tmap.getItem(tid), tid)))
+    if meta is not None:
+        m = (meta.groupBy("doc_id", "start", "cui")
+             .agg(F.map_from_entries(F.collect_list(
+                 F.struct("meta_name", "value"))).alias("meta_anns")))
+        out = out.join(m, ["doc_id", "start", "cui"], "left")
+    return out
 
 
 def lineage_metrics(ann_with_lineage: DataFrame) -> DataFrame:

@@ -119,3 +119,33 @@ def _docs_without_entities(spark, docs_df, bc) -> int:
     ann = annotate(docs_df, bc)
     with_ents = ann.select("doc_id").distinct().count()
     return docs_df.count() - with_ents
+
+
+def test_project_output_full(spark, ann, fixture_models):
+    """P5 projection with type names and meta-annotations joined in
+    (the reference's _doc_to_out output surface, cat.py:1729-1795)."""
+    from medcat_spark.pipeline import project_output
+    cdb, _ = fixture_models
+    concepts = spark.createDataFrame(
+        [(c, cdb.cui2preferred_name.get(c), sorted(cdb.cui2type_ids.get(c, [])),
+          sorted(cdb.addl_info["cui2ontologies"].get(c, [])))
+         for c in cdb.cui2names],
+        "cui string, preferred_name string, type_ids array<string>, "
+        "ontologies array<string>")
+    type_names = spark.createDataFrame(
+        [("T047", "Disease or Syndrome"), ("T109", "Organic Chemical")],
+        "type_id string, type_name string")
+    meta = ann.select("doc_id", "start", "cui",
+                      __import__("pyspark").sql.functions.lit("Negation")
+                      .alias("meta_name"),
+                      __import__("pyspark").sql.functions.lit("present")
+                      .alias("value"))
+    out = project_output(ann, concepts, type_names=type_names, meta=meta)
+    rows = out.where("cui = 'C0003'").collect()
+    assert rows
+    # reference cdb.py:344-346: preferred raw name = raw_name of the LAST
+    # prepared name version of the first P row ('Heart attack|Myocardial
+    # infarction' -> 'Myocardial infarction')
+    assert rows[0]["pretty_name"] == "Myocardial infarction"
+    assert rows[0]["types"] == ["Disease or Syndrome"]
+    assert rows[0]["meta_anns"]["Negation"] == "present"
