@@ -32,6 +32,13 @@ from medcat_spark.config import EngineConfig
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9@]+")
 _TOKEN_RE_DIA = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ0-9@]+")
+# single-pass tokenization: word runs | punct chars | non-space
+# whitespace chars | spaces that continue a whitespace run (a space that
+# STARTS a run is the separator and emits nothing — spaCy attaches it as
+# the previous token's trailing whitespace)
+_SCAN_RE = re.compile(r"[A-Za-z0-9@]+|[^\sA-Za-z0-9@]|[^\S ]|(?<=\s) ")
+_SCAN_RE_DIA = re.compile(
+    r"[A-Za-zÀ-ÖØ-öø-ÿ0-9@]+|[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9@]|[^\S ]|(?<=\s) ")
 _PUNCT_RE = re.compile(r"[^a-z0-9]+")
 _DIGIT_RE = re.compile(r"^[0-9]+$")
 
@@ -61,68 +68,49 @@ def tokenize(text: str, config: EngineConfig) -> List[Tok]:
     diacritics variant widens the in-token character class
     (tokenizers.py:42-43).
     """
-    word_re = _TOKEN_RE_DIA if config.diacritics else _TOKEN_RE
-    toks: List[Tok] = []
-    i = 0
-    n = len(text)
-    pos = 0
-    while pos < n:
-        ch = text[pos]
-        if ch.isspace():
-            run = pos
-            while run < n and text[run].isspace():
-                run += 1
-            # spaCy tokenizer.pyx: a leading ' ' is consumed as the
-            # separator (attached as trailing whitespace of the previous
-            # token); the rest of the whitespace span goes through the
-            # affix machinery, whose infix class splits it per char.
-            start = pos + 1 if ch == " " else pos
-            for k in range(start, run):
-                toks.append(_mk(text[k], k, k + 1, i))
-                i += 1
-            pos = run
-            continue
-        m = word_re.match(text, pos)
-        if m:
-            toks.append(_mk(m.group(0), m.start(), m.end(), i))
-            i += 1
-            pos = m.end()
-        else:
-            toks.append(_mk(ch, pos, pos + 1, i))
-            i += 1
-            pos += 1
-    return toks
+    scan = _SCAN_RE_DIA if config.diacritics else _SCAN_RE
+    return [_mk(m.group(), m.start(), m.end(), i)
+            for i, m in enumerate(scan.finditer(text))]
 
 
 def _mk(t: str, start: int, end: int, i: int) -> Tok:
     lower = t.lower()
+    # str.isupper() already requires at least one cased character, so no
+    # extra isalpha scan is needed
     return Tok(
         text=t, lower=lower, start=start, end=end, i=i,
         is_punct=False, to_skip=False, is_stop=False,
         is_digit=t.isdigit(),
-        is_upper=t.isupper() and any(c.isalpha() for c in t),
+        is_upper=t.isupper(),
         norm=lower,
     )
+
+
+_ALNUM_LOWER = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
 
 
 def tag_skip_and_punct(toks: List[Tok], config: EngineConfig) -> List[Tok]:
     """P2: flag punct / skip tokens.
 
     Reference: medcat/preprocessing/taggers.py:37-52.  ``punct_checker``
-    is ``re.match(r'[^a-z0-9]+', lower)`` (anchored at start only,
-    config.py:615); ``word_skipper`` is a fullmatch over
-    ``words_to_skip`` (config.py:612-613).
+    is ``re.match(r'[^a-z0-9]+', lower)`` (anchored at START only,
+    config.py:615) — it succeeds iff the first lowercased char is not
+    [a-z0-9], which the set test below implements without the regex
+    engine; ``word_skipper`` is ``^(w1|w2|…)$`` over ``words_to_skip``
+    (config.py:612-613) = exact membership for literal words.
     """
-    word_skipper = config.word_skipper()
     stop = config.effective_stopwords()
     keep_punct = config.keep_punct
+    words_to_skip = config.words_to_skip
+    skip_stopwords = config.skip_stopwords
     for tkn in toks:
-        tkn.is_stop = tkn.lower in stop
-        if _PUNCT_RE.match(tkn.lower) and tkn.text not in keep_punct:
+        lower = tkn.lower
+        tkn.is_stop = lower in stop
+        if lower[0] not in _ALNUM_LOWER and tkn.text not in keep_punct:
             tkn.is_punct = True
             tkn.to_skip = True
-        elif word_skipper.match(tkn.lower):
+        elif lower in words_to_skip:
             tkn.to_skip = True
-        elif config.skip_stopwords and tkn.is_stop:
+        elif skip_stopwords and tkn.is_stop:
             tkn.to_skip = True
     return toks
