@@ -139,6 +139,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ner_flagship_mentions"] = lambda s, d: _mentions_agg(_flag_ann(s, d))
     q["ner_offsets"] = lambda s, d: _bi_ann(s, d).select(
         "doc_id", "start", "end", "cui", "source_value")
+
+    def _nested(s, d):
+        """show_nested_entities: all linked candidates incl. overlaps
+        (no O1) — with the combined dict, 'merge' and 'merge join' both
+        appear."""
+        from medcat_spark.core.model import VocabModel
+        from medcat_spark.pipeline import annotate, broadcast_model
+        bc = broadcast_model(s, demo.flagship_cdb(), VocabModel(),
+                             EngineConfig())
+        ann = annotate(demo.load_docs(s, d), bc, keep_overlaps=True)
+        return _mentions_agg(ann)
+    q["ner_nested_candidates"] = _nested
     q["kg_mention_triples"] = lambda s, d: mention_triples(
         _flag_ann(s, d), distinct=True).drop("doc_id")
     q["kg_cooccurrence"] = lambda s, d: cooccurrence_triples(_uni_ann(s, d))
@@ -325,6 +337,19 @@ SELECT p.doc_id, CAST(p.start AS INT) AS start,
        CAST(p.start + length(d.w1) + 1 + length(d.w2) AS INT) AS "end",
        d.cui, d.w1 || ' ' || d.w2 AS source_value
 FROM pos p JOIN {_BI_DICT_SQL} ON p.tok = d.w1 AND p.nxt = d.w2
+"""
+
+    # nested = union of ALL dict matches, no O1 subsumption
+    o["ner_nested_candidates"] = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT t.doc_id, d.cui
+  FROM tokn t JOIN {_BI_DICT_SQL} ON t.tok = d.w1 AND t.nxt = d.w2
+  UNION ALL
+  SELECT t.doc_id, d.cui
+  FROM tokn t JOIN {_UNI_DICT_SQL} ON t.tok = d.name
+)
+SELECT doc_id, cui, COUNT(*) AS n_mentions FROM m GROUP BY 1, 2
 """
 
     o["kg_mention_triples"] = f"""

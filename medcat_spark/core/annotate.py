@@ -36,18 +36,22 @@ def preprocess(text: str, cdb: CdbModel, config: EngineConfig,
 
 def annotate_document(text: str, cdb: CdbModel, vocab: VocabModel,
                       config: EngineConfig,
-                      spell_checker: Optional[SpellChecker] = None
+                      spell_checker: Optional[SpellChecker] = None,
+                      keep_overlaps: bool = False
                       ) -> Tuple[List[Entity], List[Tok]]:
     """Inference for one document → final non-overlapping entities.
 
     Mirrors get_entities' output contract (cat.py:1729-1795): each Entity
     carries cui, detected_name, source_value, start/end, similarity.
+    ``keep_overlaps`` returns all linked candidates without O1 — the
+    reference's ``general.show_nested_entities`` (config.py:379-380,
+    output at cat.py:1741-1744).
     """
     text = text[:config.max_document_length]
     toks = preprocess(text, cdb, config, spell_checker)
     cands = detect_entities(toks, text, cdb, config)
     linked = link_entities(cands, toks, cdb, vocab, config)
-    main = create_main_ann(linked)
+    main = linked if keep_overlaps else create_main_ann(linked)
     if config.map_cui_to_group and cdb.addl_info.get("cui2group"):
         map_ents_to_groups(main, cdb)
     return main, toks

@@ -86,7 +86,7 @@ def broadcast_model(spark: SparkSession, cdb: CdbModel, vocab: VocabModel,
     return spark.sparkContext.broadcast((cdb, vocab, cfg))
 
 
-def _annotate_batches(bc, has_spans: bool):
+def _annotate_batches(bc, has_spans: bool, keep_overlaps: bool = False):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cdb, vocab, config, sc = _get_model(bc)
         ctx = TaskContext.get()
@@ -103,7 +103,8 @@ def _annotate_batches(bc, has_spans: bool):
                 else:
                     text = row.text or ""
                     starts = ends = idxs = None
-                ents, _ = annotate_document(text, cdb, vocab, config, sc)
+                ents, _ = annotate_document(text, cdb, vocab, config, sc,
+                                            keep_overlaps=keep_overlaps)
                 for e in ents:
                     if has_spans:
                         si, so = char_to_span(e.start, starts, ends, idxs)
@@ -144,12 +145,14 @@ def salted_repartition(docs: DataFrame, num_partitions: int,
 
 
 def annotate(docs: DataFrame, bc, num_partitions: Optional[int] = None,
-             keep_lineage_cols: bool = False) -> DataFrame:
+             keep_lineage_cols: bool = False,
+             keep_overlaps: bool = False) -> DataFrame:
     """Annotate a documents DataFrame.
 
     Accepts either the interleaved input_hint shape
     ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)`` or a
     flat ``(doc_id, text)`` table.  Returns ANNOTATION_SCHEMA rows.
+    ``keep_overlaps`` = the reference's show_nested_entities.
     """
     has_spans = "spans" in docs.columns
     cols = ["doc_id", "spans"] if has_spans else ["doc_id", "text"]
@@ -157,7 +160,7 @@ def annotate(docs: DataFrame, bc, num_partitions: Optional[int] = None,
                         for c in cols])
     if num_partitions:
         src = salted_repartition(src, num_partitions)
-    ann = src.mapInPandas(_annotate_batches(bc, has_spans),
+    ann = src.mapInPandas(_annotate_batches(bc, has_spans, keep_overlaps),
                           schema=ANNOTATION_SCHEMA)
     if not keep_lineage_cols:
         ann = ann.drop("part_id", "batch_us")
