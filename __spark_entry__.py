@@ -255,7 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_tumbling"] = lambda s, d: (
         _ev(s, d).groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "event_type")
         .agg(F.count("*").alias("n"),
              F.round(F.sum("value"), 4).alias("sum_value")))
@@ -666,8 +667,8 @@ FROM h
 """
 
     o["events_tumbling"] = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
