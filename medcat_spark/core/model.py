@@ -173,6 +173,34 @@ class CdbModel:
         if not negative:
             self.cui2count_train[cui] = self.cui2count_train.get(cui, 0) + 1
 
+    def unlink_name(self, cui: str, name: str,
+                    full_unlink: bool = False) -> None:
+        """Unlink a name from a concept (reference cat.py:693-728
+        unlink_concept_name via cdb.remove_names, cdb.py:388-404):
+        used for 'killed' annotations in supervised training.
+        ``full_unlink`` removes the name from ALL concepts
+        (config.general.full_unlink, config.py:381-382)."""
+        cuis = [cui] if not full_unlink else list(self.name2cuis.get(name, []))
+        for c in cuis:
+            if name in self.name2cuis and c in self.name2cuis[name]:
+                self.name2cuis[name].remove(c)
+                if not self.name2cuis[name]:
+                    del self.name2cuis[name]
+            if name in self.name2cuis2status and c in self.name2cuis2status[name]:
+                del self.name2cuis2status[name][c]
+                if not self.name2cuis2status[name]:
+                    del self.name2cuis2status[name]
+            self.cui2names.get(c, set()).discard(name)
+        # snames are kept for other names that share prefixes — rebuild
+        # per-cui snames conservatively from the remaining names
+        if cui in self.cui2names:
+            remaining = set()
+            for n in self.cui2names[cui]:
+                parts = n.split("~")
+                for i in range(1, len(parts) + 1):
+                    remaining.add("~".join(parts[:i]))
+            self.cui2snames[cui] = remaining
+
     def update_average_confidence(self, cui: str, sim: float) -> None:
         """Reference: medcat/cdb.py:145-148 (running mean over count_train)."""
         cnt = self.cui2count_train.get(cui, 0)

@@ -138,3 +138,18 @@ def test_cui_filters(models):
     text = "patient admitted with diabetes mellitus today"
     main, _ = annotate_document(text, cdb, vocab, cfg)
     assert not [e for e in main if e.cui == "C0006"]
+
+
+def test_unlink_name():
+    """Killed-annotation unlink (cat.py:693-728): the name no longer
+    links to the CUI; full_unlink removes it from all concepts."""
+    from medcat_spark.fixtures import build_fixture_cdb
+    cfg = EngineConfig()
+    cdb = build_fixture_cdb(cfg)
+    assert cdb.name2cuis["virus"] == ["C0008", "C0009"]
+    cdb.unlink_name("C0008", "virus")
+    assert cdb.name2cuis["virus"] == ["C0009"]
+    assert "virus" not in cdb.cui2names["C0008"]
+    assert "virus~k" in cdb.cui2names["C0008"]  # other names untouched
+    cdb.unlink_name("C0009", "virus", full_unlink=True)
+    assert "virus" not in cdb.name2cuis
