@@ -172,6 +172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sub["names"].select("name", "cui", "status")
     q["cdb_subset_2hop"] = _subset
 
+    def _most_similar(s, d):
+        """O3 top-k over trained context vectors (rows-only: the
+        deterministic vectors come from the fixture generator, not from
+        SQL-reachable tables)."""
+        from medcat_spark.model_ops import context_vectors_df, most_similar
+        cdb = demo.disamb_cdb()
+        cv = context_vectors_df(s, cdb)
+        return most_similar(cv, "W001", "short", topn=5) \
+            .select("cui", F.round("sim", 6).alias("sim"), "cnt")
+    q["model_most_similar"] = _most_similar
+
     # --- metrics joins (SURVEY §2.3 J5, §2.7 A4)
     def _pr(s, d):
         pred = _uni_ann(s, d).select("doc_id", "start", "cui")
