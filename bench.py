@@ -35,14 +35,25 @@ def run(spark) -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, runs: int = 2):
+        # best-of-N: the shared-host VM shows up to 4x episode noise
+        # (see BENCH/BASELINE.md); min is the least-interfered sample
+        best = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
-    # q1: flagship annotate (full NER pipeline, combined dict)
+    # q1: flagship annotate (full NER pipeline, combined dict); one
+    # warm-up materialization first so q1 measures the pipeline, not
+    # Python-worker/JIT startup; each timed run recomputes (no cache)
+    demo.flagship_annotations(spark, SF_DIR, num_partitions=nparts).count()
+    timed("q1_annotate", lambda: demo.flagship_annotations(
+        spark, SF_DIR, num_partitions=nparts).count())
     ann = demo.flagship_annotations(spark, SF_DIR, num_partitions=nparts).cache()
-    timed("q1_annotate", lambda: ann.count())
+    ann.count()
     # q2: KG triples (mentions distinct + co-occurrence agg)
     timed("q2_mention_triples",
           lambda: mention_triples(ann, distinct=True).count())
@@ -61,13 +72,41 @@ def run(spark) -> dict:
     qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
     timed("q9_ann_topk", lambda: simf.cosine_topk(emb, qv, k=20).collect())
 
+    # q10: sustained annotate throughput over a 20x-replicated corpus
+    # (the raw sf corpus is small enough to be overhead-dominated)
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.core.model import VocabModel
+    from medcat_spark.pipeline import annotate, broadcast_model
+    big = (spark.range(20).crossJoin(docs)
+           .select(F.concat(F.col("doc_id").cast("string"), F.lit("_"),
+                            F.col("id")).alias("doc_id"), "text")
+           .repartition(nparts * 4, "doc_id").cache())
+    n_big = big.count()
+    bc = broadcast_model(spark, demo.flagship_cdb(), VocabModel(),
+                         EngineConfig())
+    annotate(big, bc, num_partitions=nparts * 4).count()  # warm-up
+    timed("q10_annotate_sustained",
+          lambda: annotate(big, bc, num_partitions=nparts * 4).count())
+    big.unpersist()
+
     ann.unpersist()
     docs.unpersist()
     total = round(sum(timings.values()), 3)
-    return {"metric": "headline_total", "value": total, "unit": "sec",
-            "queries": timings, "sf": SF_DIR.rstrip("/").split("sf")[-1],
-            "n_docs": n_docs,
-            "docs_per_sec_annotate": round(n_docs / timings["q1_annotate"], 1)}
+    out = {"metric": "headline_total", "value": total, "unit": "sec",
+           "queries": timings, "sf": SF_DIR.rstrip("/").split("sf")[-1],
+           "n_docs": n_docs,
+           "docs_per_sec_annotate": round(n_docs / timings["q1_annotate"], 1),
+           "docs_per_sec_sustained": round(
+               n_big / timings["q10_annotate_sustained"], 1)}
+    # surface the recorded N->4N scaling evidence (BASELINE.md protocol)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            pairs = json.load(f).get("pairs", {})
+        for name, p in pairs.items():
+            out[f"scaling_eff_{name}"] = p.get("efficiency_median")
+    return out
 
 
 def main():
