@@ -126,3 +126,31 @@ def test_word2vec_vocab_build(spark):
     words = {r["word"] for r in vecs}
     assert {"alpha", "beta", "gamma", "delta"} <= words
     assert all(len(r["vec"]) == 8 for r in vecs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=3, max_size=8),
+    min_size=1, max_size=3))
+def test_cdb_ner_roundtrip_property(words):
+    """Round-trip invariant: any name ingested through prepare_name +
+    add_concept is detected by NER in text containing it verbatim
+    (provided the acceptance rules pass: length >= upper_case_limit_len,
+    first token not a stopword)."""
+    from medcat_spark.config import DEFAULT_STOPWORDS
+    cfg = EngineConfig()
+    if words[0] in DEFAULT_STOPWORDS or words[0] in cfg.words_to_skip:
+        return
+    raw = " ".join(words)
+    names = prepare_name(raw, cfg)
+    if not names:
+        return
+    cdb = CdbModel()
+    cdb.add_concept("P1", names, set(), "P", set(), "")
+    text = f"zqzq {raw} zqzq"
+    toks = preprocess(text, cdb, cfg)
+    ents = detect_entities(toks, text, cdb, cfg)
+    expect_hit = any(len(n) >= cfg.upper_case_limit_len for n in names)
+    if expect_hit:
+        assert any(e.detected_name in names for e in ents), \
+            (raw, sorted(names), [e.detected_name for e in ents])
