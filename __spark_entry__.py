@@ -135,6 +135,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- NER / KG pipeline (SURVEY §2.4, §2.5 L5-direct, §2.6 O1, §2.7 A3)
     q["ner_unigram_mentions"] = lambda s, d: _mentions_agg(_uni_ann(s, d))
+
+    def _interleaved_ner(s, d):
+        """Full pipeline over the interleaved input_hint shape (text
+        span + media span): reconstruction + char→span coordinate
+        mapping, oracle-checked against plain-text token matching."""
+        from medcat_spark.core.model import VocabModel
+        from medcat_spark.pipeline import annotate, broadcast_model
+        bc = broadcast_model(s, demo.demo_cdb(demo.UNIGRAM_ROWS),
+                             VocabModel(), EngineConfig())
+        ann = annotate(_interleaved_docs(s, d), bc)
+        return (ann.groupBy("doc_id", "cui", "span_idx")
+                .agg(F.count("*").alias("n_mentions")))
+    q["ner_interleaved_mentions"] = _interleaved_ner
     q["ner_bigram_mentions"] = lambda s, d: _mentions_agg(_bi_ann(s, d))
     q["ner_flagship_mentions"] = lambda s, d: _mentions_agg(_flag_ann(s, d))
     q["ner_offsets"] = lambda s, d: _bi_ann(s, d).select(
@@ -313,6 +326,15 @@ WITH {_TOKS_CTE}
 SELECT t.doc_id, d.cui, COUNT(*) AS n_mentions
 FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name
 GROUP BY 1, 2
+"""
+
+    # interleaved path: text span sits at offset 0 (span_idx 0), the
+    # media span has no text — mentions equal the flat-text matches
+    o["ner_interleaved_mentions"] = f"""
+WITH {_TOKS_CTE}
+SELECT t.doc_id, d.cui, 0 AS span_idx, COUNT(*) AS n_mentions
+FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name
+GROUP BY 1, 2, 3
 """
 
     o["ner_bigram_mentions"] = f"""
