@@ -1,0 +1,65 @@
+"""Supervised model-training job for spark-submit.
+
+  spark-submit --py-files dist/medcat_spark.zip jobs/train_model.py \
+      --mct /path/export.json --model-pack /path/pack \
+      --out-pack /path/pack_trained [--master local[8]]
+
+Reads a MedCATtrainer export (S7), runs the distributed supervised
+trainer (count-weighted mean combine — see model_ops docstring for the
+documented divergence from the reference's sequential anneal), applies
+killed-annotation unlinks, and writes an updated model pack.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mct", required=True)
+    p.add_argument("--model-pack", required=True)
+    p.add_argument("--out-pack", required=True)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from medcat_spark.model_ops import apply_training, train_supervised_spark
+    from medcat_spark.pipeline import broadcast_model
+    from medcat_spark.session import get_spark
+    from medcat_spark.sources.mct_export import (documents_from_mct,
+                                                 read_mct_export)
+    from medcat_spark.sources.model_pack import load_model_pack, save_model_pack
+
+    spark = get_spark("medcat-spark-train", master=args.master)
+    cdb, vocab, cfg = load_model_pack(args.model_pack)
+    mct = read_mct_export(spark, args.mct).cache()
+
+    # killed annotations unlink the name from the concept (cat.py:693-728)
+    from medcat_spark.core.model import prepare_name
+    killed = (mct.where(F.col("killed"))
+              .select("cui", "value").distinct().collect())
+    for r in killed:
+        for name in prepare_name(r["value"], cfg):
+            cdb.unlink_name(r["cui"], name)
+
+    gold = (mct.where(F.col("validated") & ~F.col("killed") & ~F.col("deleted"))
+            .select("doc_id", F.col("start").cast("int").alias("start"),
+                    F.col("end").cast("int").alias("end"), "cui"))
+    docs = documents_from_mct(mct)
+    bc = broadcast_model(spark, cdb, vocab, cfg)
+    rows = train_supervised_spark(spark, gold, docs, bc, cfg).collect()
+    apply_training(cdb, rows)
+
+    manifest = save_model_pack(args.out_pack, cdb, vocab, cfg)
+    print(json.dumps({"trained_cuis": len({r['cui'] for r in rows}),
+                      "examples": int(gold.count()),
+                      "killed_unlinked": len(killed), **manifest}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
