@@ -149,7 +149,12 @@ def build_cdb_tables(concepts_raw: DataFrame,
                 F.collect_list("type_ids")))).alias("type_ids"),
             F.array_sort(F.array_distinct(F.flatten(
                 F.collect_list("ontologies")))).alias("ontologies"),
-            F.min_by("description", "row_id").alias("description"),
+            # last NON-EMPTY description wins (reference _add_concept
+            # full_build overwrites cui2description on later non-empty rows)
+            F.max_by(
+                F.when(F.length("description") > 0, F.col("description")),
+                F.when(F.length("description") > 0, F.col("row_id"))
+            ).alias("description"),
             # first P row wins the preferred name (cdb.py:344-346)
             F.min_by(
                 F.when(F.col("status") == "P", F.col("preferred_raw_name")),

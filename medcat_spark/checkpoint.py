@@ -85,9 +85,9 @@ def resumable_annotate(spark: SparkSession, docs: DataFrame, bc,
     committed = committed_doc_ids(spark, out_path)
     todo = docs if committed is None else docs.join(committed, "doc_id", "left_anti")
     if max_docs is not None:
-        todo = todo.limit(max_docs)
-    todo = todo.cache()
-    n_todo = todo.count()
+        # Deterministic subset: orderBy before limit (TakeOrderedAndProject,
+        # no full sort shuffle) so recomputation cannot pick a different set.
+        todo = todo.orderBy("doc_id").limit(max_docs)
 
     snap_id = f"{int(time.time() * 1000):016d}"
     root = os.path.join(out_path, "snapshots")
@@ -95,26 +95,34 @@ def resumable_annotate(spark: SparkSession, docs: DataFrame, bc,
     final = os.path.join(root, snap_id)
     os.makedirs(tmp, exist_ok=True)
 
+    # Materialize the chosen doc_id list FIRST and read it back — the
+    # written list (inside the uncommitted tmp dir) is the single source of
+    # truth for what this snapshot covers.  Annotation then targets exactly
+    # that set, so cache eviction / partition loss between the two writes
+    # can never commit doc_ids that were not annotated.
+    todo.select("doc_id").write.parquet(os.path.join(tmp, "processed_docs"))
+    chosen = spark.read.parquet(os.path.join(tmp, "processed_docs"))
+    n_todo = chosen.count()
+
     manifest = {"snapshot_id": snap_id, "n_docs": int(n_todo),
                 "cdb_hash": cdb.content_hash(),
                 "config_hash": cfg.content_hash(),
                 "created_unix_ms": int(time.time() * 1000)}
     if n_todo == 0:
-        todo.unpersist()
-        os.rmdir(tmp)
+        import shutil
+        shutil.rmtree(tmp)
         manifest["n_annotations"] = 0
         return manifest
 
     t0 = time.monotonic()
-    ann = annotate(todo, bc, num_partitions=num_partitions,
+    subset = docs.join(chosen, "doc_id", "left_semi")
+    ann = annotate(subset, bc, num_partitions=num_partitions,
                    keep_lineage_cols=True).cache()
     ann.drop("part_id", "batch_us").write.parquet(os.path.join(tmp, "annotations"))
     lineage_metrics(ann).write.parquet(os.path.join(tmp, "lineage"))
-    todo.select("doc_id").write.parquet(os.path.join(tmp, "processed_docs"))
     manifest["n_annotations"] = int(ann.count())
     manifest["wall_sec"] = time.monotonic() - t0
     ann.unpersist()
-    todo.unpersist()
 
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)

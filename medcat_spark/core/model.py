@@ -191,6 +191,17 @@ class CdbModel:
                 if not self.name2cuis2status[name]:
                     del self.name2cuis2status[name]
             self.cui2names.get(c, set()).discard(name)
+        # Reference cdb.py:176-183 (_remove_names): when the name drops to
+        # exactly one remaining CUI, demote its status so it must always be
+        # disambiguated ('A'->'N', 'P'->'PD') instead of direct-linking
+        # with similarity 1.0.
+        if name in self.name2cuis2status and len(self.name2cuis2status[name]) == 1:
+            only_cui = next(iter(self.name2cuis2status[name]))
+            st = self.name2cuis2status[name][only_cui]
+            if st == "A":
+                self.name2cuis2status[name][only_cui] = "N"
+            elif st == "P":
+                self.name2cuis2status[name][only_cui] = "PD"
         # snames are kept for other names that share prefixes — rebuild
         # per-cui snames conservatively from the remaining names
         if cui in self.cui2names:

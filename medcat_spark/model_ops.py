@@ -168,6 +168,10 @@ def _context_sums(bc):
                         acc[key][1] += 1
                     else:
                         acc[key] = [v.copy(), 1]
+            if not acc:
+                # yielding an EMPTY frame would give vec_sum a numeric
+                # dtype that Arrow cannot convert to list<double>
+                continue
             yield pd.DataFrame({
                 "cui": [k[0] for k in acc],
                 "ctx_type": [k[1] for k in acc],
@@ -251,6 +255,10 @@ def _unsup_context_sums(bc):
                                 acc[key][1] += 1
                             else:
                                 acc[key] = [v.copy(), 1]
+            if not acc:
+                # yielding an EMPTY frame would give vec_sum a numeric
+                # dtype that Arrow cannot convert to list<double>
+                continue
             yield pd.DataFrame({
                 "cui": [k[0] for k in acc],
                 "ctx_type": [k[1] for k in acc],

@@ -31,14 +31,20 @@ def read_mct_export(spark: SparkSession, path: str) -> DataFrame:
         F.col("d.text").alias("text"),
         F.explode("d.annotations").alias("a"))
     cols = ["start", "end", "cui", "value"]
-    flags = ["validated", "killed", "deleted"]
+    # Flag defaults follow the reference's stats.py: a MISSING 'validated'
+    # means include (ann.get('validated', True)); killed/deleted default
+    # False.  Nulls per-annotation coalesce the same way so partially
+    # populated exports don't silently shrink the gold set.
+    flag_defaults = {"validated": True, "killed": False, "deleted": False}
+    have = set(ann.select("a.*").columns)
     sel = (["project_id", "project_name", "project_cuis", "doc_id", "text"]
            + [F.col(f"a.{c}").alias(c) for c in cols])
-    for fl in flags:
-        if fl in ann.select("a.*").columns:
-            sel.append(F.col(f"a.{fl}").alias(fl))
+    for fl, dflt in flag_defaults.items():
+        if fl in have:
+            sel.append(F.coalesce(F.col(f"a.{fl}").cast("boolean"),
+                                  F.lit(dflt)).alias(fl))
         else:
-            sel.append(F.lit(False).alias(fl))
+            sel.append(F.lit(dflt).alias(fl))
     return ann.select(*sel)
 
 

@@ -33,14 +33,23 @@ def mention_triples(ann: DataFrame, distinct: bool = False) -> DataFrame:
     return t.distinct() if distinct else t
 
 
-def cooccurrence_triples(ann: DataFrame) -> DataFrame:
+def cooccurrence_triples(ann: DataFrame, materialize: bool = True) -> DataFrame:
     """(cui:A, 'cooccurs_with', cui:B, n_docs) for A < B.
 
     DISTINCT-then-self-join keeps the join input minimal; the heavy
     groupBy benefits from partial (map-side) aggregation and AQE
     skew-split.  Equivalent SQL shape: SURVEY §2.7 A3.
+
+    ``materialize`` (default) truncates lineage of the distinct
+    (doc_id, cui) set before the self-join so the upstream annotate UDF
+    runs ONCE — without it the plan contains TWO MapInPandas branches and
+    the dominant NER stage executes twice.  At production scale, prefer
+    writing annotations to a table first (jobs/run_kg.py) and feeding
+    that scan here.
     """
     dc = ann.select("doc_id", "cui").distinct()
+    if materialize:
+        dc = dc.localCheckpoint(eager=True)
     a = dc.alias("a")
     b = dc.alias("b")
     pairs = (a.join(b, on="doc_id")
