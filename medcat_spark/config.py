@@ -52,6 +52,11 @@ class EngineConfig:
     keep_punct: frozenset = frozenset({".", ":"})
     skip_stopwords: bool = False
     min_len_normalize: int = 5
+    # POS tags whose tokens are NOT lemmatized (reference config.py:407-415
+    # preprocessing.do_not_normalize; tags come from the POS-lite tagger in
+    # core/normalizer.py — the reference uses spaCy fine tags)
+    do_not_normalize: frozenset = frozenset(
+        {"VBD", "VBG", "VBN", "VBP", "JJS", "JJR"})
     max_document_length: int = 1_000_000
     stopwords: Optional[frozenset] = None  # None -> DEFAULT_STOPWORDS
 
@@ -89,6 +94,7 @@ class EngineConfig:
     optim_min_lr: float = 5e-5
     random_replacement_unsupervised: float = 0.80
     negative_probability: float = 0.5
+    negative_ignore_punct_and_num: bool = False  # reference config.py:566
 
     # --- cdb_maker (reference config.py:280-288) ---
     name_versions: tuple = ("LOWER", "CLEAN")

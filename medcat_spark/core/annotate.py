@@ -99,16 +99,22 @@ def train_unsupervised(texts, cdb: CdbModel, vocab: VocabModel,
 def _maybe_negative(cm: ContextModel, cui: str, words, rng: random.Random,
                     config: EngineConfig, vocab: VocabModel) -> None:
     """L8 negative sampling (context_based_linker.py:52-54,
-    vector_context_model.py:243-258) with a seeded RNG over the fixture
-    vocab (the reference samples from the unigram^(3/4) distribution,
-    vocab.py:179-242)."""
+    vector_context_model.py:243-258 train_using_negative_sampling):
+    per context type, sample that type's window size from the
+    unigram^(3/4) cumulative distribution (vocab.py:179-242), average
+    the word vectors, apply ONE negative update.  Seeded RNG for
+    determinism."""
     if not words or config.negative_probability < rng.random():
         return
-    size = sum(config.context_vector_sizes.values()) // \
-        len(config.context_vector_sizes)
-    sampled = [rng.choice(words) for _ in range(size)]
     import numpy as np
-    vecs = [vocab.vec(w) for w in sampled]
-    vectors = {ct: np.average(vecs, axis=0)
-               for ct in config.context_vector_sizes}
-    cm.cdb.update_context_vector(cui, vectors, negative=True, config=config)
+    vectors = {}
+    for ct, size in config.context_vector_sizes.items():
+        sampled = vocab.get_negative_samples(
+            size, rng,
+            ignore_punct_and_num=config.negative_ignore_punct_and_num)
+        vals = [vocab.vec(w) for w in sampled if vocab.vec(w) is not None]
+        if vals:
+            vectors[ct] = np.average(vals, axis=0)
+    if vectors:
+        cm.cdb.update_context_vector(cui, vectors, negative=True,
+                                     config=config)

@@ -241,19 +241,56 @@ class CdbModel:
 
 
 class VocabModel:
-    """Word-embedding vocab (reference medcat/vocab.py:10-29)."""
+    """Word-embedding vocab (reference medcat/vocab.py:10-29).
+
+    Words keep insertion order (index order, like the reference's
+    ``index2word``); ``make_unigram_table`` builds the cumulative
+    unigram^(3/4) distribution over words WITH vectors
+    (reference vocab.py:179-214) for negative sampling."""
 
     def __init__(self) -> None:
         self.word2vec: Dict[str, np.ndarray] = {}
         self.word2cnt: Dict[str, int] = {}
+        self._cum_probs: Optional[np.ndarray] = None
+        self._vec_words: Optional[list] = None
 
     def add(self, word: str, cnt: int, vec: Optional[np.ndarray]) -> None:
         self.word2cnt[word] = cnt
         if vec is not None:
             self.word2vec[word] = np.asarray(vec, dtype=np.float64)
+        self._cum_probs = None  # invalidate
 
     def __contains__(self, word: str) -> bool:
         return word in self.word2cnt
 
     def vec(self, word: str) -> Optional[np.ndarray]:
         return self.word2vec.get(word)
+
+    def make_unigram_table(self) -> None:
+        """Cumulative unigram^(3/4) over words with vectors
+        (reference vocab.py:179-214 make_unigram_table)."""
+        self._vec_words = [w for w in self.word2cnt if w in self.word2vec]
+        freqs = np.array([self.word2cnt[w] for w in self._vec_words],
+                         dtype=np.float64) ** (3 / 4)
+        if freqs.size and freqs.sum() > 0:
+            freqs /= freqs.sum()
+        self._cum_probs = np.cumsum(freqs)
+
+    def get_negative_samples(self, n: int, rng,
+                             ignore_punct_and_num: bool = False) -> list:
+        """N words sampled from the unigram^(3/4) distribution
+        (reference vocab.py:216-242 get_negative_samples), with an
+        explicit seeded RNG for distributed determinism.  ``rng`` is a
+        ``random.Random`` or ``np.random.RandomState``-like object
+        exposing ``random()``."""
+        if self._cum_probs is None:
+            self.make_unigram_table()
+        if self._cum_probs is None or self._cum_probs.size == 0:
+            return []
+        vals = np.array([rng.random() for _ in range(n)])
+        slots = np.searchsorted(self._cum_probs, vals)
+        words = [self._vec_words[min(int(s), len(self._vec_words) - 1)]
+                 for s in slots]
+        if ignore_punct_and_num:
+            words = [w for w in words if w.upper().isupper()]
+        return words

@@ -11,15 +11,25 @@ Reference semantics (medcat/utils/normalizers.py:160-204):
     ``-1/count`` (normalizers.py:17-32, 42-55); the fix is re-normalized.
 
 DOCUMENTED DIVERGENCE: the reference lemmatizes with spaCy
-``en_core_web_md`` (config.py:363), unavailable here.  We use a
-deterministic rule-based English noun lemmatizer.  Because the reference
-skips lemmatization for verb-ish/comparative POS tags, and our rules leave
--ing/-ed/-er/-est forms untouched, behavior is aligned for the dictionary
-NER use-case (concept names are noun phrases).  Both the CDB-build job and
-the annotation job share THIS normalizer, so name keys and query tokens
-normalize consistently — the property the pipeline actually needs
-(the reference makes the same assumption: cleaners.py prepare_name and
-TokenNormalizer share one spaCy model).
+``en_core_web_md`` (config.py:363) conditioned on the token's POS tag,
+unavailable here.  We use a deterministic rule-based lemmatizer plus a
+POS-lite suffix tagger (``tag_lite``) that reproduces the part of spaCy's
+tagging the normalizer actually consumes: membership of the tag in
+``config.do_not_normalize``.
+
+  * Under the reference's DEFAULT config, {VBD,VBG,VBN,VBP,JJS,JJR} are
+    skipped — so -ed/-ing/-er/-est forms keep their lowercase form in
+    BOTH engines; nouns go through the plural rules below.
+  * Under configs that empty ``do_not_normalize`` (the reference's own
+    entity-linking scenario suite, tests/model_creator/medcat.txt),
+    verb forms ARE lemmatized: falling→fall, treated→treat, etc.
+
+Because the CDB-build job and the annotation job share THIS normalizer,
+name keys and query tokens normalize consistently — the property the
+pipeline actually needs (the reference makes the same assumption:
+cleaners.py prepare_name and TokenNormalizer share one spaCy model).
+The scenario suite in tests/test_entity_linking_scenarios.py asserts the
+reference's own expected/forbidden CUIs on non-fixture text.
 """
 
 from __future__ import annotations
@@ -48,24 +58,146 @@ _IRREGULAR = {
 
 _KEEP_SUFFIX = ("ss", "us", "is", "ous")  # never strip plain trailing 's'
 
+# --- POS-lite tagging (stand-in for spaCy fine tags; only the tags the
+#     normalizer's do_not_normalize check consumes are produced) ---------
 
-_LEMMA_CACHE: Dict[str, str] = {}
+# -ing words whose lemma is themselves (nouns/prepositions/adjectives);
+# tagging them VBG and stripping would corrupt them when
+# do_not_normalize is empty.
+_ING_NOMINAL = frozenset("""
+    during morning evening nothing something anything everything thing
+    king spring string wing ring sibling ceiling darling duckling
+    dressing clothing housing bedding awning evening lightning
+    """.split())
+
+# -ed words whose lemma is themselves
+_ED_NOMINAL = frozenset("""
+    hundred naked sacred wicked wretched rugged ragged crooked
+    infrared unleaded biased seed need indeed bed red shed speed
+    bleed breed creed deed feed reed weed
+    """.split())
+
+# known comparatives/superlatives (JJR/JJS) → base; everything else
+# ending -er/-est is left to the noun rules (cancer, fever, chest, ...)
+_JJR = {"bigger": "big", "better": "good", "larger": "large",
+        "smaller": "small", "higher": "high", "lower": "low",
+        "greater": "great", "fewer": "few", "older": "old",
+        "younger": "young", "longer": "long", "shorter": "short",
+        "earlier": "early", "later": "late", "worse": "bad",
+        "stronger": "strong", "weaker": "weak", "deeper": "deep",
+        "wider": "wide", "narrower": "narrow", "faster": "fast",
+        "slower": "slow", "newer": "new", "broader": "broad"}
+_JJS = {"biggest": "big", "best": "good", "largest": "large",
+        "smallest": "small", "highest": "high", "lowest": "low",
+        "greatest": "great", "fewest": "few", "oldest": "old",
+        "youngest": "young", "longest": "long", "shortest": "short",
+        "earliest": "early", "latest": "late", "worst": "bad",
+        "strongest": "strong", "weakest": "weak", "deepest": "deep",
+        "widest": "wide", "narrowest": "narrow", "fastest": "fast",
+        "slowest": "slow", "newest": "new", "broadest": "broad"}
+
+# e-restoration for common -ing/-ed verb stems (lookup, like spaCy's
+# lemma tables; pattern inference without a dictionary is unsound)
+_ING_IRREGULAR = {
+    "making": "make", "taking": "take", "using": "use", "having": "have",
+    "causing": "cause", "giving": "give", "living": "live",
+    "producing": "produce", "reducing": "reduce", "increasing": "increase",
+    "decreasing": "decrease", "managing": "manage", "providing": "provide",
+    "requiring": "require", "involving": "involve", "including": "include",
+    "becoming": "become", "receiving": "receive", "describing": "describe",
+    "smoking": "smoke", "dosing": "dose", "imaging": "image",
+    "writing": "write", "coming": "come", "giving": "give",
+    "losing": "lose", "choosing": "choose", "being": "be", "dying": "die",
+    "lying": "lie", "tying": "tie", "aching": "ache", "staging": "stage",
+    "bruising": "bruise", "wheezing": "wheeze", "vomiting": "vomit",
+}
+_ED_IRREGULAR = {
+    "used": "use", "caused": "cause", "increased": "increase",
+    "decreased": "decrease", "managed": "manage", "provided": "provide",
+    "required": "require", "involved": "involve", "included": "include",
+    "received": "receive", "described": "describe", "smoked": "smoke",
+    "diagnosed": "diagnose", "prescribed": "prescribe", "dosed": "dose",
+    "imaged": "image", "staged": "stage", "bruised": "bruise",
+    "resolved": "resolve", "improved": "improve", "removed": "remove",
+    "reduced": "reduce", "produced": "produce", "advised": "advise",
+    "examined": "examine", "determined": "determine",
+    "characterized": "characterize", "localized": "localize",
+    "generalized": "generalize", "hospitalized": "hospitalize",
+    "stabilized": "stabilize", "immunized": "immunize",
+}
+
+_DOUBLED = frozenset("bdgmnprt")  # runn→run; 'll'/'ss' are natural endings
 
 
-def lemmatize(lower: str) -> str:
-    """Deterministic rule-based English noun lemmatizer (lowercase in/out).
+def tag_lite(lower: str) -> Optional[str]:
+    """Suffix-based POS guess; only the tags ``do_not_normalize`` can
+    contain are emitted (VBG/-ing, VBD/-ed, JJR/JJS known lists).  VBP/VBN
+    are not distinguishable by suffix: VBN shares -ed with VBD (same
+    outcome), VBP is a base form whose lemma equals itself."""
+    n = len(lower)
+    if n >= 6 and lower.endswith("ing") and lower not in _ING_NOMINAL:
+        return "VBG"
+    if n >= 5 and lower.endswith("ed") and lower not in _ED_NOMINAL:
+        return "VBD"
+    if lower in _JJR:
+        return "JJR"
+    if lower in _JJS:
+        return "JJS"
+    return None
+
+
+def _strip_ing(w: str) -> str:
+    if w in _ING_IRREGULAR:
+        return _ING_IRREGULAR[w]
+    stem = w[:-3]
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED:
+        return stem[:-1]
+    return stem
+
+
+def _strip_ed(w: str) -> str:
+    if w in _ED_IRREGULAR:
+        return _ED_IRREGULAR[w]
+    if len(w) > 4 and w.endswith("ied"):
+        return w[:-3] + "y"
+    stem = w[:-2]
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED:
+        return stem[:-1]
+    return stem
+
+
+_DEFAULT_DNN = frozenset({"VBD", "VBG", "VBN", "VBP", "JJS", "JJR"})
+_LEMMA_CACHE: Dict[tuple, str] = {}
+
+
+def lemmatize(lower: str, do_not_normalize: frozenset = _DEFAULT_DNN) -> str:
+    """Deterministic rule-based English lemmatizer (lowercase in/out),
+    POS-gated exactly like the reference TokenNormalizer: a token whose
+    (lite) tag is in ``do_not_normalize`` keeps its lowercase form.
     Memoized: corpora repeat a small vocabulary, so the cache turns the
     suffix checks into one dict hit per token occurrence."""
-    hit = _LEMMA_CACHE.get(lower)
+    key = (lower, do_not_normalize)
+    hit = _LEMMA_CACHE.get(key)
     if hit is not None:
         return hit
-    out = _lemmatize(lower)
+    out = _lemmatize(lower, do_not_normalize)
     if len(_LEMMA_CACHE) < 1_000_000:
-        _LEMMA_CACHE[lower] = out
+        _LEMMA_CACHE[key] = out
     return out
 
 
-def _lemmatize(lower: str) -> str:
+def _lemmatize(lower: str, dnn: frozenset) -> str:
+    tag = tag_lite(lower)
+    if tag is not None:
+        if tag in dnn:
+            return lower
+        if tag == "VBG":
+            return _strip_ing(lower)
+        if tag == "VBD":
+            return _strip_ed(lower)
+        if tag == "JJR":
+            return _JJR[lower]
+        return _JJS[lower]
     if lower in _IRREGULAR:
         return _IRREGULAR[lower]
     n = len(lower)
@@ -140,13 +272,14 @@ def normalize_tokens(toks: List[Tok], config: EngineConfig,
     """P3+P4 over a token list (reference TokenNormalizer.__call__,
     normalizers.py:179-204)."""
     min_len = config.min_len_normalize
+    dnn = config.do_not_normalize
     do_spell = config.spell_check and spell_checker is not None
     limit = config.spell_check_len_limit
     for tkn in toks:
         if len(tkn.lower) < min_len:
             tkn.norm = tkn.lower
         else:
-            tkn.norm = lemmatize(tkn.lower)
+            tkn.norm = lemmatize(tkn.lower, dnn)
         if do_spell:
             if (len(tkn.text) >= limit and not tkn.is_punct
                     and tkn.lower not in spell_checker
@@ -156,7 +289,7 @@ def normalize_tokens(toks: List[Tok], config: EngineConfig,
                     if len(tkn.lower) < min_len:
                         tkn.norm = fix
                     else:
-                        tkn.norm = lemmatize(fix)
+                        tkn.norm = lemmatize(fix, dnn)
     return toks
 
 
@@ -166,5 +299,6 @@ def normalize_name_tokens(tokens: List[str], config: EngineConfig) -> List[str]:
     out = []
     for t in tokens:
         lt = t.lower()
-        out.append(lt if len(lt) < config.min_len_normalize else lemmatize(lt))
+        out.append(lt if len(lt) < config.min_len_normalize
+                   else lemmatize(lt, config.do_not_normalize))
     return out

@@ -83,11 +83,18 @@ def save_model_pack(path: str, cdb: CdbModel, vocab: VocabModel,
 def load_model_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
     with open(os.path.join(path, "config.json")) as f:
         d = json.load(f)
-    for k in ("words_to_skip", "keep_punct", "filter_cuis",
-              "filter_cuis_exclude"):
-        d[k] = frozenset(d[k])
+    # restore container types generically from the dataclass defaults so
+    # new frozenset/tuple config fields round-trip without loader edits
+    import dataclasses
+    for fld in dataclasses.fields(EngineConfig):
+        if fld.name not in d:
+            continue
+        default = getattr(EngineConfig(), fld.name)
+        if isinstance(default, frozenset):
+            d[fld.name] = frozenset(d[fld.name])
+        elif isinstance(default, tuple):
+            d[fld.name] = tuple(d[fld.name])
     d["stopwords"] = frozenset(d["stopwords"]) if d.get("stopwords") else None
-    d["name_versions"] = tuple(d["name_versions"])
     cfg = EngineConfig(**d)
 
     cdb = CdbModel()
