@@ -273,6 +273,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 window_left=5)
     q["meta_negation"] = _meta
 
+    # --- MetaCAT analogue with a TRAINED (fixture-trained, deterministic)
+    #     linear token-window classifier run via mapInPandas with
+    #     per-executor model cache (reference meta_cat.py:447-517,636-651
+    #     window semantics; torch stack stood in by the numpy linear head —
+    #     see medcat_spark/functions/meta_model.py)
+    def _meta_model(s, d):
+        from medcat_spark.functions.meta_model import (
+            meta_annotations_model, negation_fixture_model)
+        model = negation_fixture_model()
+        bc = s.sparkContext.broadcast(model)
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        return meta_annotations_model(_uni_ann(s, d), docs, bc)
+    q["meta_negation_model"] = _meta_model
+
+    # --- RelCAT analogue: trained entity-pair relation classifier →
+    #     (subj, pred, obj) relation triples (reference rel_cat.py:551-613;
+    #     dict shape rel_cat.py:596-609)
+    def _kg_relations(s, d):
+        from medcat_spark.functions.rel_model import (relation_fixture_model,
+                                                      relations_model)
+        model = relation_fixture_model()
+        bc = s.sparkContext.broadcast(model)
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        rels = relations_model(_uni_ann(s, d), docs, bc)
+        return (rels.groupBy(
+            F.concat(F.lit("cui:"), F.col("ent1_cui")).alias("subj"),
+            F.col("relation").alias("pred"),
+            F.concat(F.lit("cui:"), F.col("ent2_cui")).alias("obj"))
+            .agg(F.count("*").alias("n_pairs")))
+    q["kg_relations"] = _kg_relations
+
     # --- events: tumbling-window agg, sessionization, JSON extraction
     def _ev(s, d):
         return s.read.parquet(f"{d}/events.parquet")
@@ -698,6 +731,23 @@ SELECT doc_id, CAST(start AS INT) AS start, cui,
        CAST(n_cues AS BIGINT) AS n_cues
 FROM h
 """
+
+    def _meta_model_oracle():
+        from medcat_spark.functions.meta_model import (negation_fixture_model,
+                                                       oracle_sql_for_model)
+        return oracle_sql_for_model(negation_fixture_model(), _TOKS_CTE,
+                                    _UNI_DICT_SQL)
+    o["meta_negation_model"] = _meta_model_oracle()
+
+    def _kg_relations_oracle():
+        from medcat_spark.functions import rel_model
+        base = rel_model.oracle_sql_for_model(
+            rel_model.relation_fixture_model(), _TOKS_CTE, _UNI_DICT_SQL)
+        return (f"WITH base AS ({base})\n"
+                "SELECT 'cui:' || ent1_cui AS subj, relation AS pred,\n"
+                "       'cui:' || ent2_cui AS obj, COUNT(*) AS n_pairs\n"
+                "FROM base GROUP BY 1, 2, 3")
+    o["kg_relations"] = _kg_relations_oracle()
 
     o["events_tumbling"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -1,0 +1,284 @@
+"""MetaCAT-analogue TRAINED token-window classifier (SURVEY §2.11).
+
+The reference's MetaCAT runs a torch BiLSTM/BERT over a token window
+around each entity — window = tokens
+``[first_ent_token - cntx_left, last_ent_token + cntx_right]``
+(medcat/meta_cat.py:447-517 prepare_document; defaults cntx_left=15,
+cntx_right=10, config_meta_cat.py:55-57) — and classifies it into a
+meta-annotation value (Status/Negation/...), batched per document set
+(meta_cat.py:636-651 pipe).
+
+Torch is unavailable in this environment, so the analogue keeps the
+SAME dataflow and model *shape* but a linear architecture:
+
+    logits = W @ mean(E[token] for token in window) + b
+
+trained with numpy logistic-regression SGD.  Because the model is
+linear, each token's contribution collapses to a per-(token, class)
+scalar ``S = E @ W.T``, which (a) makes executor-side scoring one dict
+lookup + running sum per token, and (b) makes the scorer exactly
+expressible as SQL (join the token→scores table, AVG per window, add
+bias) — so the driver's DuckDB oracle can verify the classifier
+end-to-end with fixed weights.  Swapping a torch scorer in changes only
+``MetaCatModel.predict`` — the Spark plumbing (broadcast model,
+per-executor cache, Arrow-batched ``mapInPandas``, one tokenize per
+document for all its entities) is the production shape.
+
+OOV window tokens contribute a zero vector; the mean divides by the
+FULL window length (zeros included), matching the SQL oracle's
+``SUM(score)/COUNT(*)``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+                               StructField, StructType)
+
+CNTX_LEFT = 15   # reference config_meta_cat.py:55
+CNTX_RIGHT = 10  # reference config_meta_cat.py:57
+
+
+class MetaCatModel:
+    """Broadcastable trained model: per-token class-score rows + bias.
+
+    ``token_scores[tok]`` is an array of per-class contributions
+    (already E[tok]·W[c]); ``bias`` the per-class intercept; ``labels``
+    index→name.  Scores/bias are rounded to 4 decimals at export so the
+    Spark scorer and the SQL oracle agree bit-for-bit after rounding.
+    """
+
+    def __init__(self, labels: List[str], token_scores: Dict[str, np.ndarray],
+                 bias: np.ndarray, cntx_left: int = CNTX_LEFT,
+                 cntx_right: int = CNTX_RIGHT) -> None:
+        self.labels = labels
+        self.token_scores = token_scores
+        self.bias = bias
+        self.cntx_left = cntx_left
+        self.cntx_right = cntx_right
+
+    def logits(self, window: Sequence[str]) -> np.ndarray:
+        acc = np.zeros_like(self.bias)
+        for t in window:
+            s = self.token_scores.get(t)
+            if s is not None:
+                acc = acc + s
+        return acc / max(len(window), 1) + self.bias
+
+    def predict(self, window: Sequence[str]) -> Tuple[str, float]:
+        lg = self.logits(window)
+        i = int(np.argmax(lg))
+        # softmax confidence (2-class: sigmoid of margin)
+        e = np.exp(lg - lg.max())
+        return self.labels[i], float(e[i] / e.sum())
+
+
+def train_meta_model(windows: List[Tuple[List[str], str]], labels: List[str],
+                     dim: int = 8, epochs: int = 300, lr: float = 0.5,
+                     seed: int = 13, cntx_left: int = CNTX_LEFT,
+                     cntx_right: int = CNTX_RIGHT) -> MetaCatModel:
+    """Train embedding+linear classifier with deterministic numpy SGD.
+
+    ``windows`` = [(window tokens, label)].  Embeddings are fixed
+    deterministic per-token vectors (the reference trains/loads its own
+    embeddings; determinism matters more here), the linear head is
+    trained by full-batch gradient descent on softmax cross-entropy.
+    """
+    from medcat_spark.fixtures import det_vec
+
+    vocab = sorted({t for w, _ in windows for t in w})
+    E = np.stack([det_vec(t, dim) for t in vocab])
+    tok2i = {t: i for i, t in enumerate(vocab)}
+    lab2i = {l: i for i, l in enumerate(labels)}
+
+    X = np.zeros((len(windows), dim))
+    y = np.zeros(len(windows), dtype=int)
+    for r, (w, lab) in enumerate(windows):
+        vecs = [E[tok2i[t]] for t in w if t in tok2i]
+        if vecs:
+            X[r] = np.sum(vecs, axis=0) / len(w)
+        y[r] = lab2i[lab]
+
+    rng = np.random.RandomState(seed)
+    W = rng.normal(0, 0.01, (len(labels), dim))
+    b = np.zeros(len(labels))
+    onehot = np.eye(len(labels))[y]
+    for _ in range(epochs):
+        lg = X @ W.T + b
+        lg -= lg.max(axis=1, keepdims=True)
+        p = np.exp(lg)
+        p /= p.sum(axis=1, keepdims=True)
+        g = (p - onehot) / len(windows)
+        W -= lr * (g.T @ X)
+        b -= lr * g.sum(axis=0)
+
+    S = np.round(E @ W.T, 4)   # (V, C) per-token class contributions
+    return MetaCatModel(labels, {t: S[i] for t, i in tok2i.items()},
+                        np.round(b, 4), cntx_left, cntx_right)
+
+
+# vocabulary of the driver testdata documents (TESTDATA.md) — the corpus
+# the fixture classifier trains over
+_TESTDATA_WORDS = ("spark merge window vector stream filter the fast key "
+                   "order sort table scan part small hash join batch dup "
+                   "group query row data slow customer line value agg "
+                   "column big a").split()
+_NEGATION_CUES = ("slow", "small")
+
+_FIXTURE_CACHE: Optional[MetaCatModel] = None
+
+
+def negation_fixture_model() -> MetaCatModel:
+    """Deterministic fixture-trained Negation classifier: windows drawn
+    from the testdata vocabulary, labeled negated iff a cue word is
+    present, trained once per process (seeded; same weights every call,
+    so queries() and oracle_sql() agree)."""
+    global _FIXTURE_CACHE
+    if _FIXTURE_CACHE is not None:
+        return _FIXTURE_CACHE
+    import random
+    rng = random.Random(20260816)
+    windows: List[Tuple[List[str], str]] = []
+    non_cue = [w for w in _TESTDATA_WORDS if w not in _NEGATION_CUES]
+    # window lengths span the deployment range (up to cntx_left + 1 +
+    # cntx_right) so the mean-pool margin survives dilution
+    for _ in range(300):
+        ln = rng.randrange(6, CNTX_LEFT + CNTX_RIGHT + 2)
+        w = [rng.choice(non_cue) for _ in range(ln)]
+        windows.append((w, "present"))
+        w2 = [rng.choice(non_cue) for _ in range(ln - 1)]
+        w2.insert(rng.randrange(len(w2) + 1), rng.choice(_NEGATION_CUES))
+        windows.append((w2, "negated"))
+    _FIXTURE_CACHE = train_meta_model(
+        windows, ["present", "negated"], dim=64, epochs=1500, lr=4.0, seed=13)
+    return _FIXTURE_CACHE
+
+
+_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("start", IntegerType()),
+    StructField("cui", StringType()),
+    StructField("meta_name", StringType()),
+    StructField("value", StringType()),
+    StructField("confidence", DoubleType()),
+])
+
+# per-executor model cache (same device as pipeline._MODEL_CACHE)
+_META_CACHE: dict = {}
+
+
+def _score_batches(bc, meta_name: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = getattr(bc, "_path", None) or id(bc)
+        model: MetaCatModel = _META_CACHE.get(key)
+        if model is None:
+            model = bc.value
+            _META_CACHE.clear()
+            _META_CACHE[key] = model
+        for pdf in batches:
+            out = {f.name: [] for f in _SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                toks = (row.text or "").split(" ")
+                starts, pos = {}, 0
+                for i, t in enumerate(toks):
+                    starts[pos] = i
+                    pos += len(t) + 1
+                for ent in row.ents:
+                    center = starts.get(ent["start"])
+                    if center is None:
+                        continue
+                    lo = max(0, center - model.cntx_left)
+                    hi = min(len(toks), center + 1 + model.cntx_right)
+                    value, conf = model.predict(toks[lo:hi])
+                    out["doc_id"].append(str(row.doc_id))
+                    out["start"].append(int(ent["start"]))
+                    out["cui"].append(ent["cui"])
+                    out["meta_name"].append(meta_name)
+                    out["value"].append(value)
+                    out["confidence"].append(round(conf, 4))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+    return fn
+
+
+def meta_annotations_model(ann: DataFrame, docs: DataFrame, bc,
+                           meta_name: str = "Negation",
+                           text_col: str = "text") -> DataFrame:
+    """Classify each annotation's token window with the broadcast
+    MetaCatModel → (doc_id, start, cui, meta_name, value, confidence).
+
+    Plan shape: annotations grouped per doc (ONE shuffle bounded by
+    annotation count), broadcast-style text join, one Arrow batch pass
+    tokenizing each doc once for all its entities — the same
+    GPU-stage-separation the reference uses for MetaCAT batching
+    (cat.py:1249-1257).
+    """
+    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       "start", "cui")
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("start", "cui")).alias("ents")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    joined = ents.join(src, "doc_id")
+    return joined.mapInPandas(_score_batches(bc, meta_name), schema=_SCHEMA)
+
+
+def oracle_sql_for_model(model: MetaCatModel, toks_cte: str, dict_sql: str,
+                         meta_name: str = "Negation") -> str:
+    """Generate the DuckDB oracle reproducing the scorer exactly:
+    same window, same per-token scores, same mean+bias+argmax."""
+    rows = ",".join(
+        "('%s',%s)" % (t.replace("'", "''"),
+                       ",".join(repr(float(x)) for x in s))
+        for t, s in sorted(model.token_scores.items()))
+    cols = ",".join(f"s{i}" for i in range(len(model.labels)))
+    avg = ",".join(
+        f"SUM(COALESCE(s.s{i}, 0.0))/COUNT(*) + ({float(model.bias[i])!r}) "
+        f"AS l{i}" for i in range(len(model.labels)))
+    # argmax with first-wins tie-break = numpy argmax: class i wins iff
+    # it strictly beats all earlier classes' "wins" — i.e. no earlier
+    # class has l_earlier >= l_i and no later class has l_later > l_i
+    n = len(model.labels)
+
+    def _win_cond(i: int) -> str:
+        conds = [f"l{i} > l{j}" for j in range(i)] + \
+                [f"l{i} >= l{j}" for j in range(i + 1, n)]
+        return " AND ".join(conds) if conds else "TRUE"
+
+    best = "CASE " + " ".join(
+        f"WHEN {_win_cond(i)} THEN '{model.labels[i]}'"
+        for i in range(n)) + " END"
+    best_logit = "CASE " + " ".join(
+        f"WHEN {_win_cond(i)} THEN l{i}" for i in range(n)) + " END"
+    # softmax confidence of the argmax class
+    exps = "+".join(f"exp(l{j} - m)" for j in range(n))
+    return f"""
+WITH {toks_cte},
+pos AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok),
+m AS (SELECT p.doc_id, p.start, p.pos AS ent_pos, d.cui
+      FROM pos p JOIN {dict_sql} ON p.tok = d.name),
+sc(tok, {cols}) AS (VALUES {rows}),
+w AS (SELECT m.doc_id, m.start, m.cui, p.tok
+      FROM m JOIN pos p ON p.doc_id = m.doc_id
+        AND p.pos >= m.ent_pos - {model.cntx_left}
+        AND p.pos <= m.ent_pos + {model.cntx_right}),
+agg AS (SELECT doc_id, start, cui, {avg}
+        FROM w LEFT JOIN sc s USING (tok) GROUP BY 1, 2, 3),
+lg AS (SELECT *, GREATEST({", ".join(f"l{i}" for i in range(len(model.labels)))}) AS m
+       FROM agg)
+SELECT doc_id, CAST(start AS INT) AS start, cui,
+       '{meta_name}' AS meta_name,
+       {best} AS value,
+       ROUND(exp(({best_logit}) - m) / ({exps}), 4) AS confidence
+FROM lg
+"""

@@ -1,0 +1,104 @@
+"""MetaCAT / RelCAT trained-analogue classifiers (SURVEY §2.11):
+window semantics, deterministic training, Spark operator shape.
+Reference: medcat/meta_cat.py:447-517,636-651; medcat/rel_cat.py:551-613.
+"""
+
+import random
+
+from medcat_spark.functions.meta_model import (CNTX_LEFT, CNTX_RIGHT,
+                                               meta_annotations_model,
+                                               negation_fixture_model)
+from medcat_spark.functions.rel_model import (relation_fixture_model,
+                                              relations_model)
+
+WORDS = ("spark window vector stream the fast key order sort table "
+         "scan part hash batch group query row data").split()
+
+
+def test_meta_model_deterministic_and_accurate():
+    m1 = negation_fixture_model()
+    m2 = negation_fixture_model()
+    assert m1 is m2  # process-cached
+    rng = random.Random(5)
+    ok = n = 0
+    for length in (8, 16, CNTX_LEFT + 1 + CNTX_RIGHT):
+        for _ in range(100):
+            w = [rng.choice(WORDS) for _ in range(length)]
+            v, c = m1.predict(w)
+            ok += (v == "present")
+            assert 0.5 <= c <= 1.0
+            w2 = list(w)
+            w2[rng.randrange(length)] = rng.choice(["slow", "small"])
+            v, _ = m1.predict(w2)
+            ok += (v == "negated")
+            n += 2
+    assert ok / n >= 0.95
+
+
+def test_rel_model_connector_rule():
+    m = relation_fixture_model()
+    rng = random.Random(7)
+    ok = n = 0
+    for _ in range(200):
+        length = rng.randrange(0, m.max_distance)
+        tk = [rng.choice(WORDS) for _ in range(length)]
+        v, _ = m.predict(tk, length + 1)
+        ok += (v == "cooccurs_with")
+        tk2 = list(tk)
+        tk2.insert(rng.randrange(length + 1), rng.choice(["join", "merge"]))
+        v, _ = m.predict(tk2, length + 2)
+        ok += (v == "interacts_with")
+        n += 2
+    assert ok / n >= 0.95
+    # adjacent pair: empty between-bag must not crash, distance drives it
+    v, c = m.predict([], 1)
+    assert v in {"cooccurs_with", "interacts_with"} and 0.5 <= c <= 1.0
+
+
+def test_meta_model_spark_windows_clip_at_boundaries(spark):
+    model = negation_fixture_model()
+    bc = spark.sparkContext.broadcast(model)
+    # entity at position 0: left window clipped; cue inside right window
+    docs = spark.createDataFrame(
+        [("d1", "spark slow table scan"),       # cue right of entity
+         ("d2", "table scan spark fast key"),   # no cue
+         ("d3", " ".join(["key"] * 20) + " spark " + " ".join(["row"] * 12))],
+        "doc_id string, text string")
+    ann = spark.createDataFrame(
+        [("d1", 0, "D001"), ("d2", 11, "D001"), ("d3", 80, "D001")],
+        "doc_id string, start int, cui string")
+    rows = {r["doc_id"]: r for r in
+            meta_annotations_model(ann, docs, bc).collect()}
+    assert rows["d1"]["value"] == "negated"
+    assert rows["d2"]["value"] == "present"
+    # d3: window = 15 left + center + 10 right, fully in-bounds
+    assert rows["d3"]["meta_name"] == "Negation"
+    # parity with local predict on the same window
+    toks3 = docs.where("doc_id='d3'").first()["text"].split(" ")
+    center = 20
+    lo, hi = center - CNTX_LEFT, center + 1 + CNTX_RIGHT
+    v, c = model.predict(toks3[lo:hi])
+    assert rows["d3"]["value"] == v
+    assert abs(rows["d3"]["confidence"] - round(c, 4)) < 1e-9
+
+
+def test_relations_model_spark_pairs(spark):
+    model = relation_fixture_model()
+    bc = spark.sparkContext.broadcast(model)
+    docs = spark.createDataFrame(
+        [("d1", "spark join window and vector"),
+         ("d2", "spark " + " ".join(["x"] * 11) + " window")],  # too far
+        "doc_id string, text string")
+    ann = spark.createDataFrame(
+        [("d1", 0, "D001"), ("d1", 11, "D003"), ("d1", 22, "D004"),
+         ("d2", 0, "D001"), ("d2", 30, "D003")],
+        "doc_id string, start int, cui string")
+    rows = relations_model(ann, docs, bc).collect()
+    got = {(r["ent1_cui"], r["ent2_cui"]): r["relation"] for r in rows}
+    # d2 pair is 12 tokens apart -> beyond max_distance, no row
+    assert all(r["doc_id"] == "d1" for r in rows)
+    assert ("D001", "D003") in got       # 'join' between -> interacts
+    assert got[("D001", "D003")] == "interacts_with"
+    assert ("D003", "D004") in got       # 'and' between -> cooccurs
+    assert got[("D003", "D004")] == "cooccurs_with"
+    assert ("D001", "D004") in got       # pair ordering follows text order
