@@ -27,12 +27,12 @@ def main(argv=None):
 
     from pyspark.sql import functions as F
 
-    from medcat_spark.model_ops import apply_training, train_supervised_spark
+    from medcat_spark.model_ops import save_trained_pack, train_supervised_spark
     from medcat_spark.pipeline import broadcast_model
     from medcat_spark.session import get_spark
     from medcat_spark.sources.mct_export import (documents_from_mct,
                                                  read_mct_export)
-    from medcat_spark.sources.model_pack import load_model_pack, save_model_pack
+    from medcat_spark.sources.model_pack import load_model_pack
 
     spark = get_spark("medcat-spark-train", master=args.master)
     cdb, vocab, cfg = load_model_pack(args.model_pack)
@@ -51,12 +51,13 @@ def main(argv=None):
                     F.col("end").cast("int").alias("end"), "cui"))
     docs = documents_from_mct(mct)
     bc = broadcast_model(spark, cdb, vocab, cfg)
-    rows = train_supervised_spark(spark, gold, docs, bc, cfg).collect()
-    apply_training(cdb, rows)
-
-    manifest = save_model_pack(args.out_pack, cdb, vocab, cfg)
-    print(json.dumps({"trained_cuis": len({r['cui'] for r in rows}),
-                      "examples": int(gold.count()),
+    # distributed pack write: mean context vectors go straight from the
+    # trainer DataFrame into the pack's context_vectors.parquet — no
+    # driver collect of vectors (VERDICT r01 finding #3)
+    trained = train_supervised_spark(spark, gold, docs, bc, cfg)
+    manifest = save_trained_pack(spark, args.out_pack, cdb, vocab,
+                                 trained, cfg)
+    print(json.dumps({"examples": int(gold.count()),
                       "killed_unlinked": len(killed), **manifest}))
     spark.stop()
 

@@ -289,6 +289,82 @@ def train_unsupervised_spark(spark: SparkSession, docs: DataFrame, bc,
                     .alias("mean_vec"), "n"))
 
 
+def save_trained_pack(spark: SparkSession, path: str, cdb: CdbModel,
+                      vocab: VocabModel, trained: DataFrame,
+                      config: Optional[EngineConfig] = None) -> dict:
+    """Distributed pack write for training: the per-(cui, ctx_type) mean
+    vectors from train_supervised_spark / train_unsupervised_spark are
+    written to the pack's ``context_vectors.parquet`` BY SPARK — no
+    driver collect of vectors (at UMLS scale that's 4M CUIs × 4 ctx ×
+    300-d ≈ tens of GB; the reference loads it all in RAM, we don't
+    have to).  Static CDB tables (names/snames/concepts/...) are small
+    per-row and written driver-side as usual.
+
+    Semantics match apply_training (import_training-style,
+    reference cdb.py:585-611): trained CUIs' vectors OVERWRITE existing
+    ones; count_train += max over ctx types of the example count.
+    """
+    import glob
+    import os
+    import shutil
+
+    from medcat_spark.sources.model_pack import save_model_pack
+
+    cfg = config or EngineConfig()
+    manifest = save_model_pack(path, cdb, vocab, cfg)
+
+    t = trained.select("cui", "ctx_type",
+                       F.col("mean_vec").cast("array<double>").alias("vec"),
+                       "n").cache()
+
+    # merge vectors: trained overwrite, untouched CUIs carried over
+    cv_path = os.path.join(path, "context_vectors.parquet")
+    existing = spark.read.parquet(cv_path)
+    merged = existing.join(t.select("cui").distinct(), "cui", "left_anti") \
+        .unionByName(t.select("cui", "ctx_type", "vec"))
+    tmp_cv = os.path.join(path, "_cv_tmp")
+    merged.write.mode("overwrite").parquet(tmp_cv)
+    if os.path.isdir(cv_path):
+        shutil.rmtree(cv_path)
+    else:
+        os.remove(cv_path)
+    os.rename(tmp_cv, cv_path)
+
+    # count_train delta into concepts.parquet (per-cui table join)
+    deltas = t.groupBy("cui").agg(F.max("n").alias("add_n"))
+    con_path = os.path.join(path, "concepts.parquet")
+    concepts = spark.read.parquet(con_path)
+    updated = (concepts.join(F.broadcast(deltas), "cui", "left")
+               .withColumn("count_train",
+                           F.col("count_train")
+                           + F.coalesce(F.col("add_n"), F.lit(0)))
+               .drop("add_n"))
+    tmp_con = os.path.join(path, "_con_tmp")
+    updated.write.mode("overwrite").parquet(tmp_con)
+    if os.path.isdir(con_path):
+        shutil.rmtree(con_path)
+    else:
+        os.remove(con_path)
+    os.rename(tmp_con, con_path)
+
+    # distributed, order-independent content stamp over the merged
+    # vectors (sum of per-row xxhash64 — commutative combine; the exact
+    # driver-side content_hash would require collecting the vectors)
+    row_hash = F.xxhash64("cui", "ctx_type",
+                          F.concat_ws(",", F.transform(
+                              "vec", lambda x: F.format_number(x, 12))))
+    vec_stamp = (spark.read.parquet(cv_path)
+                 .agg(F.sum(row_hash.cast("decimal(38,0)"))).first()[0])
+    manifest["context_vectors_stamp"] = str(vec_stamp)
+    manifest["trained_cuis"] = int(t.select("cui").distinct().count())
+    t.unpersist()
+
+    import json
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 def apply_training(cdb: CdbModel, rows) -> None:
     """Merge trained means into the model (import_training-style:
     overwrite vectors, add counts)."""
