@@ -60,6 +60,30 @@ _BI_DICT_SQL = ("(VALUES ('hash','join','D101'),('merge','join','D102'),"
                 " AS d(w1, w2, cui)")
 
 
+# inline RF2/RRF fixture rows for the ontology-preprocessor queries
+# (shape per reference preprocess_snomed.py / preprocess_umls.py)
+SNOMED_FIXTURE = {
+    "concepts": [("100001", "1"), ("100002", "1"), ("100003", "0")],
+    "descriptions": [
+        ("100001", "1", "900000000000003001", "Heart attack (disorder)"),
+        ("100001", "1", "900000000000013009", "Myocardial infarction"),
+        ("100001", "0", "900000000000013009", "Old inactive name"),
+        ("100002", "1", "900000000000003001", "Renal failure (disorder)"),
+        ("100002", "1", "900000000000013009", "Kidney failure"),
+        ("100003", "1", "900000000000003001", "Gone (disorder)"),
+    ],
+}
+UMLS_FIXTURE = {
+    "mrconso": [
+        ("C0001", "ENG", "Y", "A1", "SNOMEDCT_US", "Heart attack"),
+        ("C0001", "ENG", "N", "A2", "SNOMEDCT_US", "Myocardial infarction"),
+        ("C0001", "SPA", "Y", "A3", "SNOMEDCT_US", "Infarto"),
+        ("C0002", "ENG", "Y", "A4", "MSH", "Renal failure"),
+    ],
+    "mrsty": [("C0001", "T047"), ("C0002", "T047")],
+}
+
+
 def _uni_ann(spark, sf_dir):
     return demo.ner_annotations(spark, sf_dir, demo.UNIGRAM_ROWS)
 
@@ -305,6 +329,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("cui:"), F.col("ent2_cui")).alias("obj"))
             .agg(F.count("*").alias("n_pairs")))
     q["kg_relations"] = _kg_relations
+
+    # --- ontology preprocessors (reference preprocess_snomed.py:316-394,
+    #     preprocess_umls.py:83-121) over inline RF2/RRF fixture rows
+    def _snomed(s, d):
+        from medcat_spark.sources.ontologies import snomed_concept_df
+        con = s.createDataFrame(SNOMED_FIXTURE["concepts"],
+                                "id string, active string")
+        des = s.createDataFrame(
+            SNOMED_FIXTURE["descriptions"],
+            "conceptId string, active string, typeId string, term string")
+        return snomed_concept_df(con, des).select(
+            "cui", "name", "ontologies", "name_status", "type_ids")
+    q["cdb_snomed_names"] = _snomed
+
+    def _umls(s, d):
+        from medcat_spark.sources.ontologies import umls_concept_df
+        conso = s.createDataFrame(
+            UMLS_FIXTURE["mrconso"],
+            "CUI string, LAT string, ISPREF string, AUI string, SAB string, "
+            "STR string")
+        sty = s.createDataFrame(UMLS_FIXTURE["mrsty"],
+                                "CUI string, TUI string")
+        return umls_concept_df(conso, sty)
+    q["cdb_umls_names"] = _umls
 
     # --- events: tumbling-window agg, sessionization, JSON extraction
     def _ev(s, d):
@@ -730,6 +778,45 @@ SELECT doc_id, CAST(start AS INT) AS start, cui,
        CASE WHEN n_cues > 0 THEN 'negated' ELSE 'present' END AS value,
        CAST(n_cues AS BIGINT) AS n_cues
 FROM h
+"""
+
+    def _snomed_oracle():
+        from medcat_spark.sources.ontologies import _tag_hash
+        con = ",".join(f"('{i}','{a}')" for i, a in SNOMED_FIXTURE["concepts"])
+        des = ",".join("('%s','%s','%s','%s')" % r
+                       for r in SNOMED_FIXTURE["descriptions"])
+        tags = {"disorder"}
+        tmap = ",".join(f"('{t}','{_tag_hash(t)}')" for t in sorted(tags))
+        return f"""
+WITH con(id, active) AS (VALUES {con}),
+des(conceptId, active, typeId, term) AS (VALUES {des}),
+j AS (SELECT c.id AS cui, d.term AS name,
+             CASE WHEN d.typeId = '900000000000003001'
+                  THEN 'P' ELSE 'A' END AS name_status
+      FROM con c JOIN des d ON d.conceptId = c.id
+      WHERE c.active = '1' AND d.active = '1'
+        AND d.typeId IN ('900000000000003001', '900000000000013009')),
+tags AS (SELECT cui,
+                regexp_extract(name,
+                  '\\((\\w+\\s?.?\\s?\\w+.?\\w+.?\\w+.?)\\)$', 1) AS tag
+         FROM j WHERE name_status = 'P'),
+tmap(tag, type_ids) AS (VALUES {tmap}),
+cuitype AS (SELECT t.cui, m.type_ids FROM tags t JOIN tmap m USING (tag))
+SELECT j.cui, j.name, 'SNOMED-CT' AS ontologies, j.name_status, ct.type_ids
+FROM j LEFT JOIN cuitype ct ON ct.cui = j.cui
+"""
+    o["cdb_snomed_names"] = _snomed_oracle()
+
+    _umls_conso = ",".join("('%s','%s','%s','%s','%s','%s')" % r
+                           for r in UMLS_FIXTURE["mrconso"])
+    _umls_sty = ",".join("('%s','%s')" % r for r in UMLS_FIXTURE["mrsty"])
+    o["cdb_umls_names"] = f"""
+WITH conso(CUI, LAT, ISPREF, AUI, SAB, STR) AS (VALUES {_umls_conso}),
+sty(CUI, TUI) AS (VALUES {_umls_sty})
+SELECT c.CUI AS cui, c.STR AS name, c.SAB AS ontologies,
+       c.ISPREF AS name_status, s.TUI AS type_ids
+FROM conso c JOIN (SELECT DISTINCT CUI, TUI FROM sty) s USING (CUI)
+WHERE c.LAT = 'ENG'
 """
 
     def _meta_model_oracle():

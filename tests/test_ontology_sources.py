@@ -1,0 +1,143 @@
+"""SNOMED RF2 / UMLS RRF preprocessor sources (reference
+preprocess_snomed.py:316-394, preprocess_umls.py:83-121,190-257)."""
+
+import hashlib
+
+from medcat_spark.cdb_build import build_cdb_tables
+from medcat_spark.sources.ontologies import (MRCONSO_COLUMNS, MRHIER_COLUMNS,
+                                             MRSTY_COLUMNS, get_all_children,
+                                             pt2ch_dict, read_rrf,
+                                             read_snomed_rf2,
+                                             snomed_concept_df, snomed_pt2ch,
+                                             umls_concept_df, umls_pt2ch)
+
+RF2_CONCEPTS = [("id", "effectiveTime", "active", "moduleId", "definitionStatusId"),
+                ("100001", "20240101", "1", "m", "d"),
+                ("100002", "20240101", "1", "m", "d"),
+                ("100003", "20240101", "0", "m", "d")]  # inactive concept
+RF2_DESCRIPTIONS = [
+    ("id", "effectiveTime", "active", "moduleId", "conceptId", "languageCode",
+     "typeId", "term", "caseSignificanceId"),
+    ("d1", "t", "1", "m", "100001", "en", "900000000000003001",
+     "Heart attack (disorder)", "c"),
+    ("d2", "t", "1", "m", "100001", "en", "900000000000013009",
+     "Myocardial infarction", "c"),
+    ("d3", "t", "0", "m", "100001", "en", "900000000000013009",
+     "Old inactive name", "c"),                       # inactive description
+    ("d4", "t", "1", "m", "100002", "en", "900000000000003001",
+     "Renal failure (disorder)", "c"),
+    ("d5", "t", "1", "m", "100003", "en", "900000000000003001",
+     "Gone (disorder)", "c"),                          # inactive concept
+]
+RF2_RELATIONSHIPS = [
+    ("id", "effectiveTime", "active", "moduleId", "sourceId", "destinationId",
+     "relationshipGroup", "typeId", "characteristicTypeId", "modifierId"),
+    ("r1", "t", "1", "m", "100002", "100001", "0", "116680003", "c", "m"),
+    ("r2", "t", "0", "m", "100003", "100001", "0", "116680003", "c", "m"),
+    ("r3", "t", "1", "m", "100002", "100001", "0", "999", "c", "m"),  # not isa
+]
+
+
+def _df(spark, rows):
+    header, data = rows[0], rows[1:]
+    return spark.createDataFrame(data, ", ".join(f"{c} string" for c in header))
+
+
+def test_snomed_concept_df(spark):
+    out = snomed_concept_df(_df(spark, RF2_CONCEPTS),
+                            _df(spark, RF2_DESCRIPTIONS))
+    rows = {(r["cui"], r["name"]): r for r in out.collect()}
+    assert set(rows) == {("100001", "Heart attack (disorder)"),
+                         ("100001", "Myocardial infarction"),
+                         ("100002", "Renal failure (disorder)")}
+    assert rows[("100001", "Heart attack (disorder)")]["name_status"] == "P"
+    assert rows[("100001", "Myocardial infarction")]["name_status"] == "A"
+    assert rows[("100001", "Myocardial infarction")]["ontologies"] == "SNOMED-CT"
+    # semantic-tag hash = reference arithmetic (sha256 % 10^8)
+    want = str(int(hashlib.sha256(b"disorder").hexdigest(), 16) % 10 ** 8)
+    assert rows[("100001", "Heart attack (disorder)")]["type_ids"] == want
+    assert rows[("100001", "Myocardial infarction")]["type_ids"] == want
+
+
+def test_snomed_pt2ch_and_closure(spark):
+    pt2ch = snomed_pt2ch(_df(spark, RF2_RELATIONSHIPS))
+    d = pt2ch_dict(pt2ch)
+    assert d == {"100001": ["100002"]}  # active isa only
+    assert get_all_children("100001", d) == ["100001", "100002"]
+    assert get_all_children("100002", d) == ["100002"]
+
+
+def test_read_snomed_rf2_files(spark, tmp_path):
+    term = tmp_path / "Terminology"
+    term.mkdir()
+    for name, rows in [("sct2_Concept_Snapshot_INT_20240101.txt", RF2_CONCEPTS),
+                       ("sct2_Description_Snapshot-en_INT_20240101.txt",
+                        RF2_DESCRIPTIONS),
+                       ("sct2_Relationship_Snapshot_INT_20240101.txt",
+                        RF2_RELATIONSHIPS)]:
+        (term / name).write_text("\n".join("\t".join(r) for r in rows) + "\n")
+    out = read_snomed_rf2(spark, str(term))
+    assert out["concepts"].count() == 3
+    assert pt2ch_dict(out["pt2ch"]) == {"100001": ["100002"]}
+    # feeds the CDB build directly
+    names = build_cdb_tables(out["concepts"])["names"]
+    got = {(r["name"], r["cui"]): r["status"] for r in names.collect()}
+    assert got[("heart~attack~disorder", "100001")] == "P"
+    assert got[("myocardial~infarction", "100001")] == "A"
+
+
+MRCONSO = [
+    # CUI LAT TS LUI STT SUI ISPREF AUI SAUI SCUI SDUI SAB TTY CODE STR SRL SUPPRESS CVF
+    "C0001|ENG|P|L1|PF|S1|Y|A1||S100001||SNOMEDCT_US|PT|100001|Heart attack|0|N|",
+    "C0001|ENG|S|L2|PF|S2|N|A2||S100001||SNOMEDCT_US|SY|100001|Myocardial infarction|0|N|",
+    "C0001|SPA|P|L3|PF|S3|Y|A3||S100001||SNOMEDCT_US|PT|100001|Infarto|0|N|",
+    "C0002|ENG|P|L4|PF|S4|Y|A4||S100002||SNOMEDCT_US|PT|100002|Renal failure|0|N|",
+]
+MRSTY = [
+    "C0001|T047|B2.2|Disease or Syndrome|AT1||",
+    "C0002|T047|B2.2|Disease or Syndrome|AT2||",
+]
+MRHIER = [
+    # CUI AUI CXN PAUI SAB RELA PTR HCD CVF
+    "C0002|A4|1|A1|SNOMEDCT_US|isa|ptr||",
+    "C0001|A1|1||SNOMEDCT_US|isa|ptr||",        # root: no parent
+]
+
+
+def _write_rrf(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_umls_concept_df(spark, tmp_path):
+    conso = read_rrf(spark, _write_rrf(tmp_path, "MRCONSO.RRF", MRCONSO),
+                     MRCONSO_COLUMNS)
+    sty = read_rrf(spark, _write_rrf(tmp_path, "MRSTY.RRF", MRSTY),
+                   MRSTY_COLUMNS)
+    out = umls_concept_df(conso, sty)
+    rows = {(r["cui"], r["name"]): r for r in out.collect()}
+    # Spanish row filtered by the language filter
+    assert set(rows) == {("C0001", "Heart attack"),
+                         ("C0001", "Myocardial infarction"),
+                         ("C0002", "Renal failure")}
+    assert rows[("C0001", "Heart attack")]["name_status"] == "Y"
+    assert rows[("C0001", "Heart attack")]["type_ids"] == "T047"
+    assert rows[("C0002", "Renal failure")]["ontologies"] == "SNOMEDCT_US"
+    # ISPREF flows through the CDB build exactly like the reference
+    # cdb_maker: 'Y' is not a valid status -> falls back to 'A';
+    # 'N' IS valid (never-direct-link) and passes through
+    # (name_status_options = {'A','P','N'}, cdb_maker.py:109,160-161)
+    names = build_cdb_tables(out)["names"]
+    sts = {(r["name"], r["cui"]): r["status"] for r in names.collect()}
+    assert sts[("heart~attack", "C0001")] == "A"          # Y -> A
+    assert sts[("myocardial~infarction", "C0001")] == "N"  # N kept
+
+
+def test_umls_pt2ch(spark, tmp_path):
+    conso = read_rrf(spark, _write_rrf(tmp_path, "MRCONSO.RRF", MRCONSO),
+                     MRCONSO_COLUMNS)
+    hier = read_rrf(spark, _write_rrf(tmp_path, "MRHIER.RRF", MRHIER),
+                    MRHIER_COLUMNS)
+    d = pt2ch_dict(umls_pt2ch(conso, hier))
+    assert d == {"C0001": ["C0002"]}
