@@ -73,6 +73,16 @@ SNOMED_FIXTURE = {
         ("100003", "1", "900000000000003001", "Gone (disorder)"),
     ],
 }
+# (referencedComponentId, mapTarget, mapPriority, mapGroup, active) —
+# RF2 ExtendedMap refset shape (preprocess_snomed.py _map_snomed2refset)
+ICD10_REFSET_FIXTURE = [
+    ("D001", "I21.9", "1", "1", "1"),
+    ("D001", "I25.2", "2", "1", "1"),   # higher priority listed first
+    ("D002", "J10", "1", "1", "1"),
+    ("D003", "X99", "1", "1", "0"),     # inactive -> excluded
+    ("D004", "", "1", "1", "1"),        # empty target -> excluded
+]
+
 UMLS_FIXTURE = {
     "mrconso": [
         ("C0001", "ENG", "Y", "A1", "SNOMEDCT_US", "Heart attack"),
@@ -353,6 +363,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 "CUI string, TUI string")
         return umls_concept_df(conso, sty)
     q["cdb_umls_names"] = _umls
+
+    # --- P5 + addl_info code maps: mentions joined to a SNOMED→ICD-10
+    #     refset map (reference cat.py:1771-1773 out_ent['icd10'];
+    #     map built per preprocess_snomed.py map_snomed2icd10)
+    def _mentions_icd10(s, d):
+        from medcat_spark.sources.ontologies import snomed_refset_map
+        rs = s.createDataFrame(
+            ICD10_REFSET_FIXTURE,
+            "referencedComponentId string, mapTarget string, "
+            "mapPriority string, mapGroup string, active string")
+        codes = snomed_refset_map(rs)
+        m = _uni_ann(s, d).select("doc_id", "cui").distinct()
+        return (m.join(F.broadcast(codes), "cui", "left")
+                .select("cui",
+                        F.coalesce(F.concat_ws(",", "codes"), F.lit(""))
+                        .alias("icd10"))
+                .groupBy("cui", "icd10")
+                .agg(F.count("*").alias("n_docs")))
+    q["kg_mentions_icd10"] = _mentions_icd10
 
     # --- events: tumbling-window agg, sessionization, JSON extraction
     def _ev(s, d):
@@ -817,6 +846,22 @@ SELECT c.CUI AS cui, c.STR AS name, c.SAB AS ontologies,
        c.ISPREF AS name_status, s.TUI AS type_ids
 FROM conso c JOIN (SELECT DISTINCT CUI, TUI FROM sty) s USING (CUI)
 WHERE c.LAT = 'ENG'
+"""
+
+    _refset_vals = ",".join("('%s','%s',%s,%s,'%s')" % r
+                            for r in ICD10_REFSET_FIXTURE)
+    o["kg_mentions_icd10"] = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT t.doc_id, d.cui
+      FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name),
+rs(cui, code, prio, grp, active) AS (VALUES {_refset_vals}),
+codes AS (SELECT cui,
+                 array_to_string(list(code ORDER BY prio DESC, grp), ',')
+                 AS icd10
+          FROM rs WHERE active = '1' AND code <> '' GROUP BY cui)
+SELECT m.cui, COALESCE(c.icd10, '') AS icd10, COUNT(*) AS n_docs
+FROM m LEFT JOIN codes c ON c.cui = m.cui
+GROUP BY 1, 2
 """
 
     def _meta_model_oracle():

@@ -169,16 +169,30 @@ def annotate(docs: DataFrame, bc, num_partitions: Optional[int] = None,
 
 def project_output(ann: DataFrame, concepts: DataFrame,
                    type_names: Optional[DataFrame] = None,
-                   meta: Optional[DataFrame] = None) -> DataFrame:
+                   meta: Optional[DataFrame] = None,
+                   icd10: Optional[DataFrame] = None,
+                   snomed: Optional[DataFrame] = None) -> DataFrame:
     """P5: the `_doc_to_out` projection (cat.py:1729-1795) — join the
     small per-CUI attribute tables broadcast-side (SURVEY §2.3 J4):
     pretty_name/type_ids/ontologies from concepts, human-readable type
-    names from ``type_names(type_id, type_name)``, and per-entity
-    meta-annotations from ``meta(doc_id, start, cui, meta_name, value)``.
+    names from ``type_names(type_id, type_name)``, per-entity
+    meta-annotations from ``meta(doc_id, start, cui, meta_name, value)``,
+    and the addl_info code maps ``icd10``/``snomed`` as (cui, codes)
+    tables (reference fills out_ent['icd10']/['snomed'] from
+    addl_info['cui2icd10']/['cui2snomed'], cat.py:1771-1773; missing
+    CUIs get an empty list, matching ``.get(cui, [])``).
     """
     attrs = concepts.select("cui", "preferred_name", "type_ids", "ontologies")
     out = (ann.join(F.broadcast(attrs), "cui", "left")
            .withColumnRenamed("preferred_name", "pretty_name"))
+    for col_name, codes_df in (("icd10", icd10), ("snomed", snomed)):
+        if codes_df is not None:
+            c = codes_df.select(F.col("cui"),
+                                F.col("codes").alias(col_name))
+            out = (out.join(F.broadcast(c), "cui", "left")
+                   .withColumn(col_name,
+                               F.coalesce(F.col(col_name),
+                                          F.array().cast("array<string>"))))
     if type_names is not None:
         # the type dictionary is tiny (addl_info['type_id2name']) — fold
         # it into a map literal so the lookup stays in codegen land

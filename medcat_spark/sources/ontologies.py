@@ -190,6 +190,30 @@ def umls_pt2ch(mrconso: DataFrame, mrhier: DataFrame,
             .agg(F.array_sort(F.collect_set("child")).alias("children")))
 
 
+def snomed_refset_map(refset: DataFrame) -> DataFrame:
+    """Active ExtendedMap refset rows → (cui, codes array) ordered by
+    mapPriority (highest first) then mapGroup — the reference's
+    map_snomed2icd10 + get_direct_refset_mapping composition
+    (preprocess_snomed.py:41-70, 473-481, _map_snomed2refset sort at
+    :537-538).  Feeds addl_info['cui2icd10'] / ['cui2opcs4']."""
+    act = refset.where(F.col("active") == "1") \
+        .select(F.col("referencedComponentId").alias("cui"),
+                F.col("mapTarget").alias("code"),
+                F.col("mapPriority").cast("int").alias("prio"),
+                F.col("mapGroup").cast("int").alias("grp")) \
+        .where(F.col("code").isNotNull() & (F.col("code") != ""))
+    return (act.groupBy("cui")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    (-F.col("prio")).alias("nprio"), "grp", "code"))),
+                lambda s: s["code"]).alias("codes")))
+
+
+def refset_dict(refset_map: DataFrame) -> dict:
+    """Collect into the addl_info['cui2icd10'] dict shape."""
+    return {r["cui"]: list(r["codes"]) for r in refset_map.collect()}
+
+
 def pt2ch_dict(pt2ch: DataFrame) -> dict:
     """Collect the (small, model-side) hierarchy into the
     addl_info['pt2ch'] dict shape the regression checker consumes."""

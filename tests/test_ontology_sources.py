@@ -141,3 +141,40 @@ def test_umls_pt2ch(spark, tmp_path):
                     MRHIER_COLUMNS)
     d = pt2ch_dict(umls_pt2ch(conso, hier))
     assert d == {"C0001": ["C0002"]}
+
+
+def test_snomed_refset_map_and_projection(spark, fixture_models):
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.pipeline import (annotate, broadcast_model,
+                                       project_output)
+    from medcat_spark.sources.ontologies import refset_dict, snomed_refset_map
+
+    rs = spark.createDataFrame(
+        [("C0003", "I21.9", "1", "1", "1"),
+         ("C0003", "I25.2", "2", "1", "1"),    # higher priority first
+         ("C0005", "N19", "1", "1", "1"),
+         ("C0005", "ZZZ", "1", "1", "0")],     # inactive excluded
+        "referencedComponentId string, mapTarget string, mapPriority string, "
+        "mapGroup string, active string")
+    codes = snomed_refset_map(rs)
+    assert refset_dict(codes) == {"C0003": ["I25.2", "I21.9"],
+                                  "C0005": ["N19"]}
+
+    cdb, vocab = fixture_models
+    bc = broadcast_model(spark, cdb, vocab, EngineConfig())
+    docs = spark.createDataFrame(
+        [("d1", "patient with heart attack and kidney failure")],
+        "doc_id string, text string")
+    ann = annotate(docs, bc)
+    concepts = spark.createDataFrame(
+        [("C0003", "Heart attack", ["T047"], ["SNOMED"]),
+         ("C0005", "Kidney failure", ["T047"], ["SNOMED"])],
+        "cui string, preferred_name string, type_ids array<string>, "
+        "ontologies array<string>")
+    out = project_output(ann, concepts, icd10=codes).collect()
+    got = {r["cui"]: r["icd10"] for r in out}
+    assert got["C0003"] == ["I25.2", "I21.9"]
+    assert got["C0005"] == ["N19"]
+    # a CUI without a mapping gets [] (reference .get(cui, []))
+    others = [r["icd10"] for r in out if r["cui"] not in ("C0003", "C0005")]
+    assert all(v == [] for v in others)
