@@ -290,8 +290,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simf.cosine_topk_lsh(emb, qv, k=20, probe_dims=4)
     q["ann_lsh_topk"] = _topk_lsh
 
+    def _topk_multiprobe(s, d):
+        emb = demo.load_embeddings(s, d)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return simf.cosine_topk_lsh(emb, qv, k=20, probe_dims=4, n_flips=1)
+    q["ann_lsh_multiprobe"] = _topk_multiprobe
+
     q["emb_near_dup"] = lambda s, d: simf.pairwise_cosine_within(
         demo.load_embeddings(s, d), "label", min_sim=0.8)
+
+    # scale path: near-dup pairs routed through sign-bucket LSH with
+    # 1-bit multi-probe instead of the per-group cross-product
+    q["emb_near_dup_lsh"] = lambda s, d: simf.pairwise_cosine_lsh(
+        demo.load_embeddings(s, d), probe_dims=4, n_flips=1, min_sim=0.8)
 
     # --- multimodal plumbing
     q["media_features"] = lambda s, d: media_features(_interleaved_docs(s, d))
@@ -760,6 +771,45 @@ eb AS (SELECT vec_id,
 SELECT s.vec_id, s.sim
 FROM sims s JOIN eb ON s.vec_id = eb.vec_id JOIN qb ON eb.b = qb.b
 ORDER BY s.sim DESC, s.vec_id LIMIT 20
+"""
+
+    _HAM = ("((CASE WHEN substr(a.b,1,1) = substr(b.b,1,1) THEN 0 ELSE 1 END) +"
+            " (CASE WHEN substr(a.b,2,1) = substr(b.b,2,1) THEN 0 ELSE 1 END) +"
+            " (CASE WHEN substr(a.b,3,1) = substr(b.b,3,1) THEN 0 ELSE 1 END) +"
+            " (CASE WHEN substr(a.b,4,1) = substr(b.b,4,1) THEN 0 ELSE 1 END))")
+    _EB = """eb AS (SELECT vec_id,
+    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS b FROM embeddings)"""
+
+    o["ann_lsh_multiprobe"] = f"""
+WITH {_COS},
+{_EB},
+qb AS (SELECT
+    (CASE WHEN qv[1] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN qv[2] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN qv[3] >= 0 THEN '1' ELSE '0' END) ||
+    (CASE WHEN qv[4] >= 0 THEN '1' ELSE '0' END) AS b FROM q)
+SELECT s.vec_id, s.sim
+FROM sims s JOIN eb a ON s.vec_id = a.vec_id
+JOIN qb b ON {_HAM} <= 1
+ORDER BY s.sim DESC, s.vec_id LIMIT 20
+"""
+
+    o["emb_near_dup_lsh"] = f"""
+WITH {_EB},
+cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND {_HAM} <= 1),
+ex AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+d AS (SELECT c.id_a, c.id_b, SUM(ea.x * eb2.x) AS dp,
+             SUM(ea.x * ea.x) AS na, SUM(eb2.x * eb2.x) AS nb
+      FROM cand c JOIN ex ea ON ea.vec_id = c.id_a
+      JOIN ex eb2 ON eb2.vec_id = c.id_b AND eb2.i = ea.i
+      GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS sim
+FROM d WHERE ROUND(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.8
 """
 
     o["emb_near_dup"] = """

@@ -65,10 +65,19 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 4,
 
 
 def lsh_candidate_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 4,
-                        bands: int = 2, text_col: str = "text") -> DataFrame:
+                        bands: int = 2, text_col: str = "text",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """(doc_a, doc_b, band): pairs sharing at least one LSH band bucket.
 
     Band value = md5 of the band's concatenated signature rows.
+
+    ``max_bucket_size`` guards the self-join against degenerate
+    mega-buckets (boilerplate / empty docs hashing identically):
+    buckets larger than the cap are dropped BEFORE the join, turning a
+    quadratic blow-up into a skipped bucket.  At 100 TB a 1M-doc bucket
+    would otherwise emit 5·10^11 pairs from one partition; capped, those
+    docs are handled by the exact-dup pass (identical text ⇒
+    exact_dup_groups catches them far cheaper than pair enumeration).
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
@@ -81,6 +90,12 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 4,
     buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
                .select("doc_id", F.col("bb.band").alias("band"),
                        F.col("bb.bucket").alias("bucket")))
+    if max_bucket_size is not None:
+        oversized = (buckets.groupBy("band", "bucket")
+                     .agg(F.count("*").alias("n"))
+                     .where(F.col("n") > max_bucket_size)
+                     .select("band", "bucket"))
+        buckets = buckets.join(oversized, ["band", "bucket"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (a.join(b, ["band", "bucket"])

@@ -53,20 +53,40 @@ def sign_bucket(vec_col: Column, dims: List[int]) -> Column:
         for d in dims])
 
 
+def _flip(bucket: str, i: int) -> str:
+    return bucket[:i] + ("0" if bucket[i] == "1" else "1") + bucket[i + 1:]
+
+
+def probe_buckets(qbucket: str, n_flips: int = 0) -> List[str]:
+    """Multi-probe bucket set: the query's bucket plus all buckets
+    within Hamming distance ``n_flips`` (standard multi-probe LSH —
+    recall control without rebuilding the index)."""
+    out = {qbucket}
+    frontier = {qbucket}
+    for _ in range(n_flips):
+        frontier = {_flip(b, i) for b in frontier for i in range(len(b))}
+        out |= frontier
+    return sorted(out)
+
+
 def cosine_topk_lsh(embeddings: DataFrame, query_vec: Sequence[float],
-                    k: int = 10, probe_dims: int = 4,
+                    k: int = 10, probe_dims: int = 4, n_flips: int = 0,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     round_to: int = 6) -> DataFrame:
     """Approximate top-k: scan only rows whose sign-bucket (over the
-    first ``probe_dims`` dims) matches the query's bucket.
+    first ``probe_dims`` dims) is within Hamming distance ``n_flips``
+    of the query's bucket (multi-probe; n_flips=0 = single-bucket probe,
+    each +1 multiplies scanned buckets by ~probe_dims while recall
+    approaches exact).
 
     At 100 TB the bucket column is a partition/cluster key so the probe
-    is a partition-pruned scan, not a full pass.
+    is a partition-pruned scan of |probes| partitions, not a full pass.
     """
     dims = list(range(probe_dims))
     qbucket = "".join("1" if float(query_vec[d]) >= 0 else "0" for d in dims)
+    probes = probe_buckets(qbucket, n_flips)
     cand = embeddings.where(
-        sign_bucket(F.col(vec_col), dims) == F.lit(qbucket))
+        sign_bucket(F.col(vec_col), dims).isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
 
 
@@ -84,3 +104,46 @@ def pairwise_cosine_within(df: DataFrame, group_col: str,
             .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
             .where(F.col("sim") >= min_sim)
             .select("g", "id_a", "id_b", "sim"))
+
+
+def pairwise_cosine_lsh(df: DataFrame, probe_dims: int = 4,
+                        n_flips: int = 1, vec_col: str = "embedding",
+                        id_col: str = "vec_id", min_sim: float = 0.9,
+                        round_to: int = 6) -> DataFrame:
+    """Embedding near-duplicate pairs routed through sign-bucket LSH
+    instead of an all-pairs join (the scale path for emb near-dup —
+    highly-cosine-similar vectors share their sign pattern with high
+    probability, and ``n_flips`` recovers pairs that differ in up to
+    that many sign bits).
+
+    Plan: each row emits its canonical bucket once and its probe
+    variants; probes(a) ⋈ canonical(b) on the bucket key covers every
+    pair within Hamming distance ``n_flips`` symmetrically.  Join input
+    is |rows|·(1 + probe_dims·n_flips) vs the group cross-product of
+    pairwise_cosine_within — linear, and the bucket key shards evenly.
+    """
+    dims = list(range(probe_dims))
+    bits = [F.when(F.element_at(F.col(vec_col), d + 1) >= 0,
+                   F.lit("1")).otherwise(F.lit("0")) for d in dims]
+    canonical = F.concat(*bits)
+    variant_cols = [canonical]
+    for i in range(probe_dims if n_flips >= 1 else 0):
+        flipped = bits[:i] + [
+            F.when(bits[i] == "1", F.lit("0")).otherwise(F.lit("1"))
+        ] + bits[i + 1:]
+        variant_cols.append(F.concat(*flipped))
+
+    probes = df.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).cast("array<double>").alias("va"),
+                       F.explode(F.array_distinct(
+                           F.array(*variant_cols))).alias("bucket"))
+    canon = df.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).cast("array<double>").alias("vb"),
+                      canonical.alias("bucket"))
+    return (probes.join(canon, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("sim",
+                        F.round(cosine(F.col("va"), F.col("vb")), round_to))
+            .where(F.col("sim") >= min_sim)
+            .select("id_a", "id_b", "sim"))

@@ -1,0 +1,86 @@
+"""LSH scale guards (VERDICT r01 item 8): multi-probe ANN recall vs the
+exact baseline, and the mega-bucket cap on LSH candidate pairs."""
+
+import numpy as np
+import pytest
+
+from medcat_spark.functions import dedup as ddp
+from medcat_spark.functions import similarity as simf
+from medcat_spark.functions.similarity import probe_buckets
+
+
+def test_probe_buckets_hamming_sets():
+    assert probe_buckets("1010", 0) == ["1010"]
+    p1 = probe_buckets("1010", 1)
+    assert "1010" in p1 and len(p1) == 5
+    assert set(p1) == {"1010", "0010", "1110", "1000", "1011"}
+    assert len(probe_buckets("1010", 2)) == 1 + 4 + 6
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-1, 1, (10, 8))
+    rows = []
+    for i in range(300):
+        c = centers[i % 10]
+        v = c + rng.normal(0, 0.15, 8)
+        rows.append((i, [float(x) for x in v], f"c{i % 10}"))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+
+
+def test_multiprobe_recall_beats_single_probe(spark, clustered_embeddings):
+    emb = clustered_embeddings.cache()
+    qv = emb.where("vec_id = 0").first()["embedding"]
+    exact = {r["vec_id"] for r in
+             simf.cosine_topk(emb, qv, k=20).collect()}
+
+    def recall(n_flips):
+        got = {r["vec_id"] for r in simf.cosine_topk_lsh(
+            emb, qv, k=20, probe_dims=4, n_flips=n_flips).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r1 >= r0
+    assert r2 >= r1
+    assert r1 >= 0.9, (r0, r1, r2)
+    # full-probe degenerates to exact
+    assert recall(4) == 1.0
+    emb.unpersist()
+
+
+def test_pairwise_lsh_covers_high_sim_pairs(spark, clustered_embeddings):
+    emb = clustered_embeddings
+    exact = {(r["id_a"], r["id_b"]) for r in simf.pairwise_cosine_within(
+        emb.selectExpr("vec_id", "embedding", "'all' AS g"), "g",
+        min_sim=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in simf.pairwise_cosine_lsh(
+        emb, probe_dims=4, n_flips=1, min_sim=0.95).collect()}
+    assert lsh <= exact  # never invents pairs
+    assert exact, "fixture must produce high-sim pairs"
+    assert len(lsh & exact) / len(exact) >= 0.9, \
+        (len(lsh), len(exact))
+
+
+def test_lsh_bucket_cap_drops_mega_bucket(spark):
+    # 40 identical docs -> one mega-bucket (780 pairs uncapped);
+    # 3 distinct near-dup docs stay pairable
+    rows = [(str(i), "the same boilerplate text repeated") for i in range(40)]
+    rows += [("d90", "alpha beta gamma delta"),
+             ("d91", "alpha beta gamma delta"),
+             ("d92", "unrelated content entirely different")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    uncapped = ddp.lsh_candidate_pairs(docs).count()
+    capped = ddp.lsh_candidate_pairs(docs, max_bucket_size=10)
+    rows_c = capped.collect()
+    assert uncapped >= 40 * 39 // 2
+    # mega-bucket skipped entirely; the small bucket survives
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows_c}
+    assert ("d90", "d91") in pairs
+    assert all(not (a.isdigit() and b.isdigit()) for a, b in pairs)
+    # the exact-dup pass still catches the identical docs
+    groups = ddp.exact_dup_groups(docs)
+    mega = [r for r in groups.collect() if r["group_size"] == 40]
+    assert len(mega) == 40
