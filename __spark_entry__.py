@@ -394,6 +394,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_docs")))
     q["kg_mentions_icd10"] = _mentions_icd10
 
+    # --- TransformersNER analogue: trained token tagger, all-JVM window
+    #     scoring (functions/ner_model.py), + the DeID composition
+    #     (reference utils/ner/deid.py replace_entities_in_text)
+    def _ner_spans(s, d):
+        from medcat_spark.functions.ner_model import (ner_fixture_model,
+                                                      score_table, tag_spans)
+        m = ner_fixture_model()
+        return tag_spans(demo.load_docs(s, d), m, score_table(s, m))
+    q["ner_token_spans"] = _ner_spans
+
+    def _deid(s, d):
+        from medcat_spark.functions.deid import deid_text
+        from medcat_spark.functions.ner_model import (ner_fixture_model,
+                                                      score_table, tag_spans)
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        m = ner_fixture_model()
+        spans = tag_spans(docs, m, score_table(s, m)) \
+            .select("doc_id", "start", "end", F.col("label").alias("cui"))
+        return deid_text(docs, spans)
+    q["deid_docs"] = _deid
+
     # --- events: tumbling-window agg, sessionization, JSON extraction
     def _ev(s, d):
         return s.read.parquet(f"{d}/events.parquet")
@@ -912,6 +934,76 @@ codes AS (SELECT cui,
 SELECT m.cui, COALESCE(c.icd10, '') AS icd10, COUNT(*) AS n_docs
 FROM m LEFT JOIN codes c ON c.cui = m.cui
 GROUP BY 1, 2
+"""
+
+    def _ner_tagger_ctes():
+        from medcat_spark.functions.ner_model import ner_fixture_model
+        m = ner_fixture_model()
+        n = len(m.labels)
+        rows = ",".join(
+            "('%s',%s,%s)" % (
+                t,
+                ",".join(repr(float(m.center_scores[t][i])) for i in range(n)),
+                ",".join(repr(float(m.ctx_scores[t][i])) for i in range(n)))
+            for t in sorted(m.center_scores))
+        cols = (",".join(f"c{i}" for i in range(n)) + ","
+                + ",".join(f"x{i}" for i in range(n)))
+        logits = ",".join(
+            f"COALESCE(c{i}, 0.0) + AVG(COALESCE(x{i}, 0.0)) OVER w"
+            f" + ({float(m.bias[i])!r}) AS l{i}" for i in range(n))
+
+        def _win(i):
+            conds = [f"l{i} > l{j}" for j in range(i)] + \
+                    [f"l{i} >= l{j}" for j in range(i + 1, n)]
+            return " AND ".join(conds) if conds else "TRUE"
+
+        lab = "CASE " + " ".join(f"WHEN {_win(i)} THEN '{m.labels[i]}'"
+                                 for i in range(n)) + " END"
+        return m, f"""
+pos AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok),
+sc(tok, {cols}) AS (VALUES {rows}),
+lg AS (SELECT doc_id, pos, tok, start, {logits}
+       FROM (SELECT p.*, {cols.replace(',', ', ')}
+             FROM pos p LEFT JOIN sc s USING (tok))
+       WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN {m.window} PRECEDING
+                    AND {m.window} FOLLOWING)),
+tagged AS (SELECT doc_id, pos, tok, start, {lab} AS label FROM lg),
+ent AS (SELECT doc_id, pos, tok, start, label,
+               pos - row_number() OVER (PARTITION BY doc_id, label
+                                        ORDER BY pos) AS island
+        FROM tagged WHERE label <> 'O')
+"""
+
+    _m, _NER_CTES = _ner_tagger_ctes()
+    o["ner_token_spans"] = f"""
+WITH {_TOKS_CTE},
+{_NER_CTES}
+SELECT doc_id, CAST(MIN(start) AS INT) AS start,
+       CAST(MAX(start + length(tok)) AS INT) AS end, label,
+       COUNT(*) AS n_tokens
+FROM ent GROUP BY doc_id, label, island
+"""
+
+    o["deid_docs"] = f"""
+WITH {_TOKS_CTE},
+{_NER_CTES},
+heads AS (SELECT doc_id, label, island, MIN(pos) AS pos FROM ent
+          GROUP BY 1, 2, 3),
+units AS (
+  SELECT t.doc_id, t.pos,
+         COALESCE('[' || h.label || ']',
+                  CASE WHEN e.pos IS NULL THEN t.tok END) AS unit
+  FROM tagged t
+  LEFT JOIN heads h ON h.doc_id = t.doc_id AND h.pos = t.pos
+  LEFT JOIN ent e ON e.doc_id = t.doc_id AND e.pos = t.pos)
+SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS deid_text
+FROM units WHERE unit IS NOT NULL GROUP BY doc_id
 """
 
     def _meta_model_oracle():

