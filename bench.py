@@ -72,6 +72,31 @@ def run(spark) -> dict:
     qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
     timed("q9_ann_topk", lambda: simf.cosine_topk(emb, qv, k=20).collect())
 
+    # q11: MetaCAT-analogue trained scorer (Arrow-batched, broadcast
+    # model, one tokenize per doc for all its entities)
+    from medcat_spark.functions.meta_model import (meta_annotations_model,
+                                                   negation_fixture_model)
+    bcm = spark.sparkContext.broadcast(negation_fixture_model())
+    timed("q11_meta_model",
+          lambda: meta_annotations_model(ann, docs, bcm).count())
+
+    # q12: RelCAT-analogue entity-pair classifier
+    from medcat_spark.functions.rel_model import (relation_fixture_model,
+                                                  relations_model)
+    bcr = spark.sparkContext.broadcast(relation_fixture_model())
+    timed("q12_relations", lambda: relations_model(ann, docs, bcr).count())
+
+    # q13: all-JVM trained token tagger + DeID splice composition
+    from medcat_spark.functions.deid import deid_text
+    from medcat_spark.functions.ner_model import (ner_fixture_model,
+                                                  score_table, tag_spans)
+    nm = ner_fixture_model()
+    sct = score_table(spark, nm)
+    timed("q13_tagger_deid", lambda: deid_text(
+        docs, tag_spans(docs, nm, sct)
+        .select("doc_id", "start", "end", F.col("label").alias("cui"))
+    ).count())
+
     # q10: sustained annotate throughput over a 20x-replicated corpus
     # (the raw sf corpus is small enough to be overhead-dominated)
     from medcat_spark.config import EngineConfig

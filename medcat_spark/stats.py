@@ -46,3 +46,108 @@ def overall_stats(pred: DataFrame, gold: DataFrame) -> dict:
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     return {"tp": tp, "fp": fp, "fn": fn,
             "precision": prec, "recall": rec, "f1": f1}
+
+
+# ---------------------------------------------------------------------------
+# k-fold supervised evaluation (reference medcat/stats/kfold.py:81-500):
+# split the MCT export into k folds, per fold train from the BASE model on
+# the other k-1 folds, evaluate on the held-out fold, aggregate.
+# ---------------------------------------------------------------------------
+
+def assign_folds_per_docs(doc_ids, k: int):
+    """PerDocsFoldCreator (kfold.py:177-196): contiguous chunks of
+    size n//k over the doc order; the LAST fold takes the remainder."""
+    doc_ids = list(doc_ids)
+    per = max(len(doc_ids) // k, 1)
+    out = {}
+    for fold in range(k):
+        start = per * fold
+        end = len(doc_ids) if fold == k - 1 else start + per
+        for d in doc_ids[start:end]:
+            out[d] = fold
+    return out
+
+
+def assign_folds_weighted(doc_weights, k: int):
+    """WeightedDocumentsCreator (kfold.py:240-262): docs sorted by
+    weight (#annotations) descending, each assigned greedily to the
+    currently lightest fold."""
+    folds = {}
+    weights = [0] * k
+    ordered = sorted(doc_weights, key=lambda dw: dw[1], reverse=True)
+    for doc_id, w in ordered:
+        i = min(range(k), key=lambda j: weights[j])
+        folds[doc_id] = i
+        weights[i] += w
+    return folds
+
+
+def kfold_stats(spark, mct: DataFrame, cdb, vocab, config, k: int = 3,
+                split_type: str = "weighted") -> dict:
+    """k-fold metrics over an MCT export DataFrame (sources/mct_export
+    rows).  Per fold: deepcopy the base model, distributed-train on the
+    other folds (model_ops.train_supervised_spark + apply_training),
+    annotate the held-out docs, and accumulate exact (doc_id,start,cui)
+    TP/FP/FN.  Returns overall and per-fold precision/recall/f1 —
+    the reference averages per-fold metrics (kfold.py:457-500); the
+    summed-confusion overall is also reported (micro average).
+    """
+    import copy
+
+    from medcat_spark.model_ops import apply_training, train_supervised_spark
+    from medcat_spark.pipeline import annotate, broadcast_model
+    from medcat_spark.sources.mct_export import (documents_from_mct,
+                                                 gold_annotations)
+
+    docs = documents_from_mct(mct).cache()
+    gold = (mct.where(F.col("validated") & ~F.col("killed")
+                      & ~F.col("deleted"))
+            .select("doc_id", F.col("start").cast("int").alias("start"),
+                    F.col("end").cast("int").alias("end"), "cui").cache())
+
+    if split_type == "per_docs":
+        ids = [r["doc_id"] for r in
+               docs.select("doc_id").orderBy("doc_id").collect()]
+        fold_of = assign_folds_per_docs(ids, k)
+    elif split_type == "weighted":
+        w = (gold.groupBy("doc_id").agg(F.count("*").alias("w"))
+             .join(docs.select("doc_id"), "doc_id", "right")
+             .select("doc_id", F.coalesce("w", F.lit(0)).alias("w"))
+             .orderBy("doc_id").collect())
+        fold_of = assign_folds_weighted([(r["doc_id"], r["w"]) for r in w], k)
+    else:
+        raise ValueError(f"unknown split_type {split_type}")
+
+    fold_df = spark.createDataFrame(list(fold_of.items()),
+                                    "doc_id string, fold int")
+    per_fold, tot = [], {"tp": 0, "fp": 0, "fn": 0}
+    for fold in range(k):
+        train_docs = docs.join(fold_df.where(F.col("fold") != fold),
+                               "doc_id", "left_semi")
+        eval_docs = docs.join(fold_df.where(F.col("fold") == fold),
+                              "doc_id", "left_semi")
+        train_gold = gold.join(train_docs.select("doc_id"),
+                               "doc_id", "left_semi")
+        model = copy.deepcopy(cdb)  # reference captured_state_cdb restore
+        bc = broadcast_model(spark, model, vocab, config)
+        apply_training(model, train_supervised_spark(
+            spark, train_gold, train_docs, bc, config).collect())
+        bc2 = broadcast_model(spark, model, vocab, config)
+        pred = annotate(eval_docs, bc2).select("doc_id", "start", "cui")
+        eval_gold = gold.join(eval_docs.select("doc_id"),
+                              "doc_id", "left_semi")
+        st = overall_stats(pred, eval_gold)
+        per_fold.append(st)
+        for kk in tot:
+            tot[kk] += st[kk]
+    docs.unpersist()
+    gold.unpersist()
+
+    prec = tot["tp"] / (tot["tp"] + tot["fp"]) if tot["tp"] + tot["fp"] else 0.0
+    rec = tot["tp"] / (tot["tp"] + tot["fn"]) if tot["tp"] + tot["fn"] else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    n = len(per_fold)
+    return {"folds": per_fold,
+            "precision": prec, "recall": rec, "f1": f1, **tot,
+            "precision_macro": sum(f["precision"] for f in per_fold) / n,
+            "recall_macro": sum(f["recall"] for f in per_fold) / n}

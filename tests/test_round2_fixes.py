@@ -89,3 +89,55 @@ def test_checkpoint_subset_is_deterministic_first_n(spark, docs_df,
     expected = sorted(
         r["doc_id"] for r in docs_df.select("doc_id").collect())[:7]
     assert done == expected
+
+
+def test_kfold_split_semantics():
+    from medcat_spark.stats import (assign_folds_per_docs,
+                                    assign_folds_weighted)
+    # per-docs: contiguous chunks, remainder to the last fold
+    f = assign_folds_per_docs(["a", "b", "c", "d", "e", "f", "g"], 3)
+    assert [f[x] for x in "abcdefg"] == [0, 0, 1, 1, 2, 2, 2]
+    # weighted: heaviest first, greedy to lightest fold -> balanced
+    f = assign_folds_weighted([("a", 10), ("b", 9), ("c", 5),
+                               ("d", 4), ("e", 1)], 2)
+    wa = sum(w for d, w in [("a", 10), ("b", 9), ("c", 5), ("d", 4),
+                            ("e", 1)] if f[d] == 0)
+    wb = 29 - wa
+    assert abs(wa - wb) <= 1
+
+
+def test_kfold_stats_end_to_end(spark, fixture_models):
+    import json
+
+    from medcat_spark.sources.mct_export import read_mct_export
+    from medcat_spark.stats import kfold_stats
+
+    cdb, vocab = fixture_models
+    cfg = EngineConfig()
+    # build an MCT export whose gold = the model's own annotations on
+    # 9 fixture docs -> k-fold P/R must be perfect
+    from medcat_spark.core.annotate import annotate_document
+    from medcat_spark.fixtures import fixture_documents
+    docs = fixture_documents(9)
+    export = {"projects": [{"id": 1, "name": "p", "cuis": "",
+                            "documents": []}]}
+    for d in docs:
+        text = " ".join(s["text"] for s in d["spans"]
+                        if s["kind"] == "text")
+        ents, _ = annotate_document(text, cdb, vocab, cfg)
+        export["projects"][0]["documents"].append(
+            {"id": d["doc_id"], "name": d["doc_id"], "text": text,
+             "annotations": [{"start": e.start, "end": e.end, "cui": e.cui,
+                              "value": e.source_value} for e in ents]})
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as fh:
+        json.dump(export, fh)
+        path = fh.name
+    mct = read_mct_export(spark, path)
+    res = kfold_stats(spark, mct, cdb, vocab, cfg, k=3,
+                      split_type="weighted")
+    assert len(res["folds"]) == 3
+    assert res["tp"] > 0
+    assert res["precision"] == 1.0
+    assert res["recall"] == 1.0

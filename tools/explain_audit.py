@@ -42,6 +42,30 @@ def main():
             f"{SF_DIR}/documents.parquet")
             .where(F.col("lang") == "en").select("doc_id", "n_chars"),
     }
+
+    # round-2 operators: all-JVM token tagger, deid splice, trained
+    # meta scorer, multi-probe ANN, LSH-routed near-dup
+    from medcat_spark.functions.deid import deid_text
+    from medcat_spark.functions.meta_model import (meta_annotations_model,
+                                                   negation_fixture_model)
+    from medcat_spark.functions.ner_model import (ner_fixture_model,
+                                                  score_table, tag_spans)
+    nm = ner_fixture_model()
+    sct = score_table(spark, nm)
+    spans = tag_spans(docs, nm, sct)
+    plans["token_tagger(all-JVM)"] = spans
+    plans["deid_splice"] = deid_text(
+        docs, spans.select("doc_id", "start", "end",
+                           F.col("label").alias("cui")))
+    bcm = spark.sparkContext.broadcast(negation_fixture_model())
+    ann = demo.ner_annotations(spark, SF_DIR, demo.UNIGRAM_ROWS,
+                               num_partitions=8)
+    plans["meta_model(batched)"] = meta_annotations_model(ann, docs, bcm)
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    plans["ann_lsh_multiprobe"] = simf.cosine_topk_lsh(
+        emb, qv, k=20, probe_dims=4, n_flips=1)
+    plans["emb_near_dup_lsh"] = simf.pairwise_cosine_lsh(
+        emb, probe_dims=4, n_flips=1, min_sim=0.8)
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
