@@ -94,6 +94,21 @@ def snomed_concept_df(concepts: DataFrame, descriptions: DataFrame,
         F.coalesce(F.col("type_ids"), F.lit("")).alias("description_type_ids"))
 
 
+def snomed_type_id2name(descriptions: DataFrame) -> DataFrame:
+    """(type_id, type_name): the addl_info['type_id2name'] table —
+    semantic tag text keyed by its hashed 8-digit id (feeds
+    project_output's ``types`` projection, reference cat.py:1764)."""
+    tags = (descriptions.where((F.col("active") == "1")
+                               & (F.col("typeId") == FSN_TYPE))
+            .select(F.regexp_extract("term", _TAG_RE, 1).alias("tag"))
+            .where(F.col("tag") != "").distinct())
+    distinct = [r["tag"] for r in tags.collect()]
+    spark = descriptions.sparkSession
+    return spark.createDataFrame(
+        [(str(_tag_hash(t)), t) for t in sorted(distinct)],
+        "type_id string, type_name string")
+
+
 def snomed_pt2ch(relationships: DataFrame) -> DataFrame:
     """Active |is a| rows → (parent, children array): child sourceId
     IS-A parent destinationId (preprocess_snomed.py relationship2json)."""

@@ -178,3 +178,11 @@ def test_snomed_refset_map_and_projection(spark, fixture_models):
     # a CUI without a mapping gets [] (reference .get(cui, []))
     others = [r["icd10"] for r in out if r["cui"] not in ("C0003", "C0005")]
     assert all(v == [] for v in others)
+
+
+def test_snomed_type_id2name(spark):
+    from medcat_spark.sources.ontologies import snomed_type_id2name
+    out = snomed_type_id2name(_df(spark, RF2_DESCRIPTIONS))
+    got = {r["type_id"]: r["type_name"] for r in out.collect()}
+    want_id = str(int(hashlib.sha256(b"disorder").hexdigest(), 16) % 10 ** 8)
+    assert got == {want_id: "disorder"}
