@@ -161,6 +161,12 @@ def _score_batches(bc):
             model = bc.value
             _REL_CACHE.clear()
             _REL_CACHE[key] = model
+        scores = model.token_scores
+        bias = model.bias
+        dist_w = model.dist_w
+        labels = model.labels
+        n_cls = len(labels)
+        max_d = model.max_distance
         for pdf in batches:
             out = {f.name: [] for f in _SCHEMA.fields}
             for row in pdf.itertuples(index=False):
@@ -173,6 +179,16 @@ def _score_batches(bc):
                     ((starts.get(e["start"]), e) for e in row.ents
                      if starts.get(e["start"]) is not None),
                     key=lambda x: x[0])
+                if len(ents) < 2:
+                    continue
+                # prefix sums: between-token bag sum for (pa, pb) is one
+                # slice difference (see meta_model._score_batches note)
+                P = np.zeros((len(toks) + 1, n_cls))
+                for i, t in enumerate(toks):
+                    s = scores.get(t)
+                    if s is not None:
+                        P[i + 1] = s
+                np.cumsum(P, axis=0, out=P)
                 for i in range(len(ents)):
                     pa, ea = ents[i]
                     for j in range(i + 1, len(ents)):
@@ -180,16 +196,20 @@ def _score_batches(bc):
                         d = pb - pa
                         if d <= 0:
                             continue
-                        if d > model.max_distance:
+                        if d > max_d:
                             break
-                        rel, conf = model.predict(toks[pa + 1:pb], d)
+                        lg = ((P[pb] - P[pa + 1]) / max(d - 1, 1)
+                              + dist_w * (d / max_d) + bias)
+                        i_best = int(np.argmax(lg))
+                        e = np.exp(lg - lg.max())
                         out["doc_id"].append(str(row.doc_id))
                         out["start1"].append(int(ea["start"]))
                         out["start2"].append(int(eb["start"]))
                         out["ent1_cui"].append(ea["cui"])
                         out["ent2_cui"].append(eb["cui"])
-                        out["relation"].append(rel)
-                        out["confidence"].append(round(conf, 4))
+                        out["relation"].append(labels[i_best])
+                        out["confidence"].append(
+                            round(float(e[i_best] / e.sum()), 4))
             if out["doc_id"]:
                 yield pd.DataFrame(out)
     return fn
