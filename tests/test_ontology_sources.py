@@ -186,3 +186,41 @@ def test_snomed_type_id2name(spark):
     got = {r["type_id"]: r["type_name"] for r in out.collect()}
     want_id = str(int(hashlib.sha256(b"disorder").hexdigest(), 16) % 10 ** 8)
     assert got == {want_id: "disorder"}
+
+
+PUBTATOR = """\
+25763772|t|DCTN4 as a modifier of chronic infection
+25763772|a|Pseudomonas aeruginosa infection is common in cystic fibrosis.
+25763772\t0\t5\tDCTN4\tT116,T123\tC4308010
+25763772\t23\t40\tchronic infection\tT047\tC0151317
+25763772\t42\t64\tPseudomonas aeruginosa\tT007\tC0033809
+
+9988722|t|Short title
+9988722|a|Short abstract text.
+9988722\t0\t5\tShort\tT033\tC0453933
+"""
+
+
+def test_pubtator_source(spark, tmp_path):
+    from medcat_spark.sources.medmentions import pubtator_to_mct, read_pubtator
+    p = tmp_path / "mm.txt"
+    p.write_text(PUBTATOR)
+    parsed = read_pubtator(spark, str(p))
+    docs = {r["doc_id"]: r["text"] for r in parsed["documents"].collect()}
+    assert docs["25763772"] == ("DCTN4 as a modifier of chronic infection "
+                                "Pseudomonas aeruginosa infection is common "
+                                "in cystic fibrosis.")
+    assert docs["9988722"] == "Short title Short abstract text."
+    ann = {(r["doc_id"], r["start"]): r for r in
+           parsed["annotations"].collect()}
+    assert ann[("25763772", 0)]["cui"] == "C4308010"
+    assert ann[("25763772", 0)]["type_ids"] == "T116|T123"  # comma -> '|'
+    # gold spans align with the reconstructed text
+    a = ann[("25763772", 23)]
+    assert docs["25763772"][a["start"]:a["end"]] == "chronic infection"
+    con = {r["cui"]: r for r in parsed["concepts"].collect()}
+    assert con["C0151317"]["name"] == "chronic infection"
+    assert con["C0151317"]["name_status"] == "A"
+    mct = pubtator_to_mct(parsed)
+    assert mct.count() == 4
+    assert mct.where("validated").count() == 4
