@@ -245,6 +245,24 @@ def meta_annotations_model(ann: DataFrame, docs: DataFrame, bc,
     return joined.mapInPandas(_score_batches(bc, meta_name), schema=_SCHEMA)
 
 
+def meta_annotations_multi(ann: DataFrame, docs: DataFrame,
+                           models: list, text_col: str = "text") -> DataFrame:
+    """Run SEVERAL meta-annotation models (the reference pipelines a
+    list of MetaCATs — Status, Negation, Experiencer ... — cat.py:
+    meta_cats loop) → unioned (doc_id, start, cui, meta_name, value,
+    confidence) rows, groupable into the meta_anns map by
+    pipeline.project_output(meta=...).
+
+    ``models`` = [(meta_name, broadcast(MetaCatModel))].
+    """
+    out = None
+    for meta_name, bc in models:
+        cur = meta_annotations_model(ann, docs, bc, meta_name=meta_name,
+                                     text_col=text_col)
+        out = cur if out is None else out.unionByName(cur)
+    return out
+
+
 def oracle_sql_for_model(model: MetaCatModel, toks_cte: str, dict_sql: str,
                          meta_name: str = "Negation") -> str:
     """Generate the DuckDB oracle reproducing the scorer exactly:

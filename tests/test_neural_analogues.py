@@ -102,3 +102,32 @@ def test_relations_model_spark_pairs(spark):
     assert ("D003", "D004") in got       # 'and' between -> cooccurs
     assert got[("D003", "D004")] == "cooccurs_with"
     assert ("D001", "D004") in got       # pair ordering follows text order
+
+
+def test_meta_multi_and_projection(spark):
+    """Multiple meta tasks union into one relation and fold into the
+    meta_anns map via project_output (reference meta_cats loop +
+    _doc_to_out meta_anns dict)."""
+    from pyspark.sql import functions as F
+
+    from medcat_spark.functions.meta_model import (meta_annotations_multi,
+                                                   negation_fixture_model)
+    from medcat_spark.pipeline import project_output
+
+    model = negation_fixture_model()
+    bc = spark.sparkContext.broadcast(model)
+    docs = spark.createDataFrame([("d1", "spark slow table scan")],
+                                 "doc_id string, text string")
+    ann = spark.createDataFrame([("d1", 0, "D001")],
+                                "doc_id string, start int, cui string")
+    multi = meta_annotations_multi(ann, docs,
+                                   [("Negation", bc), ("Status", bc)])
+    rows = multi.collect()
+    assert {r["meta_name"] for r in rows} == {"Negation", "Status"}
+
+    concepts = spark.createDataFrame(
+        [("D001", "Spark", ["T001"], ["X"])],
+        "cui string, preferred_name string, type_ids array<string>, "
+        "ontologies array<string>")
+    out = project_output(ann, concepts, meta=multi).first()
+    assert set(out["meta_anns"].keys()) == {"Negation", "Status"}
