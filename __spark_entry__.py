@@ -416,6 +416,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return deid_text(docs, spans)
     q["deid_docs"] = _deid
 
+    # --- reference entity-linking scenario suite through the FULL Spark
+    #     pipeline (reference tests/test_entity_linking.py cases:
+    #     lemmatization, diacritics, uppercase acronyms, disambiguation);
+    #     oracle = the expected entity rows (reference-asserted CUIs +
+    #     deterministic seeded-training extras)
+    def _scenario(s, d):
+        from medcat_spark.fixtures_scenario import (SCENARIO_CASES,
+                                                    scenario_models)
+        from medcat_spark.pipeline import annotate, broadcast_model
+        cdb, vocab, cfg = scenario_models()
+        bc = broadcast_model(s, cdb, vocab, cfg)
+        docs = s.createDataFrame([(c[0], c[1]) for c in SCENARIO_CASES],
+                                 "doc_id string, text string")
+        return annotate(docs, bc).select("doc_id", "start", "end", "cui",
+                                         "detected_name")
+    q["ner_scenario_suite"] = _scenario
+
     # --- events: tumbling-window agg, sessionization, JSON extraction
     def _ev(s, d):
         return s.read.parquet(f"{d}/events.parquet")
@@ -1004,6 +1021,34 @@ units AS (
   LEFT JOIN ent e ON e.doc_id = t.doc_id AND e.pos = t.pos)
 SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS deid_text
 FROM units WHERE unit IS NOT NULL GROUP BY doc_id
+"""
+
+    # Expected scenario entities: the reference-asserted CUIs per case
+    # (tests/test_entity_linking.py) at their text offsets, plus the
+    # deterministic seeded-training outcomes (surgery senses, the
+    # unasserted 'cancer' direct link).  Pipeline output is deterministic
+    # on fixed input, so the oracle is the literal expected relation.
+    _SCENARIO_ROWS = ",".join("('%s',%d,%d,'%s','%s')" % r for r in [
+        ("entity_linking", 26, 33, "C0543467", "surgery"),
+        ("entity_linking", 35, 47, "C3665472", "chemotherapy"),
+        ("entity_linking", 53, 65, "C1522449", "radiotherapy"),
+        ("entity_linking", 67, 72, "C0007131", "nsclc"),
+        ("entity_linking", 99, 106, "C1274039", "surgery"),
+        ("entity_linking", 116, 120, "C0149925", "sclc"),
+        ("entity_linking", 148, 160, "C3665472", "chemotherapy"),
+        ("entity_linking", 165, 177, "C1522449", "radiotherapy"),
+        ("entity_linking", 198, 209, "C0242379", "lung~cancer"),
+        ("lemma_not_required", 18, 22, "C0085639", "fall"),
+        ("lemma_required", 25, 32, "C0085639", "fall"),
+        ("diacritics", 0, 17, "C0025281", "ménière~s~disease"),
+        ("upper_mid_sentence", 23, 26, "C0026045", "map"),
+        ("upper_start_sentence", 0, 3, "C0026045", "map"),
+        ("upper_non_abbrev", 0, 8, "C0699967", "taxotere"),
+        ("upper_non_abbrev", 50, 56, "C0006826", "cancer"),
+    ])
+    o["ner_scenario_suite"] = f"""
+SELECT * FROM (VALUES {_SCENARIO_ROWS})
+AS t(doc_id, start, "end", cui, detected_name)
 """
 
     def _meta_model_oracle():
