@@ -58,3 +58,43 @@ def gold_annotations(mct: DataFrame) -> DataFrame:
 
 def documents_from_mct(mct: DataFrame) -> DataFrame:
     return mct.select("doc_id", "text").distinct()
+
+
+def annotation_agreement(mct: DataFrame, project_a: str,
+                         project_b: str) -> DataFrame:
+    """Inter-annotator comparison of two projects over shared documents
+    (reference utils/data_utils.py:126-222 are_anns_same/get_same_anns,
+    used by consolidate_double_annotations): exact (doc_id, start, end)
+    span join, then agreement status per annotation:
+
+      agree     — both projects, same CUI
+      conflict  — both projects, different CUI
+      only_a / only_b — span annotated in one project only
+
+    → (doc_id, start, end, cui_a, cui_b, status); aggregate with
+    ``agreement_stats`` for the consolidated counts.
+    """
+    keys = ["doc_id", "start", "end"]
+    a = (mct.where(F.col("project_id") == project_a)
+         .select(*keys, F.col("cui").alias("cui_a")).distinct())
+    b = (mct.where(F.col("project_id") == project_b)
+         .select(*keys, F.col("cui").alias("cui_b")).distinct())
+    j = a.join(b, keys, "full_outer")
+    status = (F.when(F.col("cui_a").isNull(), "only_b")
+              .when(F.col("cui_b").isNull(), "only_a")
+              .when(F.col("cui_a") == F.col("cui_b"), "agree")
+              .otherwise("conflict"))
+    return j.select(*keys, "cui_a", "cui_b", status.alias("status"))
+
+
+def agreement_stats(agreement: DataFrame) -> dict:
+    """Consolidated counts + simple percent agreement
+    (reference print_consolid_stats analogue)."""
+    d = {r["status"]: r["n"] for r in
+         agreement.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    agree = d.get("agree", 0)
+    total = sum(d.values())
+    return {**{k: d.get(k, 0) for k in
+               ("agree", "conflict", "only_a", "only_b")},
+            "total": total,
+            "pct_agreement": round(agree / total, 4) if total else 0.0}

@@ -92,3 +92,32 @@ def test_mct_source_and_pr_harness(spark, fixture_models, mct_path):
 
     pc = {r["cui"]: r for r in per_cui_stats(pred, gold).collect()}
     assert pc["C0999"]["fn"] == 1 and pc["C0999"]["tp"] == 0
+
+
+def test_annotation_agreement(spark, tmp_path):
+    import json
+
+    from medcat_spark.sources.mct_export import (agreement_stats,
+                                                 annotation_agreement,
+                                                 read_mct_export)
+    export = {"projects": [
+        {"id": 1, "name": "a", "cuis": "", "documents": [
+            {"id": 10, "name": "d", "text": "x y z",
+             "annotations": [
+                 {"start": 0, "end": 1, "cui": "C1", "value": "x"},
+                 {"start": 2, "end": 3, "cui": "C2", "value": "y"},
+                 {"start": 4, "end": 5, "cui": "C3", "value": "z"}]}]},
+        {"id": 2, "name": "b", "cuis": "", "documents": [
+            {"id": 10, "name": "d", "text": "x y z",
+             "annotations": [
+                 {"start": 0, "end": 1, "cui": "C1", "value": "x"},   # agree
+                 {"start": 2, "end": 3, "cui": "C9", "value": "y"},   # conflict
+                 {"start": 6, "end": 7, "cui": "C4", "value": "w"}]}]},  # only_b
+    ]}
+    p = tmp_path / "dbl.json"
+    p.write_text(json.dumps(export))
+    mct = read_mct_export(spark, str(p))
+    agr = annotation_agreement(mct, "1", "2")
+    st = agreement_stats(agr)
+    assert st == {"agree": 1, "conflict": 1, "only_a": 1, "only_b": 1,
+                  "total": 4, "pct_agreement": 0.25}
