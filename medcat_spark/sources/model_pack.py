@@ -56,9 +56,15 @@ def save_model_pack(path: str, cdb: CdbModel, vocab: VocabModel,
 
     cv_rows = [(c, ct, v) for c in sorted(cdb.cui2context_vectors)
                for ct, v in sorted(cdb.cui2context_vectors[c].items())]
+    # explicit schema: an EMPTY untrained pack must still carry
+    # array<double> for vec (inference would write null/int and break
+    # the distributed merge in model_ops.save_trained_pack)
+    cv_schema = pa.schema([("cui", pa.string()), ("ctx_type", pa.string()),
+                           ("vec", pa.list_(pa.float64()))])
     _write(os.path.join(path, "context_vectors.parquet"), pa.table({
         "cui": [r[0] for r in cv_rows], "ctx_type": [r[1] for r in cv_rows],
-        "vec": [np.asarray(r[2], dtype=np.float64).tolist() for r in cv_rows]}))
+        "vec": [np.asarray(r[2], dtype=np.float64).tolist() for r in cv_rows]},
+        schema=cv_schema))
 
     _write(os.path.join(path, "token_counts.parquet"), pa.table({
         "token": sorted(cdb.vocab),
