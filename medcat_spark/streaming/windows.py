@@ -1,0 +1,80 @@
+"""Streaming windowed aggregations + custom stateful operators over
+annotation/event streams (SURVEY §2.10 — the reference is batch-only;
+these are the Spark-native stream analogues the 100 TB pipeline needs:
+watermarks bound state for late data, session windows are native, and
+``applyInPandasWithState`` carries custom per-key state).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField, StructType,
+                               TimestampType)
+
+
+def windowed_mention_counts(ann_stream: DataFrame, ts_col: str = "ts",
+                            window: str = "1 hour",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window mention counts per CUI with a watermark so late
+    rows beyond the bound are dropped and window state is evicted —
+    the streaming analogue of the per-doc mention aggregation."""
+    return (ann_stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"), "cui")
+            .agg(F.count("*").alias("n_mentions"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "cui", "n_mentions"))
+
+
+def sessionized_counts(events_stream: DataFrame, ts_col: str = "ts",
+                       key_col: str = "user_id", gap: str = "30 minutes",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Native session windows (F.session_window) with watermark —
+    the streaming version of the batch sessionize query."""
+    return (events_stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                     key_col)
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col(key_col),
+                    F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    "n_events"))
+
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+_TOTALS_SCHEMA = StructType([
+    StructField("cui", StringType()),
+    StructField("total_mentions", LongType()),
+    StructField("batch_mentions", LongType()),
+])
+
+
+def _cui_totals_fn(key: Tuple[str],
+                   pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    n = sum(len(pdf) for pdf in pdfs)
+    (prev,) = state.get if state.exists else (0,)
+    total = prev + n
+    state.update((total,))
+    yield pd.DataFrame({"cui": [key[0]], "total_mentions": [total],
+                        "batch_mentions": [n]})
+
+
+def stateful_cui_totals(ann_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-CUI mention totals carried in GroupState across micro-batches
+    (the pattern for any bespoke streaming state — e.g. incremental
+    context-vector training counters)."""
+    return (ann_stream.groupBy("cui")
+            .applyInPandasWithState(_cui_totals_fn,
+                                    outputStructType=_TOTALS_SCHEMA,
+                                    stateStructType=_STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
