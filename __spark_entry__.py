@@ -433,6 +433,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "detected_name")
     q["ner_scenario_suite"] = _scenario
 
+    # --- concept-similarity KG edges: per-CUI top-k cosine over trained
+    #     context vectors (all-pairs generalization of O3 most_similar)
+    def _similar_concepts(s, d):
+        from medcat_spark.fixtures import trained_fixture_models
+        from medcat_spark.model_ops import (concept_similarity_edges,
+                                            context_vectors_df)
+        cdb, _vocab = trained_fixture_models()
+        cv = context_vectors_df(s, cdb)
+        return concept_similarity_edges(cv, "short", k=3) \
+            .withColumn("sim", F.round("sim", 6))
+    q["kg_similar_concepts"] = _similar_concepts
+
     # --- events: tumbling-window agg, sessionization, JSON extraction
     def _ev(s, d):
         return s.read.parquet(f"{d}/events.parquet")
@@ -1050,6 +1062,36 @@ FROM units WHERE unit IS NOT NULL GROUP BY doc_id
 SELECT * FROM (VALUES {_SCENARIO_ROWS})
 AS t(doc_id, start, "end", cui, detected_name)
 """
+
+    def _similar_concepts_oracle():
+        from medcat_spark.core.model import unitvec
+        from medcat_spark.fixtures import trained_fixture_models
+        cdb, _ = trained_fixture_models()
+        rows = []
+        for cui in sorted(cdb.cui2context_vectors):
+            v = cdb.cui2context_vectors[cui].get("short")
+            if v is None:
+                continue
+            u = unitvec(v)
+            rows.append("('%s', [%s]::DOUBLE[])"
+                        % (cui, ",".join(repr(float(x)) for x in u)))
+        vals = ",".join(rows)
+        return f"""
+WITH cvv(cui, v) AS (VALUES {vals}),
+ex AS (SELECT cui, unnest(v) AS x, generate_subscripts(v, 1) AS i
+       FROM cvv),
+p AS (SELECT a.cui AS cui_a, b.cui AS cui_b,
+             ROUND(SUM(a.x * b.x), 9) AS sim9
+      FROM ex a JOIN ex b ON a.i = b.i AND a.cui <> b.cui
+      GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY cui_a
+                                   ORDER BY sim9 DESC, cui_b) AS rank
+      FROM p)
+SELECT cui_a AS subj, 'similar_to' AS pred, cui_b AS obj,
+       ROUND(sim9, 6) AS sim, rank
+FROM r WHERE rank <= 3
+"""
+    o["kg_similar_concepts"] = _similar_concepts_oracle()
 
     def _meta_model_oracle():
         from medcat_spark.functions.meta_model import (negation_fixture_model,

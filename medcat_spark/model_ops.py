@@ -59,6 +59,64 @@ def most_similar(cv: DataFrame, cui: str, context_type: str,
             .orderBy(F.desc("sim"), "cui").limit(topn))
 
 
+def concept_similarity_edges(cv: DataFrame, context_type: str = "short",
+                             k: int = 5, min_sim: float = 0.0,
+                             min_cnt: int = 0,
+                             probe_dims: int = 0) -> DataFrame:
+    """KG edges (cui_a, 'similar_to', cui_b, sim): per-CUI top-k most
+    similar trained concepts by context-vector cosine — the all-pairs
+    generalization of O3 most_similar (cdb.py:760-850) that materializes
+    the concept-similarity graph.
+
+    ``probe_dims`` > 0 blocks the self-join on sign buckets of the unit
+    vectors with 1-bit multi-probe (same device as
+    functions/similarity.pairwise_cosine_lsh) so the pair count is
+    bucket-local instead of |CUIs|²; 0 keeps the exact all-pairs join
+    (fine for model-sized inputs, the CDB is never corpus-scale).
+    Top-k per cui is one window; the dot product is a zip_with/aggregate
+    (unit vectors ⇒ dot == cosine).
+    """
+    from pyspark.sql.window import Window
+
+    base = (cv.where(F.col("ctx_type") == context_type)
+            .where(F.col("cnt") >= min_cnt)
+            .select("cui", F.col("unit_vec").cast("array<double>")
+                    .alias("v")))
+    if probe_dims > 0:
+        bits = [F.when(F.element_at("v", d + 1) >= 0, F.lit("1"))
+                .otherwise(F.lit("0")) for d in range(probe_dims)]
+        canonical = F.concat(*bits)
+        variants = [canonical]
+        for i in range(probe_dims):
+            flipped = bits[:i] + [
+                F.when(bits[i] == "1", F.lit("0")).otherwise(F.lit("1"))
+            ] + bits[i + 1:]
+            variants.append(F.concat(*flipped))
+        a = base.select(F.col("cui").alias("cui_a"), F.col("v").alias("va"),
+                        F.explode(F.array_distinct(
+                            F.array(*variants))).alias("bucket"))
+        b = base.select(F.col("cui").alias("cui_b"), F.col("v").alias("vb"),
+                        canonical.alias("bucket"))
+        pairs = (a.join(b, "bucket")
+                 .where(F.col("cui_a") != F.col("cui_b"))
+                 .dropDuplicates(["cui_a", "cui_b"]))
+    else:
+        a = base.select(F.col("cui").alias("cui_a"), F.col("v").alias("va"))
+        b = base.select(F.col("cui").alias("cui_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, F.col("cui_a") != F.col("cui_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = (pairs.select("cui_a", "cui_b",
+                           F.round(dot, 9).alias("sim"))
+              .where(F.col("sim") >= min_sim))
+    w = Window.partitionBy("cui_a").orderBy(F.desc("sim"), F.col("cui_b"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("cui_a").alias("subj"),
+                    F.lit("similar_to").alias("pred"),
+                    F.col("cui_b").alias("obj"), "sim", "rank"))
+
+
 def subset_by_cui(tables: dict, cuis_to_keep: DataFrame) -> dict:
     """O4: 2-hop closure subset (cdb.py:660-738 filter_by_cui): keep
     names reachable from the kept CUIs, then all CUIs reachable from

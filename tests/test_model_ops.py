@@ -143,3 +143,32 @@ def test_train_unsupervised_spark_end_to_end(spark, fixture_models):
     text = "the virus k strain recovered from blood"
     main, _ = annotate_document(text, cdb, vocab, cfg)
     assert any(e.cui in {"C0008", "C0009"} for e in main)
+
+
+def test_concept_similarity_edges(spark, fixture_models):
+    from medcat_spark.model_ops import (concept_similarity_edges,
+                                        context_vectors_df)
+    cdb, _ = fixture_models
+    cv = context_vectors_df(spark, cdb)
+    exact = concept_similarity_edges(cv, "short", k=3).collect()
+    # one row per (cui, rank<=3), ranks contiguous from 1, sims ordered
+    per = {}
+    for r in exact:
+        per.setdefault(r["subj"], []).append((r["rank"], r["sim"], r["obj"]))
+    n_cuis = cv.where("ctx_type = 'short'").count()
+    for subj, rows in per.items():
+        rows.sort()
+        assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
+        sims = [x[1] for x in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rows) <= 3
+    assert len(per) == n_cuis
+    # blocked variant never invents pairs and keeps top-1 recall decent
+    blocked = concept_similarity_edges(cv, "short", k=3,
+                                       probe_dims=4).collect()
+    exact_pairs = {(r["subj"], r["obj"]) for r in exact}
+    # every blocked edge is a real pair with the same sim
+    esim = {(r["subj"], r["obj"]): r["sim"] for r in exact}
+    for r in blocked:
+        if (r["subj"], r["obj"]) in esim:
+            assert abs(esim[(r["subj"], r["obj"])] - r["sim"]) < 1e-9

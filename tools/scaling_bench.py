@@ -39,7 +39,8 @@ PAIRS = [
 ]
 
 
-def one_master(master: str, cores: int, replicate: int) -> dict:
+def one_master(master: str, cores: int, replicate: int,
+               warmups: int = 2, n_runs: int = 4) -> dict:
     from pyspark.sql import functions as F
 
     from medcat_spark import demo
@@ -72,13 +73,14 @@ def one_master(master: str, cores: int, replicate: int) -> dict:
         ann = annotate(docs, bc, num_partitions=cores * 4)
         dc = ann.select("doc_id", "cui").distinct().cache()
         mention_triples(dc, distinct=False).count()
-        cooccurrence_triples(dc).count()
+        # dc is cached: no recompute risk, skip the localCheckpoint
+        cooccurrence_triples(dc, materialize=False).count()
         dc.unpersist()
 
-    job()
-    job()  # 2 warm-ups (JIT of codegen'd stages + worker model caches)
+    for _ in range(warmups):  # JIT of codegen'd stages + worker model caches
+        job()
     times = []
-    for _ in range(4):
+    for _ in range(n_runs):
         t0 = time.monotonic()
         job()
         times.append(time.monotonic() - t0)
@@ -91,37 +93,61 @@ def one_master(master: str, cores: int, replicate: int) -> dict:
             "docs_per_sec_best": round(n_docs / min(times), 1)}
 
 
+def _subprocess_run(master: str, replicate: int, warmups: int,
+                    n_runs: int) -> dict:
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--run", master,
+         str(replicate), str(warmups), str(n_runs)],
+        capture_output=True, text=True, cwd=REPO, timeout=3600)
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    return json.loads(line[len("RESULT "):])
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
         master = sys.argv[2]
         replicate = int(sys.argv[3])
+        warmups = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        n_runs = int(sys.argv[5]) if len(sys.argv) > 5 else 4
         cores = int(master.split("[")[1].rstrip("]"))
-        print("RESULT " + json.dumps(one_master(master, cores, replicate)),
-              flush=True)
+        print("RESULT " + json.dumps(
+            one_master(master, cores, replicate, warmups, n_runs)),
+            flush=True)
         return
 
-    out = {"sf_dir": SF_DIR, "pairs": {}}
+    # INTERLEAVED pairing: this shared-host VM shows ±50% interference
+    # EPISODES lasting minutes; measuring all N runs then all 4N runs
+    # makes the ratio a lottery (one size can land entirely inside an
+    # episode).  Instead each round measures N then 4N back-to-back and
+    # yields one paired efficiency sample; the reported figure is the
+    # median over rounds, so an episode distorts individual rounds, not
+    # the estimator.  All raw per-run times are kept.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    out = {"sf_dir": SF_DIR, "protocol": "interleaved-pairs", "pairs": {}}
     for pair in PAIRS:
-        detail = {}
-        for cores in (pair["n"], pair["n4"]):
-            master = f"local[{cores}]"
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run", master,
-                 str(pair["replicate"])],
-                capture_output=True, text=True, cwd=REPO, timeout=3600)
-            line = [ln for ln in r.stdout.splitlines()
-                    if ln.startswith("RESULT ")][-1]
-            detail[master] = json.loads(line[len("RESULT "):])
-            print(pair["name"], detail[master], flush=True)
-        rn = detail[f"local[{pair['n']}]"]
-        r4 = detail[f"local[{pair['n4']}]"]
+        n_m, n4_m = f"local[{pair['n']}]", f"local[{pair['n4']}]"
+        samples, detail = [], []
+        for rnd in range(rounds):
+            rn = _subprocess_run(n_m, pair["replicate"], 1, 2)
+            r4 = _subprocess_run(n4_m, pair["replicate"], 1, 2)
+            eff = round(r4["docs_per_sec"] / (4 * rn["docs_per_sec"]), 3)
+            samples.append({"round": rnd, "eff": eff,
+                            "docs_per_sec_N": rn["docs_per_sec"],
+                            "docs_per_sec_4N": r4["docs_per_sec"]})
+            detail.append({"round": rnd, n_m: rn, n4_m: r4})
+            print(pair["name"], samples[-1], flush=True)
+        effs = sorted(s["eff"] for s in samples)
+        med = statistics.median(effs)
+        best_round = max(samples, key=lambda s: s["eff"])
         out["pairs"][pair["name"]] = {
-            "docs_per_sec_N": rn["docs_per_sec"],
-            "docs_per_sec_4N": r4["docs_per_sec"],
-            "efficiency_median": round(
-                r4["docs_per_sec"] / (4 * rn["docs_per_sec"]), 3),
-            "efficiency_best": round(
-                r4["docs_per_sec_best"] / (4 * rn["docs_per_sec_best"]), 3),
+            "docs_per_sec_N": statistics.median(
+                s["docs_per_sec_N"] for s in samples),
+            "docs_per_sec_4N": statistics.median(
+                s["docs_per_sec_4N"] for s in samples),
+            "efficiency_median": round(med, 3),
+            "efficiency_best": best_round["eff"],
+            "per_round": samples,
             "detail": detail,
         }
     print(json.dumps(out))
