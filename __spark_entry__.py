@@ -445,6 +445,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("sim", F.round("sim", 6))
     q["kg_similar_concepts"] = _similar_concepts
 
+    # --- composite corpus-cleaning pipeline (C4-style: lang allowlist →
+    #     quality gates → exact-dedup keeper), all codegen + one window
+    q["corpus_clean"] = lambda s, d: txt.corpus_clean(
+        demo.load_docs(s, d).withColumn("doc_id",
+                                        F.col("doc_id").cast("string")),
+        allow_langs=("en", "de"), min_tokens=12,
+        min_type_token_ratio=0.3).select(
+            "doc_id", "lang", "n_tokens", "type_token_ratio")
+
     # --- events: tumbling-window agg, sessionization, JSON extraction
     def _ev(s, d):
         return s.read.parquet(f"{d}/events.parquet")
@@ -1061,6 +1070,24 @@ FROM units WHERE unit IS NOT NULL GROUP BY doc_id
     o["ner_scenario_suite"] = f"""
 SELECT * FROM (VALUES {_SCENARIO_ROWS})
 AS t(doc_id, start, "end", cui, detected_name)
+"""
+
+    o["corpus_clean"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')), 6) AS type_token_ratio
+  FROM documents WHERE lang IN ('en', 'de')),
+gated AS (SELECT * FROM base
+          WHERE n_tokens >= 12 AND n_tokens <= 100000
+            AND type_token_ratio >= 0.3),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rk
+           FROM gated)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       type_token_ratio
+FROM ranked WHERE rk = 1
 """
 
     def _similar_concepts_oracle():

@@ -93,3 +93,38 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("fp_exact"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(arr)), " "))
         .alias("fp_bag"))
+
+
+def corpus_clean(docs: DataFrame, allow_langs=("en",),
+                 min_tokens: int = 10, max_tokens: int = 100_000,
+                 min_type_token_ratio: float = 0.2,
+                 lang_col: str = "lang",
+                 text_col: str = "text") -> DataFrame:
+    """Composite training-corpus cleaning pipeline (C4-style): language
+    allowlist → per-doc quality gates (token count bounds, type/token
+    ratio) → exact-dedup keeper (first doc_id per content hash wins).
+
+    One logical plan: the quality expressions are codegen, the dedup
+    keeper is one hash-window — the scan feeds a single pipeline with no
+    Python anywhere.  → surviving (doc_id, text, lang, n_tokens,
+    type_token_ratio) rows.
+    """
+    from pyspark.sql.window import Window
+
+    arr = F.split(F.col(text_col), " ")
+    n_tokens = F.size(arr)
+    n_types = F.size(F.array_distinct(arr))
+    ttr = n_types.cast("double") / n_tokens
+    base = docs.select("doc_id", text_col, lang_col)
+    if allow_langs:
+        base = base.where(F.col(lang_col).isin(list(allow_langs)))
+    gated = (base
+             .withColumn("n_tokens", n_tokens.cast("long"))
+             .withColumn("type_token_ratio", F.round(ttr, 6))
+             .where((F.col("n_tokens") >= min_tokens)
+                    & (F.col("n_tokens") <= max_tokens)
+                    & (F.col("type_token_ratio") >= min_type_token_ratio)))
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return (gated.withColumn("dup_rank", F.row_number().over(w))
+            .where(F.col("dup_rank") == 1)
+            .drop("dup_rank"))
