@@ -307,6 +307,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal plumbing
     q["media_features"] = lambda s, d: media_features(_interleaved_docs(s, d))
 
+    def _media_resized(s, d):
+        from medcat_spark.functions.media import media_resize
+        return media_resize(media_features(_interleaved_docs(s, d)))
+    q["media_resized"] = _media_resized
+
+    def _media_frames(s, d):
+        from medcat_spark.functions.media import frame_sample
+        return frame_sample(_interleaved_docs(s, d))
+    q["media_frames"] = _media_frames
+
     # --- meta-annotation (MetaCAT analogue, SURVEY §2.11): negation over
     #     a 5-token window left of each unigram mention
     def _meta(s, d):
@@ -895,6 +905,44 @@ SELECT doc_id, 1 AS span_idx, 'image' AS kind, media_ref,
        AS INT) AS height,
   substr(md5(media_ref), 1, 16) AS phash
 FROM m
+"""
+
+    _MEDIA_CTE = """
+m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+      FROM documents),
+feat AS (SELECT doc_id, 1 AS span_idx, 'image' AS kind, media_ref,
+  CAST(64 + CAST(('0x' || substr(md5(media_ref), 1, 4)) AS BIGINT) % 1024
+       AS INT) AS width,
+  CAST(64 + CAST(('0x' || substr(md5(media_ref), 5, 4)) AS BIGINT) % 1024
+       AS INT) AS height
+  FROM m)
+"""
+
+    o["media_resized"] = f"""
+WITH {_MEDIA_CTE},
+s AS (SELECT *, LEAST(224.0 / width, 224.0 / height) AS sc FROM feat)
+SELECT doc_id, span_idx, kind, media_ref, width, height,
+       ROUND(sc, 6) AS scale,
+       CAST(GREATEST(FLOOR(width * sc), 1) AS INT) AS out_w,
+       CAST(GREATEST(FLOOR(height * sc), 1) AS INT) AS out_h
+FROM s
+"""
+
+    o["media_frames"] = """
+WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  'img://' || CAST(doc_id AS VARCHAR) AS media_ref
+           FROM documents),
+d AS (SELECT doc_id, 1 AS span_idx, media_ref,
+             CAST(1000 + CAST(('0x' || substr(md5(media_ref), 9, 4))
+                              AS BIGINT) % 60000 AS INT) AS duration_ms
+      FROM m)
+SELECT doc_id, span_idx, media_ref, duration_ms,
+       CAST(g.f AS INT) AS frame_idx,
+       CAST(g.f * 1000 AS INT) AS ts_ms,
+       media_ref || '#f' || CAST(g.f AS VARCHAR) AS frame_ref
+FROM d, LATERAL (SELECT unnest(range(0,
+         LEAST(duration_ms // 1000 + 1, 16))) AS f) g
 """
 
     o["meta_negation"] = f"""

@@ -121,3 +121,37 @@ def test_meta_negation_window(spark):
          meta_annotations(ann, docs, cues=["no", "not"]).collect()}
     assert m["n1"]["value"] == "negated" and m["n1"]["n_cues"] == 1
     assert m["n2"]["value"] == "present"
+
+
+def test_media_resize_and_frame_sample(spark):
+    from medcat_spark.functions.media import (fake_duration_ms, frame_sample,
+                                              media_features, media_resize)
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "x", "media_ref": None,
+                  "offset": 0},
+                 {"kind": "image", "text": None,
+                  "media_ref": "img://a", "offset": 2},
+                 {"kind": "video", "text": None,
+                  "media_ref": "vid://b", "offset": 12}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    feats = media_features(docs)
+    rs = {r["media_ref"]: r for r in media_resize(feats, 224, 224).collect()}
+    for ref, r in rs.items():
+        # aspect preserved within rounding; bounded by the target box
+        assert r["out_w"] <= 224 and r["out_h"] <= 224
+        assert max(r["out_w"], r["out_h"]) in (223, 224) or \
+            r["scale"] >= 1.0  # upscaling allowed when smaller
+    frames = frame_sample(docs, interval_ms=1000, max_frames=16).collect()
+    per_ref = {}
+    for r in frames:
+        per_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, rows in per_ref.items():
+        dur = fake_duration_ms(ref)
+        expect_n = min(dur // 1000 + 1, 16)
+        assert len(rows) == expect_n
+        idx = sorted(r["frame_idx"] for r in rows)
+        assert idx == list(range(expect_n))
+        assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+        assert all(r["frame_ref"] == f"{ref}#f{r['frame_idx']}"
+                   for r in rows)
