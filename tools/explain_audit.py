@@ -66,6 +66,9 @@ def main():
         emb, qv, k=20, probe_dims=4, n_flips=1)
     plans["emb_near_dup_lsh"] = simf.pairwise_cosine_lsh(
         emb, probe_dims=4, n_flips=1, min_sim=0.8)
+    from medcat_spark.functions import text as txt
+    plans["corpus_clean"] = txt.corpus_clean(
+        docs.withColumn("doc_id", F.col("doc_id").cast("string")))
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
