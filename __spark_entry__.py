@@ -94,6 +94,17 @@ UMLS_FIXTURE = {
 }
 
 
+def _ivf_fixed_centroids():
+    """Deterministic data-independent IVF coarse centroids for the
+    driver query (the sample-trained quantizer path is pytest-covered;
+    the oracle needs SF-independent constants)."""
+    import numpy as np
+
+    from medcat_spark.fixtures import det_vec
+    return np.round(np.stack([det_vec(f"ivf-centroid-{i}", 64)
+                              for i in range(8)]), 6)
+
+
 def _uni_ann(spark, sf_dir):
     return demo.ner_annotations(spark, sf_dir, demo.UNIGRAM_ROWS)
 
@@ -295,6 +306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
         return simf.cosine_topk_lsh(emb, qv, k=20, probe_dims=4, n_flips=1)
     q["ann_lsh_multiprobe"] = _topk_multiprobe
+
+    def _topk_ivf(s, d):
+        emb = demo.load_embeddings(s, d)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return simf.cosine_topk_ivf(emb, qv, k=20, n_probe=2,
+                                    centroids=_ivf_fixed_centroids())
+    q["ann_ivf_topk"] = _topk_ivf
 
     q["emb_near_dup"] = lambda s, d: simf.pairwise_cosine_within(
         demo.load_embeddings(s, d), "label", min_sim=0.8)
@@ -864,6 +882,33 @@ qb AS (SELECT
 SELECT s.vec_id, s.sim
 FROM sims s JOIN eb a ON s.vec_id = a.vec_id
 JOIN qb b ON {_HAM} <= 1
+ORDER BY s.sim DESC, s.vec_id LIMIT 20
+"""
+
+    _cen_rows = ",".join(
+        f"({cid},{i + 1},{float(c)!r})"
+        for cid, row in enumerate(_ivf_fixed_centroids())
+        for i, c in enumerate(row))
+    o["ann_ivf_topk"] = f"""
+WITH {_COS},
+cen(cid, i, c) AS (VALUES {_cen_rows}),
+qx2 AS (SELECT unnest(CAST(qv AS DOUBLE[])) AS y,
+               generate_subscripts(qv, 1) AS i FROM q),
+qd AS (SELECT cid, ROUND(SUM((qx2.y - c) * (qx2.y - c)), 9) AS dist
+       FROM cen JOIN qx2 USING (i) GROUP BY cid),
+probes AS (SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qd)
+    WHERE rn <= 2),
+ed AS (SELECT e.vec_id, cen.cid,
+              ROUND(SUM((e.x - cen.c) * (e.x - cen.c)), 9) AS dist
+       FROM ex e JOIN cen ON cen.i = e.i GROUP BY 1, 2),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn FROM ed)
+    WHERE rn = 1),
+cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (cid))
+SELECT s.vec_id, s.sim FROM sims s JOIN cand USING (vec_id)
 ORDER BY s.sim DESC, s.vec_id LIMIT 20
 """
 

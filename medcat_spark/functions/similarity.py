@@ -147,3 +147,67 @@ def pairwise_cosine_lsh(df: DataFrame, probe_dims: int = 4,
                         F.round(cosine(F.col("va"), F.col("vb")), round_to))
             .where(F.col("sim") >= min_sim)
             .select("id_a", "id_b", "sim"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster probing —
+# the second scale path the training-data brief names besides LSH.
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(vectors, k: int, iters: int = 10, seed: int = 7):
+    """Deterministic Lloyd's k-means over a TRAINING SAMPLE (numpy;
+    IVF quantizers are trained on a sample at any scale — FAISS does
+    exactly this — so the driver-side fit is the production shape, not
+    a shortcut).  Returns (k, dim) float64 centroids."""
+    import numpy as np
+    X = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = X[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+    return np.round(C, 6)  # rounded so Spark and SQL agree bit-for-bit
+
+
+def _sq_dist(vec_col: Column, centroid) -> Column:
+    return F.aggregate(
+        F.zip_with(vec_col, _lit_vec(centroid), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assign(vec_col: Column, centroids) -> Column:
+    """Cluster id = argmin squared distance to the centroid list (first
+    min wins) — pure codegen over literal centroids."""
+    dists = F.array(*[F.round(_sq_dist(vec_col, c), 9) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def cosine_topk_ivf(embeddings: DataFrame, query_vec: Sequence[float],
+                    k: int = 10, n_centroids: int = 8, n_probe: int = 2,
+                    train_sample: int = 1024, seed: int = 7,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    round_to: int = 6,
+                    centroids=None) -> DataFrame:
+    """IVF ANN top-k: scan only the ``n_probe`` clusters whose centroids
+    are nearest the query.  At 100 TB the cluster id is a partition key
+    (one write-time assignment pass), so the probe is a partition-pruned
+    scan of n_probe/n_centroids of the data.
+    """
+    import numpy as np
+    if centroids is None:
+        # order-stable sample so any engine refits identical centroids
+        sample = [r["v"] for r in embeddings
+                  .select(F.col(id_col), F.col(vec_col).alias("v"))
+                  .orderBy(id_col).limit(train_sample).collect()]
+        centroids = kmeans_centroids(sample, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = np.round(((centroids - q) ** 2).sum(axis=1), 9)
+    probes = [int(i) for i in np.argsort(qd, kind="stable")[:n_probe]]
+    cand = embeddings.where(
+        ivf_assign(F.col(vec_col).cast("array<double>"), centroids)
+        .isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)

@@ -84,3 +84,34 @@ def test_lsh_bucket_cap_drops_mega_bucket(spark):
     groups = ddp.exact_dup_groups(docs)
     mega = [r for r in groups.collect() if r["group_size"] == 40]
     assert len(mega) == 40
+
+
+def test_ivf_topk_recall(spark, clustered_embeddings):
+    emb = clustered_embeddings.cache()
+    qv = emb.where("vec_id = 0").first()["embedding"]
+    exact = {r["vec_id"] for r in simf.cosine_topk(emb, qv, k=20).collect()}
+
+    def recall(n_probe):
+        got = {r["vec_id"] for r in simf.cosine_topk_ivf(
+            emb, qv, k=20, n_centroids=10, n_probe=n_probe,
+            train_sample=300).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 >= 0.9, (r1, r2)
+    # probing all clusters degenerates to exact
+    assert recall(10) == 1.0
+    emb.unpersist()
+
+
+def test_kmeans_centroids_deterministic():
+    import numpy as np
+
+    from medcat_spark.functions.similarity import kmeans_centroids
+    rng = np.random.RandomState(1)
+    X = rng.uniform(-1, 1, (100, 8))
+    a = kmeans_centroids(X, 4, seed=7)
+    b = kmeans_centroids(list(X), 4, seed=7)
+    assert np.array_equal(a, b)
+    assert a.shape == (4, 8)
