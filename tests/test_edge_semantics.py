@@ -154,3 +154,52 @@ def test_cdb_ner_roundtrip_property(words):
     if expect_hit:
         assert any(e.detected_name in names for e in ents), \
             (raw, sorted(names), [e.detected_name for e in ents])
+
+
+# ---------------------------------------------------------------------------
+# round-2 property tests: POS-gated lemmatizer + multi-probe bucket sets
+# ---------------------------------------------------------------------------
+
+from medcat_spark.core.normalizer import (_ED_NOMINAL, _ING_NOMINAL,
+                                          lemmatize, tag_lite)
+from medcat_spark.functions.similarity import probe_buckets
+
+_DNN_DEFAULT = frozenset({"VBD", "VBG", "VBN", "VBP", "JJS", "JJR"})
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+               max_size=14))
+@settings(max_examples=300, deadline=None)
+def test_lemmatize_properties(word):
+    for dnn in (_DNN_DEFAULT, frozenset()):
+        out = lemmatize(word, dnn)
+        assert out, (word, dnn)                       # never empty
+        assert out == out.lower()                     # stays lowercase
+        assert len(out) <= len(word) + 1              # -ies→y only grows by 0
+    # default config: tagged verb-ish forms are never rewritten
+    if tag_lite(word) in _DNN_DEFAULT:
+        assert lemmatize(word, _DNN_DEFAULT) == word
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=6,
+               max_size=14))
+@settings(max_examples=200, deadline=None)
+def test_ing_ed_gating(word):
+    if word.endswith("ing") and word not in _ING_NOMINAL:
+        assert lemmatize(word, _DNN_DEFAULT) == word        # gated
+        assert not lemmatize(word, frozenset()).endswith("ing")  # stripped
+    if word.endswith("ed") and word not in _ED_NOMINAL:
+        assert lemmatize(word, _DNN_DEFAULT) == word
+
+
+@given(st.text(alphabet="01", min_size=1, max_size=8),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=200, deadline=None)
+def test_probe_buckets_properties(bucket, n_flips):
+    probes = probe_buckets(bucket, n_flips)
+    assert bucket in probes
+    smaller = set(probe_buckets(bucket, max(n_flips - 1, 0)))
+    assert smaller <= set(probes)                     # monotone in n_flips
+    for p in probes:
+        ham = sum(a != b for a, b in zip(p, bucket))
+        assert len(p) == len(bucket) and ham <= n_flips
