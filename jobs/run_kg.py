@@ -44,7 +44,9 @@ def main(argv=None):
     if ann is not None:
         mention_triples(ann, distinct=True).write.mode("overwrite") \
             .parquet(f"{args.out}/triples/mentions")
-        cooccurrence_triples(ann).write.mode("overwrite") \
+        # ann is a parquet scan of the committed snapshots: no recompute
+        # risk, skip the defensive localCheckpoint
+        cooccurrence_triples(ann, materialize=False).write.mode("overwrite") \
             .parquet(f"{args.out}/triples/cooccurrence")
     print(json.dumps(manifest))
     spark.stop()
