@@ -422,6 +422,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_docs")))
     q["kg_mentions_icd10"] = _mentions_icd10
 
+    # --- P5 full output projection: the complete _doc_to_out entity
+    #     dict shape (pretty_name, type_ids→types, ontologies, icd10) in
+    #     one oracle-certified relation (reference cat.py:1729-1795)
+    def _entities_projection(s, d):
+        from medcat_spark.pipeline import project_output
+        from medcat_spark.sources.ontologies import snomed_refset_map
+        ann = _uni_ann(s, d)
+        concepts = s.createDataFrame(
+            [(r[0], r[1].capitalize(), [r[4]], ["DEMO"])
+             for r in demo.UNIGRAM_ROWS],
+            "cui string, preferred_name string, type_ids array<string>, "
+            "ontologies array<string>")
+        type_names = s.createDataFrame([("T001", "Operator")],
+                                       "type_id string, type_name string")
+        rs = s.createDataFrame(
+            ICD10_REFSET_FIXTURE,
+            "referencedComponentId string, mapTarget string, "
+            "mapPriority string, mapGroup string, active string")
+        out = project_output(ann, concepts, type_names=type_names,
+                             icd10=snomed_refset_map(rs))
+        return out.select(
+            "doc_id", "start", "cui", "pretty_name",
+            F.concat_ws(",", "type_ids").alias("type_ids"),
+            F.concat_ws(",", "types").alias("types"),
+            F.concat_ws(",", "ontologies").alias("ontologies"),
+            F.concat_ws(",", "icd10").alias("icd10"))
+    q["entities_projection"] = _entities_projection
+
     # --- TransformersNER analogue: trained token tagger, all-JVM window
     #     scoring (functions/ner_model.py), + the DeID composition
     #     (reference utils/ner/deid.py replace_entities_in_text)
@@ -1065,6 +1093,31 @@ codes AS (SELECT cui,
 SELECT m.cui, COALESCE(c.icd10, '') AS icd10, COUNT(*) AS n_docs
 FROM m LEFT JOIN codes c ON c.cui = m.cui
 GROUP BY 1, 2
+"""
+
+    _proj_con = ",".join(f"('{r[0]}','{r[1].capitalize()}')"
+                         for r in demo.UNIGRAM_ROWS)
+    o["entities_projection"] = f"""
+WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok),
+m AS (SELECT p.doc_id, p.start, d.cui
+      FROM pos p JOIN {_UNI_DICT_SQL} ON p.tok = d.name),
+con(cui, pretty_name) AS (VALUES {_proj_con}),
+rs(cui, code, prio, grp, active) AS (VALUES {_refset_vals}),
+codes AS (SELECT cui,
+                 array_to_string(list(code ORDER BY prio DESC, grp), ',')
+                 AS icd10
+          FROM rs WHERE active = '1' AND code <> '' GROUP BY cui)
+SELECT m.doc_id, CAST(m.start AS INT) AS start, m.cui, c.pretty_name,
+       'T001' AS type_ids, 'Operator' AS types, 'DEMO' AS ontologies,
+       COALESCE(cd.icd10, '') AS icd10
+FROM m JOIN con c ON c.cui = m.cui
+LEFT JOIN codes cd ON cd.cui = m.cui
 """
 
     def _ner_tagger_ctes():
