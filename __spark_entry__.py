@@ -358,7 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bc = s.sparkContext.broadcast(model)
         docs = demo.load_docs(s, d).withColumn(
             "doc_id", F.col("doc_id").cast("string"))
-        return meta_annotations_model(_uni_ann(s, d), docs, bc)
+        # unigram + bigram entities: multi-token windows take their right
+        # edge from the LAST entity token (meta_cat.py prepare_document)
+        ann = _uni_ann(s, d).unionByName(_bi_ann(s, d))
+        return meta_annotations_model(ann, docs, bc)
     q["meta_negation_model"] = _meta_model
 
     # --- RelCAT analogue: trained entity-pair relation classifier →
@@ -389,7 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SNOMED_FIXTURE["descriptions"],
             "conceptId string, active string, typeId string, term string")
         return snomed_concept_df(con, des).select(
-            "cui", "name", "ontologies", "name_status", "type_ids")
+            "cui", "name", "ontologies", "name_status", "type_ids",
+            "description_type_ids")
     q["cdb_snomed_names"] = _snomed
 
     def _umls(s, d):
@@ -1061,8 +1065,11 @@ tags AS (SELECT cui,
                   '\\((\\w+\\s?.?\\s?\\w+.?\\w+.?\\w+.?)\\)$', 1) AS tag
          FROM j WHERE name_status = 'P'),
 tmap(tag, type_ids) AS (VALUES {tmap}),
-cuitype AS (SELECT t.cui, m.type_ids FROM tags t JOIN tmap m USING (tag))
-SELECT j.cui, j.name, 'SNOMED-CT' AS ontologies, j.name_status, ct.type_ids
+cuitype AS (SELECT t.cui, NULLIF(t.tag, '') AS tag, m.type_ids
+            FROM tags t LEFT JOIN tmap m USING (tag))
+SELECT j.cui, j.name, 'SNOMED-CT' AS ontologies, j.name_status,
+       COALESCE(ct.type_ids, '{_tag_hash(None)}') AS type_ids,
+       ct.tag AS description_type_ids
 FROM j LEFT JOIN cuitype ct ON ct.cui = j.cui
 """
     o["cdb_snomed_names"] = _snomed_oracle()
@@ -1270,7 +1277,7 @@ FROM r WHERE rank <= 3
         from medcat_spark.functions.meta_model import (negation_fixture_model,
                                                        oracle_sql_for_model)
         return oracle_sql_for_model(negation_fixture_model(), _TOKS_CTE,
-                                    _UNI_DICT_SQL)
+                                    _UNI_DICT_SQL, bi_dict_sql=_BI_DICT_SQL)
     o["meta_negation_model"] = _meta_model_oracle()
 
     def _kg_relations_oracle():

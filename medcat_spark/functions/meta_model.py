@@ -184,13 +184,15 @@ def _score_batches(bc, meta_name: str):
         bias = model.bias
         labels = model.labels
         n_cls = len(labels)
+        from bisect import bisect_right
         for pdf in batches:
             out = {f.name: [] for f in _SCHEMA.fields}
             for row in pdf.itertuples(index=False):
                 toks = (row.text or "").split(" ")
-                starts, pos = {}, 0
+                starts, tok_starts, pos = {}, [], 0
                 for i, t in enumerate(toks):
                     starts[pos] = i
+                    tok_starts.append(pos)
                     pos += len(t) + 1
                 # prefix sums over per-token class scores: each entity's
                 # window mean is one slice difference — O(T + E) per doc
@@ -206,8 +208,19 @@ def _score_batches(bc, meta_name: str):
                     center = starts.get(ent["start"])
                     if center is None:
                         continue
+                    # window = [first_ent_token - cntx_left,
+                    #           last_ent_token + cntx_right] (reference
+                    # meta_cat.py prepare_document) — multi-token entities
+                    # keep their full right context.  Last entity token =
+                    # the token containing end-1 (unigram when end absent).
+                    end = ent.get("end")
+                    if end is None or end != end:   # null / NaN → unigram
+                        last = center
+                    else:
+                        last = max(center,
+                                   bisect_right(tok_starts, int(end) - 1) - 1)
                     lo = max(0, center - model.cntx_left)
-                    hi = min(len(toks), center + 1 + model.cntx_right)
+                    hi = min(len(toks), last + 1 + model.cntx_right)
                     lg = (P[hi] - P[lo]) / (hi - lo) + bias
                     i_best = int(np.argmax(lg))
                     e = np.exp(lg - lg.max())
@@ -235,10 +248,13 @@ def meta_annotations_model(ann: DataFrame, docs: DataFrame, bc,
     GPU-stage-separation the reference uses for MetaCAT batching
     (cat.py:1249-1257).
     """
+    end_col = (F.col("end").cast("int") if "end" in ann.columns
+               else F.lit(None).cast("int")).alias("end")
     ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       "start", "cui")
+                       F.col("start"), end_col, F.col("cui"))
             .groupBy("doc_id")
-            .agg(F.collect_list(F.struct("start", "cui")).alias("ents")))
+            .agg(F.collect_list(F.struct("start", "end", "cui"))
+                 .alias("ents")))
     src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                       F.col(text_col).alias("text"))
     joined = ents.join(src, "doc_id")
@@ -264,9 +280,13 @@ def meta_annotations_multi(ann: DataFrame, docs: DataFrame,
 
 
 def oracle_sql_for_model(model: MetaCatModel, toks_cte: str, dict_sql: str,
-                         meta_name: str = "Negation") -> str:
+                         meta_name: str = "Negation",
+                         bi_dict_sql: Optional[str] = None) -> str:
     """Generate the DuckDB oracle reproducing the scorer exactly:
-    same window, same per-token scores, same mean+bias+argmax."""
+    same window ([first_ent_token - cntx_left, last_ent_token +
+    cntx_right]), same per-token scores, same mean+bias+argmax.
+    ``bi_dict_sql`` optionally adds two-token entities (d(w1, w2, cui))
+    so the multi-token right-edge semantics are oracle-exercised."""
     rows = ",".join(
         "('%s',%s)" % (t.replace("'", "''"),
                        ",".join(repr(float(x)) for x in s))
@@ -292,21 +312,25 @@ def oracle_sql_for_model(model: MetaCatModel, toks_cte: str, dict_sql: str,
         f"WHEN {_win_cond(i)} THEN l{i}" for i in range(n)) + " END"
     # softmax confidence of the argmax class
     exps = "+".join(f"exp(l{j} - m)" for j in range(n))
+    bi_union = "" if bi_dict_sql is None else f"""
+      UNION ALL
+      SELECT p.doc_id, p.start, p.pos, p.pos + 1, d.cui
+      FROM pos p JOIN {bi_dict_sql} ON p.tok = d.w1 AND p.nxt = d.w2"""
     return f"""
 WITH {toks_cte},
 pos AS (
-  SELECT doc_id, tok, pos,
+  SELECT doc_id, tok, nxt, pos,
          COALESCE(SUM(length(tok) + 1) OVER (
              PARTITION BY doc_id ORDER BY pos
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
-  FROM tok),
-m AS (SELECT p.doc_id, p.start, p.pos AS ent_pos, d.cui
-      FROM pos p JOIN {dict_sql} ON p.tok = d.name),
+  FROM tokn),
+m AS (SELECT p.doc_id, p.start, p.pos AS ent_pos, p.pos AS ent_last, d.cui
+      FROM pos p JOIN {dict_sql} ON p.tok = d.name{bi_union}),
 sc(tok, {cols}) AS (VALUES {rows}),
 w AS (SELECT m.doc_id, m.start, m.cui, p.tok
       FROM m JOIN pos p ON p.doc_id = m.doc_id
         AND p.pos >= m.ent_pos - {model.cntx_left}
-        AND p.pos <= m.ent_pos + {model.cntx_right}),
+        AND p.pos <= m.ent_last + {model.cntx_right}),
 agg AS (SELECT doc_id, start, cui, {avg}
         FROM w LEFT JOIN sc s USING (tok) GROUP BY 1, 2, 3),
 lg AS (SELECT *, GREATEST({", ".join(f"l{i}" for i in range(len(model.labels)))}) AS m

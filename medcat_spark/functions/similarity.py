@@ -117,21 +117,28 @@ def pairwise_cosine_lsh(df: DataFrame, probe_dims: int = 4,
     that many sign bits).
 
     Plan: each row emits its canonical bucket once and its probe
-    variants; probes(a) ⋈ canonical(b) on the bucket key covers every
-    pair within Hamming distance ``n_flips`` symmetrically.  Join input
-    is |rows|·(1 + probe_dims·n_flips) vs the group cross-product of
-    pairwise_cosine_within — linear, and the bucket key shards evenly.
+    variants (every bucket within Hamming distance ``n_flips`` — all
+    bit-index subsets of size ≤ n_flips are flipped, so multi-bit
+    variants are really generated, not just single flips); probes(a) ⋈
+    canonical(b) on the bucket key covers every pair within Hamming
+    distance ``n_flips`` symmetrically.  Join input is
+    |rows|·Σ_{j≤n_flips} C(probe_dims, j) vs the group cross-product of
+    pairwise_cosine_within — linear in rows, and the bucket key shards
+    evenly.
     """
+    from itertools import combinations
+
     dims = list(range(probe_dims))
     bits = [F.when(F.element_at(F.col(vec_col), d + 1) >= 0,
                    F.lit("1")).otherwise(F.lit("0")) for d in dims]
     canonical = F.concat(*bits)
-    variant_cols = [canonical]
-    for i in range(probe_dims if n_flips >= 1 else 0):
-        flipped = bits[:i] + [
-            F.when(bits[i] == "1", F.lit("0")).otherwise(F.lit("1"))
-        ] + bits[i + 1:]
-        variant_cols.append(F.concat(*flipped))
+    variant_cols = []
+    for r in range(min(max(n_flips, 0), probe_dims) + 1):
+        for idxs in combinations(range(probe_dims), r):
+            variant_cols.append(F.concat(*[
+                F.when(bits[i] == "1", F.lit("0")).otherwise(F.lit("1"))
+                if i in idxs else bits[i]
+                for i in range(probe_dims)]))
 
     probes = df.select(F.col(id_col).alias("id_a"),
                        F.col(vec_col).cast("array<double>").alias("va"),

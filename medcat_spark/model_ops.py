@@ -359,8 +359,11 @@ def save_trained_pack(spark: SparkSession, path: str, cdb: CdbModel,
     per-row and written driver-side as usual.
 
     Semantics match apply_training (import_training-style,
-    reference cdb.py:585-611): trained CUIs' vectors OVERWRITE existing
-    ones; count_train += max over ctx types of the example count.
+    reference cdb.py:585-611): trained vectors OVERWRITE existing ones
+    per (cui, context_type) — a CUI trained for only a subset of ctx
+    types keeps its untouched types' vectors, exactly like the
+    reference's per-context_type loop; count_train += max over ctx
+    types of the example count.
     """
     import glob
     import os
@@ -375,10 +378,12 @@ def save_trained_pack(spark: SparkSession, path: str, cdb: CdbModel,
                        F.col("mean_vec").cast("array<double>").alias("vec"),
                        "n").cache()
 
-    # merge vectors: trained overwrite, untouched CUIs carried over
+    # merge vectors: trained (cui, ctx_type) cells overwrite, everything
+    # else — including other ctx types of a trained CUI — carried over
     cv_path = os.path.join(path, "context_vectors.parquet")
     existing = spark.read.parquet(cv_path)
-    merged = existing.join(t.select("cui").distinct(), "cui", "left_anti") \
+    merged = existing.join(t.select("cui", "ctx_type").distinct(),
+                           ["cui", "ctx_type"], "left_anti") \
         .unionByName(t.select("cui", "ctx_type", "vec"))
     tmp_cv = os.path.join(path, "_cv_tmp")
     merged.write.mode("overwrite").parquet(tmp_cv)
@@ -424,13 +429,16 @@ def save_trained_pack(spark: SparkSession, path: str, cdb: CdbModel,
 
 
 def apply_training(cdb: CdbModel, rows) -> None:
-    """Merge trained means into the model (import_training-style:
-    overwrite vectors, add counts)."""
+    """Merge trained means into the model (import_training-style,
+    reference cdb.py:585-611: overwrite vectors per (cui, context_type)
+    keeping untouched types, add counts)."""
     by_cui: dict = {}
     for r in rows:
         by_cui.setdefault(r["cui"], {})[r["ctx_type"]] = (
             np.asarray(r["mean_vec"], dtype=np.float64), int(r["n"]))
     for cui, cts in by_cui.items():
-        cdb.cui2context_vectors[cui] = {ct: v for ct, (v, _n) in cts.items()}
+        cur = dict(cdb.cui2context_vectors.get(cui, {}))
+        cur.update({ct: v for ct, (v, _n) in cts.items()})
+        cdb.cui2context_vectors[cui] = cur
         cdb.cui2count_train[cui] = cdb.cui2count_train.get(cui, 0) + \
             max(n for _v, n in cts.values())

@@ -206,9 +206,14 @@ def determine_finding(exp_cui: str, exp_start: int, exp_end: int,
                 return Finding.FOUND_DIR_GRANDPARENT, wcui
 
     if check_children:
+        # mark BEFORE descending (reference results.py:287 adds exp_cui to
+        # _checked_children first) so a cyclic pt2ch terminates instead of
+        # recursing forever on malformed hierarchy data
+        _seen.add(exp_cui)
         for child in sorted(pt2ch.get(exp_cui, [])):
             if child in _seen:
                 continue
+            _seen.add(child)
             finding, wcui = determine_finding(
                 child, exp_start, exp_end, ents, pt2ch, ch2pt,
                 check_children=True, check_parent=False,
@@ -220,7 +225,6 @@ def determine_finding(exp_cui: str, exp_start: int, exp_end: int,
                 return Finding.FOUND_CHILD_PARTIAL, child
             if finding is Finding.FOUND_CHILD_PARTIAL:
                 return finding, wcui
-            _seen.add(child)
 
     for e in ents:
         if e["start"] == exp_start and e["end"] == exp_end:

@@ -87,11 +87,15 @@ def snomed_concept_df(concepts: DataFrame, descriptions: DataFrame,
                  .join(F.broadcast(tag_map),
                        F.coalesce(F.col("tag"), F.lit("\0"))
                        == F.coalesce(F.col("_tag"), F.lit("\0")), "left")
-                 .drop("tag", "_tag"))
+                 .drop("_tag"))
+    # description_type_ids carries the semantic-tag TEXT and type_ids its
+    # hash, matching the reference's concept-df format
+    # (preprocess_snomed.py:380-388: description_type_ids = extracted tag,
+    # type_ids = hash of it)
     return with_tags.select(
         "cui", "name", F.lit(ontology).alias("ontologies"), "name_status",
         F.col("type_ids"),
-        F.coalesce(F.col("type_ids"), F.lit("")).alias("description_type_ids"))
+        F.col("tag").alias("description_type_ids"))
 
 
 def snomed_type_id2name(descriptions: DataFrame) -> DataFrame:
@@ -224,14 +228,50 @@ def snomed_refset_map(refset: DataFrame) -> DataFrame:
                 lambda s: s["code"]).alias("codes")))
 
 
-def refset_dict(refset_map: DataFrame) -> dict:
-    """Collect into the addl_info['cui2icd10'] dict shape."""
+def refset_dict(refset_map: DataFrame, cuis: Optional[List[str]] = None) -> dict:
+    """Collect into the addl_info['cui2icd10'] dict shape.
+
+    ``cuis``: optional allowlist — at UMLS/SNOMED scale the refset is
+    millions of rows while the consumer (output projection / regression
+    checker) only needs the target CUIs' codes, so semi-join before
+    collecting instead of pulling the whole map to the driver."""
+    if cuis is not None:
+        spark = refset_map.sparkSession
+        allow = spark.createDataFrame([(c,) for c in cuis], "cui string")
+        refset_map = refset_map.join(F.broadcast(allow), "cui", "left_semi")
     return {r["cui"]: list(r["codes"]) for r in refset_map.collect()}
 
 
-def pt2ch_dict(pt2ch: DataFrame) -> dict:
-    """Collect the (small, model-side) hierarchy into the
-    addl_info['pt2ch'] dict shape the regression checker consumes."""
+def pt2ch_dict(pt2ch: DataFrame, cuis: Optional[List[str]] = None,
+               hops: int = 3) -> dict:
+    """Collect the hierarchy into the addl_info['pt2ch'] dict shape the
+    regression checker consumes.
+
+    ``cuis``: optional allowlist of target CUIs — the checker
+    (regression.determine_finding) only walks parents (≤2 hops up) and
+    children (transitively, but FOUND_* almost always resolves within a
+    few hops) of the expected CUIs, so restrict the collected map to the
+    ``hops``-hop neighborhood of the allowlist instead of collecting an
+    MRHIER-sized map (tens of millions of rows) to the driver.  Each hop
+    is one broadcast semi-join; the frontier stays bounded by the
+    allowlist's fan-out."""
+    if cuis is not None:
+        spark = pt2ch.sparkSession
+        frontier = spark.createDataFrame(
+            [(c,) for c in sorted(set(cuis))], "cui string")
+        kept = None
+        for _ in range(max(hops, 1)):
+            # rows whose parent OR a child is in the frontier
+            step = pt2ch.join(
+                F.broadcast(frontier),
+                (pt2ch["parent"] == frontier["cui"])
+                | F.array_contains(pt2ch["children"], frontier["cui"]),
+                "left_semi")
+            kept = step if kept is None else kept.unionByName(step)
+            frontier = (step.select(F.explode("children").alias("cui"))
+                        .unionByName(step.select(F.col("parent").alias("cui")))
+                        .distinct())
+        pt2ch = kept.dropDuplicates(["parent"])
     return {r["parent"]: list(r["children"]) for r in pt2ch.collect()}
 
 
