@@ -1322,6 +1322,9 @@ SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY 1
 """
 
-    # ner_disambiguation intentionally has no oracle: context-vector
-    # similarity scoring is not SQL-expressible (SURVEY §2.5).
+    # L1-L4 disambiguation math + O3 most_similar as hash-matched SQL
+    # (trained model constants exported as literals; see
+    # demo.disamb_oracle_sql / demo.most_similar_oracle_sql)
+    o["ner_disambiguation"] = demo.disamb_oracle_sql(_TOKS_CTE)
+    o["model_most_similar"] = demo.most_similar_oracle_sql()
     return o

@@ -112,6 +112,155 @@ def disamb_annotations(spark, sf_dir: str, num_partitions=None):
     return annotate(docs, bc, num_partitions=num_partitions)
 
 
+def _sql_floats(vals) -> str:
+    return ",".join(repr(float(x)) for x in vals)
+
+
+def disamb_oracle_sql(toks_cte: str) -> str:
+    """ANSI-SQL (DuckDB) twin of the L1-L4 disambiguation path over the
+    testdata corpus with disamb_cdb() — the flagship linking math as a
+    hash-matched oracle.
+
+    Reproduces, with the trained model exported as literal constants:
+      * L1 context windows (vector_context_model.py:29-52): per ctx type
+        ``size`` POSITIONS left/right of the entity, then filtered to
+        non-stop/digit/punct tokens; steps enumerate the filtered list
+        (left reversed, nearest first), OOV tokens still consume a step;
+      * L2 context vectors (:54-93): mean over contributing vectors of
+        ``max(0.1, 1-step²·0.0004)·vec`` with the unweighted center;
+      * L3 similarity (:112-139): Σ_ctx w_ctx·cos(ctx_vec, cui_vec);
+      * L4 boosts (:141-185): prefer_primary_name for status P/PD when
+        sim>0, prefer_frequent_concepts scale (0 here: count_train=3≤10)
+        whose min(0.99, ·) cap applies to every candidate, argmax with
+        numpy first-wins tie-break on candidate order;
+      * L5 static threshold (context_based_linker.py:121-127).
+    Untested branches (not reachable on this fixture, documented):
+    train_count_threshold -1 (both CUIs trained), dynamic threshold,
+    keep_punct step-consumers ('.'/':'), empty ctx windows (the center
+    token is always in-vocab here).
+    """
+    cfg = EngineConfig()
+    cdb = disamb_cdb()
+    vocab = corpus_vocab()
+    name = "window"
+    cand = cdb.name2cuis[name]                      # candidate order
+    statuses = cdb.name2cuis2status.get(name, {})
+    counts = [cdb.cui2count_train.get(c, 0) for c in cand]
+    mn = min(counts) if min(counts) > 0 else 1
+    freq_scale = {c: (float(np.log10(n / mn)) * cfg.prefer_frequent_concepts
+                      if n > 10 else 0.0)
+                  for c, n in zip(cand, counts)}
+
+    voc_rows = ",".join(
+        f"('{w}',{d + 1},{v!r})"
+        for w in sorted(vocab.word2vec)
+        for d, v in enumerate(float(x) for x in vocab.vec(w)))
+    cv_rows = ",".join(
+        f"('{c}',{o},'{ct}',{d + 1},{float(v)!r})"
+        for o, c in enumerate(cand)
+        for ct, vec in sorted(cdb.cui2context_vectors[c].items())
+        for d, v in enumerate(vec))
+    ctx_rows = ",".join(
+        f"('{ct}',{cfg.context_vector_sizes[ct]},"
+        f"{cfg.context_vector_weights[ct]!r})"
+        for ct in sorted(cfg.context_vector_sizes))
+    stop_list = ",".join(f"'{w}'" for w in
+                         sorted(cfg.effective_stopwords() | cfg.words_to_skip))
+    boosts = " ".join(
+        f"WHEN cui = '{c}' THEN LEAST(0.99, "
+        + (f"(CASE WHEN sim > 0 THEN LEAST(0.99, "
+           f"sim * {1 + cfg.prefer_primary_name!r}) ELSE sim END)"
+           if statuses.get(c, "") in {"P", "PD"} else "sim")
+        + f" * {1 + freq_scale[c]!r})"
+        for c in cand)
+    ords = " ".join(f"WHEN '{c}' THEN {o}" for o, c in enumerate(cand))
+
+    return f"""
+WITH {toks_cte},
+pos AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok),
+m AS (SELECT doc_id, pos AS mpos, start FROM pos WHERE tok = '{name}'),
+ctx(ctx, size, w_ctx) AS (VALUES {ctx_rows}),
+ftok AS (
+  SELECT doc_id, lower(tok) AS tok, pos FROM pos
+  WHERE (substr(lower(tok), 1, 1) BETWEEN 'a' AND 'z'
+         OR substr(lower(tok), 1, 1) BETWEEN '0' AND '9')
+    AND NOT regexp_matches(tok, '^[0-9]+$')
+    AND lower(tok) NOT IN ({stop_list})),
+wtok AS (
+  SELECT m.doc_id, m.mpos, m.start, c.ctx, c.w_ctx, f.tok,
+         GREATEST(0.1, 1 - POW(ROW_NUMBER() OVER (
+             PARTITION BY m.doc_id, m.mpos, c.ctx
+             ORDER BY f.pos DESC) - 1, 2) * {cfg.weighted_average_factor!r})
+         AS wt
+  FROM m CROSS JOIN ctx c
+       JOIN ftok f ON f.doc_id = m.doc_id
+        AND f.pos BETWEEN m.mpos - c.size AND m.mpos - 1
+  UNION ALL
+  SELECT m.doc_id, m.mpos, m.start, c.ctx, c.w_ctx, f.tok,
+         GREATEST(0.1, 1 - POW(ROW_NUMBER() OVER (
+             PARTITION BY m.doc_id, m.mpos, c.ctx
+             ORDER BY f.pos ASC) - 1, 2) * {cfg.weighted_average_factor!r})
+  FROM m CROSS JOIN ctx c
+       JOIN ftok f ON f.doc_id = m.doc_id
+        AND f.pos BETWEEN m.mpos + 1 AND m.mpos + c.size
+  UNION ALL
+  SELECT m.doc_id, m.mpos, m.start, c.ctx, c.w_ctx, '{name}', 1.0
+  FROM m CROSS JOIN ctx c),
+voc AS (SELECT word, dim, CAST(val AS DOUBLE) AS val
+        FROM (VALUES {voc_rows}) t(word, dim, val)),
+cv AS (SELECT cui, ord, ctx, dim, CAST(val AS DOUBLE) AS val
+       FROM (VALUES {cv_rows}) t(cui, ord, ctx, dim, val)),
+ctxvec AS (
+  SELECT w.doc_id, w.mpos, w.start, w.ctx, w.w_ctx, v.dim,
+         SUM(w.wt * v.val) / COUNT(*) AS x
+  FROM wtok w JOIN voc v ON v.word = w.tok
+  GROUP BY 1, 2, 3, 4, 5, 6),
+cs AS (
+  SELECT c.doc_id, c.mpos, c.start, k.cui, c.ctx, c.w_ctx,
+         SUM(c.x * k.val)
+           / (sqrt(SUM(c.x * c.x)) * sqrt(SUM(k.val * k.val))) AS cos_sim
+  FROM ctxvec c JOIN cv k ON k.ctx = c.ctx AND k.dim = c.dim
+  GROUP BY 1, 2, 3, 4, 5, 6),
+sims AS (SELECT doc_id, mpos, start, cui, SUM(w_ctx * cos_sim) AS sim
+         FROM cs GROUP BY 1, 2, 3, 4),
+boosted AS (
+  SELECT doc_id, mpos, start, cui,
+         CASE {boosts} END AS sim,
+         CASE cui {ords} END AS ord
+  FROM sims),
+best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, mpos
+             ORDER BY sim DESC, ord ASC) AS rn FROM boosted)
+SELECT doc_id, CAST(start AS INT) AS start, cui, ROUND(sim, 6) AS sim
+FROM best WHERE rn = 1 AND sim >= {cfg.similarity_threshold!r}
+"""
+
+
+def most_similar_oracle_sql() -> str:
+    """SQL twin of model_ops.most_similar over disamb_cdb's trained
+    vectors (O3, cdb.py:760-850): dot product of unit vectors, rounded
+    like the Spark query (ROUND(dot, 9) then ROUND(sim, 6))."""
+    from medcat_spark.core.model import unitvec
+
+    cdb = disamb_cdb()
+    rows = ",".join(
+        f"('{cui}',{d + 1},{float(v)!r},{cdb.cui2count_train.get(cui, 0)})"
+        for cui in sorted(cdb.cui2context_vectors)
+        for d, v in enumerate(unitvec(cdb.cui2context_vectors[cui]["short"])))
+    return f"""
+WITH cv(cui, dim, val, cnt) AS (VALUES {rows}),
+q AS (SELECT dim, val FROM cv WHERE cui = 'W001'),
+d AS (SELECT c.cui, ROUND(SUM(c.val * q.val), 9) AS sim, MAX(c.cnt) AS cnt
+      FROM cv c JOIN q USING (dim) GROUP BY c.cui)
+SELECT cui, ROUND(sim, 6) AS sim, CAST(cnt AS BIGINT) AS cnt
+FROM d ORDER BY sim DESC, cui LIMIT 5
+"""
+
+
 def flagship_cdb() -> CdbModel:
     return demo_cdb(UNIGRAM_ROWS + BIGRAM_ROWS)
 
