@@ -364,6 +364,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return meta_annotations_model(ann, docs, bc)
     q["meta_negation_model"] = _meta_model
 
+    # --- NONLINEAR (1-hidden-layer MLP) meta classifier: same Spark
+    #     plumbing, real weight tensors + padded batch forward — the
+    #     torch-readiness proof (trained on a cue-XOR task a linear head
+    #     cannot fit; oracle runs the MLP forward in SQL)
+    def _meta_mlp(s, d):
+        from medcat_spark.functions.meta_model import (
+            meta_annotations_mlp, negation_mlp_fixture_model)
+        bc = s.sparkContext.broadcast(negation_mlp_fixture_model())
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        ann = _uni_ann(s, d).unionByName(_bi_ann(s, d))
+        return meta_annotations_mlp(ann, docs, bc)
+    q["meta_negation_mlp"] = _meta_mlp
+
     # --- RelCAT analogue: trained entity-pair relation classifier →
     #     (subj, pred, obj) relation triples (reference rel_cat.py:551-613;
     #     dict shape rel_cat.py:596-609)
@@ -1279,6 +1293,13 @@ FROM r WHERE rank <= 3
         return oracle_sql_for_model(negation_fixture_model(), _TOKS_CTE,
                                     _UNI_DICT_SQL, bi_dict_sql=_BI_DICT_SQL)
     o["meta_negation_model"] = _meta_model_oracle()
+
+    def _meta_mlp_oracle():
+        from medcat_spark.functions.meta_model import (
+            negation_mlp_fixture_model, oracle_sql_for_mlp)
+        return oracle_sql_for_mlp(negation_mlp_fixture_model(), _TOKS_CTE,
+                                  _UNI_DICT_SQL, bi_dict_sql=_BI_DICT_SQL)
+    o["meta_negation_mlp"] = _meta_mlp_oracle()
 
     def _kg_relations_oracle():
         from medcat_spark.functions import rel_model

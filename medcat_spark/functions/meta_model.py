@@ -279,6 +279,237 @@ def meta_annotations_multi(ann: DataFrame, docs: DataFrame,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Nonlinear (MLP) scorer — torch-readiness proof for the neural plumbing.
+#
+# The linear analogue collapses to per-token scalars, so it never exercises
+# what a torch MetaCAT actually needs from the Spark side: weight TENSORS
+# broadcast to executors, per-batch padding to a rectangular (B, L_max)
+# shape, masked mean-pooling, and a real forward pass over the batch.  This
+# model is a 1-hidden-layer MLP over mean-pooled token embeddings:
+#
+#     x = mean(E[tok] for tok in window)      (OOV -> 0, divide by len)
+#     h = relu(W1 @ x + b1);  logits = W2 @ h + b2
+#
+# trained with numpy SGD on a cue-XOR task a linear head cannot fit
+# (negated iff EXACTLY ONE of the cue words is present).  Swapping in a
+# torch module changes only the forward() call — batch assembly, padding,
+# masking, broadcast and Arrow batching are identical (reference batch
+# shapes: meta_cat.py:636-651 pipe / prepare_document padding).
+#
+# Because the net is tiny and piecewise-linear, the forward pass is ALSO
+# exactly expressible in SQL (sum/relu/sum joins over weight tables), so
+# the driver's DuckDB oracle hash-verifies the whole nonlinear path.
+# ---------------------------------------------------------------------------
+
+
+class MlpMetaModel:
+    """Broadcastable nonlinear model: embedding matrix + MLP weights."""
+
+    def __init__(self, labels: List[str], vocab: List[str], E: np.ndarray,
+                 W1: np.ndarray, b1: np.ndarray, W2: np.ndarray,
+                 b2: np.ndarray, cntx_left: int = CNTX_LEFT,
+                 cntx_right: int = CNTX_RIGHT) -> None:
+        self.labels = labels
+        self.vocab = vocab
+        self.tok2i = {t: i for i, t in enumerate(vocab)}
+        self.E = E          # (V, D)
+        self.W1 = W1        # (H, D)
+        self.b1 = b1        # (H,)
+        self.W2 = W2        # (C, H)
+        self.b2 = b2        # (C,)
+        self.cntx_left = cntx_left
+        self.cntx_right = cntx_right
+
+    def forward(self, X: np.ndarray) -> np.ndarray:
+        """(B, D) mean-pooled inputs → (B, C) logits."""
+        H = np.maximum(0.0, X @ self.W1.T + self.b1)
+        return H @ self.W2.T + self.b2
+
+    def pool(self, windows: Sequence[Sequence[str]]) -> np.ndarray:
+        """Pad a ragged batch of token windows to (B, L_max), gather
+        embeddings with a mask, and masked-mean-pool to (B, D) — the
+        exact tensor dance a torch scorer needs.  OOV tokens contribute
+        a zero vector but still count toward the mean divisor (same
+        convention as the linear model / SQL oracle)."""
+        B = len(windows)
+        L = max((len(w) for w in windows), default=1) or 1
+        idx = np.zeros((B, L), dtype=np.int64)          # 0 = pad slot
+        emb_mask = np.zeros((B, L, 1))                  # in-vocab tokens
+        lens = np.ones(B)
+        for r, w in enumerate(windows):
+            lens[r] = max(len(w), 1)
+            for c, t in enumerate(w):
+                i = self.tok2i.get(t)
+                if i is not None:
+                    idx[r, c] = i
+                    emb_mask[r, c, 0] = 1.0
+        G = self.E[idx] * emb_mask                      # (B, L, D)
+        return G.sum(axis=1) / lens[:, None]
+
+    def predict_batch(self, windows: Sequence[Sequence[str]]):
+        lg = self.forward(self.pool(windows))
+        best = lg.argmax(axis=1)
+        e = np.exp(lg - lg.max(axis=1, keepdims=True))
+        conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
+        return [(self.labels[i], round(float(c), 4))
+                for i, c in zip(best, conf)]
+
+    def predict(self, window: Sequence[str]) -> Tuple[str, float]:
+        return self.predict_batch([window])[0]
+
+
+def train_mlp_meta_model(windows: List[Tuple[List[str], str]],
+                         labels: List[str], dim: int = 16, hidden: int = 8,
+                         epochs: int = 2000, lr: float = 1.0,
+                         seed: int = 17, cntx_left: int = CNTX_LEFT,
+                         cntx_right: int = CNTX_RIGHT) -> MlpMetaModel:
+    """Full-batch numpy SGD on softmax cross-entropy through the ReLU
+    hidden layer.  Weights are rounded to 4 decimals at export so the
+    Spark scorer and the SQL oracle share bit-identical constants."""
+    from medcat_spark.fixtures import det_vec
+
+    vocab = sorted({t for w, _ in windows for t in w})
+    E = np.stack([det_vec(t, dim) for t in vocab])
+    tok2i = {t: i for i, t in enumerate(vocab)}
+    lab2i = {l: i for i, l in enumerate(labels)}
+
+    X = np.zeros((len(windows), dim))
+    y = np.zeros(len(windows), dtype=int)
+    for r, (w, lab) in enumerate(windows):
+        vecs = [E[tok2i[t]] for t in w if t in tok2i]
+        if vecs:
+            X[r] = np.sum(vecs, axis=0) / len(w)
+        y[r] = lab2i[lab]
+
+    rng = np.random.RandomState(seed)
+    W1 = rng.normal(0, 0.5, (hidden, dim))
+    b1 = np.zeros(hidden)
+    W2 = rng.normal(0, 0.5, (len(labels), hidden))
+    b2 = np.zeros(len(labels))
+    onehot = np.eye(len(labels))[y]
+    for _ in range(epochs):
+        Z = X @ W1.T + b1
+        H = np.maximum(0.0, Z)
+        lg = H @ W2.T + b2
+        lg -= lg.max(axis=1, keepdims=True)
+        p = np.exp(lg)
+        p /= p.sum(axis=1, keepdims=True)
+        g = (p - onehot) / len(windows)            # (B, C)
+        gH = g @ W2                                 # (B, H)
+        gZ = gH * (Z > 0)
+        W2 -= lr * (g.T @ H)
+        b2 -= lr * g.sum(axis=0)
+        W1 -= lr * (gZ.T @ X)
+        b1 -= lr * gZ.sum(axis=0)
+
+    return MlpMetaModel(labels, vocab, np.round(E, 4), np.round(W1, 4),
+                        np.round(b1, 4), np.round(W2, 4), np.round(b2, 4),
+                        cntx_left, cntx_right)
+
+
+_MLP_FIXTURE_CACHE: Optional[MlpMetaModel] = None
+
+
+def negation_mlp_fixture_model() -> MlpMetaModel:
+    """Deterministic fixture-trained NONLINEAR Negation classifier over
+    the testdata vocabulary: negated iff EXACTLY ONE cue word ('slow'
+    xor 'small') is in the window — not linearly separable in the
+    mean-pooled bag-of-words space, so solving it proves the hidden
+    layer is live (tests assert the accuracy)."""
+    global _MLP_FIXTURE_CACHE
+    if _MLP_FIXTURE_CACHE is not None:
+        return _MLP_FIXTURE_CACHE
+    import random
+    rng = random.Random(20260817)
+    non_cue = [w for w in _TESTDATA_WORDS if w not in _NEGATION_CUES]
+    windows: List[Tuple[List[str], str]] = []
+    for _ in range(400):
+        ln = rng.randrange(4, 12)
+        base = [rng.choice(non_cue) for _ in range(ln)]
+        windows.append((list(base), "present"))            # zero cues
+        w1 = list(base)
+        w1[rng.randrange(ln)] = rng.choice(_NEGATION_CUES)
+        windows.append((w1, "negated"))                    # exactly one
+        w2 = list(base)
+        pos = rng.sample(range(ln), 2) if ln >= 2 else [0, 0]
+        w2[pos[0]] = "slow"
+        w2[pos[1]] = "small"
+        windows.append((w2, "present"))                    # both cues
+    _MLP_FIXTURE_CACHE = train_mlp_meta_model(
+        windows, ["present", "negated"], dim=32, hidden=16,
+        epochs=2500, lr=2.0, seed=17)
+    return _MLP_FIXTURE_CACHE
+
+
+_MLP_CACHE: dict = {}
+
+
+def _score_batches_mlp(bc, meta_name: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bisect import bisect_right
+        key = getattr(bc, "_path", None) or id(bc)
+        model: MlpMetaModel = _MLP_CACHE.get(key)
+        if model is None:
+            model = bc.value
+            _MLP_CACHE.clear()
+            _MLP_CACHE[key] = model
+        for pdf in batches:
+            out = {f.name: [] for f in _SCHEMA.fields}
+            windows: List[List[str]] = []
+            for row in pdf.itertuples(index=False):
+                toks = (row.text or "").split(" ")
+                starts, tok_starts, pos = {}, [], 0
+                for i, t in enumerate(toks):
+                    starts[pos] = i
+                    tok_starts.append(pos)
+                    pos += len(t) + 1
+                for ent in row.ents:
+                    center = starts.get(ent["start"])
+                    if center is None:
+                        continue
+                    end = ent.get("end")
+                    if end is None or end != end:
+                        last = center
+                    else:
+                        last = max(center,
+                                   bisect_right(tok_starts, int(end) - 1) - 1)
+                    lo = max(0, center - model.cntx_left)
+                    hi = min(len(toks), last + 1 + model.cntx_right)
+                    windows.append(toks[lo:hi])
+                    out["doc_id"].append(str(row.doc_id))
+                    out["start"].append(int(ent["start"]))
+                    out["cui"].append(ent["cui"])
+                    out["meta_name"].append(meta_name)
+            if out["doc_id"]:
+                # ONE padded forward pass for the whole Arrow batch —
+                # the shape a torch scorer consumes unchanged
+                preds = model.predict_batch(windows)
+                out["value"] = [v for v, _ in preds]
+                out["confidence"] = [c for _, c in preds]
+                yield pd.DataFrame(out)
+    return fn
+
+
+def meta_annotations_mlp(ann: DataFrame, docs: DataFrame, bc,
+                         meta_name: str = "Negation",
+                         text_col: str = "text") -> DataFrame:
+    """meta_annotations_model with the nonlinear scorer — identical plan
+    shape (one groupBy + text join + one mapInPandas), different model."""
+    end_col = (F.col("end").cast("int") if "end" in ann.columns
+               else F.lit(None).cast("int")).alias("end")
+    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.col("start"), end_col, F.col("cui"))
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("start", "end", "cui"))
+                 .alias("ents")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    joined = ents.join(src, "doc_id")
+    return joined.mapInPandas(_score_batches_mlp(bc, meta_name),
+                              schema=_SCHEMA)
+
+
 def oracle_sql_for_model(model: MetaCatModel, toks_cte: str, dict_sql: str,
                          meta_name: str = "Negation",
                          bi_dict_sql: Optional[str] = None) -> str:
@@ -339,5 +570,99 @@ SELECT doc_id, CAST(start AS INT) AS start, cui,
        '{meta_name}' AS meta_name,
        {best} AS value,
        ROUND(exp(({best_logit}) - m) / ({exps}), 4) AS confidence
+FROM lg
+"""
+
+
+def oracle_sql_for_mlp(model: MlpMetaModel, toks_cte: str, dict_sql: str,
+                       meta_name: str = "Negation",
+                       bi_dict_sql: Optional[str] = None) -> str:
+    """DuckDB oracle for the NONLINEAR scorer: the same windows, then the
+    MLP forward pass in SQL — mean-pool join over the embedding table,
+    relu'd hidden sums over W1/b1, output sums over W2/b2, argmax +
+    softmax.  Hash-verifies the full nonlinear path end-to-end."""
+    n = len(model.labels)
+    emb_rows = ",".join(
+        f"('{t}',{d + 1},{float(v)!r})"
+        for t, i in sorted(model.tok2i.items())
+        for d, v in enumerate(model.E[i]))
+    w1_rows = ",".join(
+        f"({j + 1},{d + 1},{float(model.W1[j, d])!r})"
+        for j in range(model.W1.shape[0]) for d in range(model.W1.shape[1]))
+    b1_rows = ",".join(f"({j + 1},{float(model.b1[j])!r})"
+                       for j in range(len(model.b1)))
+    w2_rows = ",".join(
+        f"({c + 1},{j + 1},{float(model.W2[c, j])!r})"
+        for c in range(n) for j in range(model.W2.shape[1]))
+    b2_rows = ",".join(f"({c + 1},{float(model.b2[c])!r})"
+                       for c in range(n))
+    dims = ",".join(f"({d + 1})" for d in range(model.E.shape[1]))
+
+    def _win_cond(i: int) -> str:
+        conds = [f"l{i} > l{j}" for j in range(i)] + \
+                [f"l{i} >= l{j}" for j in range(i + 1, n)]
+        return " AND ".join(conds) if conds else "TRUE"
+
+    best = "CASE " + " ".join(
+        f"WHEN {_win_cond(i)} THEN '{model.labels[i]}'"
+        for i in range(n)) + " END"
+    best_logit = "CASE " + " ".join(
+        f"WHEN {_win_cond(i)} THEN l{i}" for i in range(n)) + " END"
+    exps = "+".join(f"exp(l{j} - mx)" for j in range(n))
+    lcols = ",".join(
+        f"MAX(CASE WHEN c = {i + 1} THEN l END) AS l{i}" for i in range(n))
+    bi_union = "" if bi_dict_sql is None else f"""
+      UNION ALL
+      SELECT p.doc_id, p.start, p.pos, p.pos + 1, d.cui
+      FROM pos p JOIN {bi_dict_sql} ON p.tok = d.w1 AND p.nxt = d.w2"""
+    return f"""
+WITH {toks_cte},
+pos AS (
+  SELECT doc_id, tok, nxt, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tokn),
+m AS (SELECT p.doc_id, p.start, p.pos AS ent_pos, p.pos AS ent_last, d.cui
+      FROM pos p JOIN {dict_sql} ON p.tok = d.name{bi_union}),
+w AS (SELECT m.doc_id, m.start, m.cui, p.tok
+      FROM m JOIN pos p ON p.doc_id = m.doc_id
+        AND p.pos >= m.ent_pos - {model.cntx_left}
+        AND p.pos <= m.ent_last + {model.cntx_right}),
+emb AS (SELECT tok, dim, CAST(val AS DOUBLE) AS val
+        FROM (VALUES {emb_rows}) t(tok, dim, val)),
+w1 AS (SELECT j, dim, CAST(val AS DOUBLE) AS val
+       FROM (VALUES {w1_rows}) t(j, dim, val)),
+b1 AS (SELECT j, CAST(val AS DOUBLE) AS val
+       FROM (VALUES {b1_rows}) t(j, val)),
+w2 AS (SELECT c, j, CAST(val AS DOUBLE) AS val
+       FROM (VALUES {w2_rows}) t(c, j, val)),
+b2 AS (SELECT c, CAST(val AS DOUBLE) AS val
+       FROM (VALUES {b2_rows}) t(c, val)),
+dims(dim) AS (VALUES {dims}),
+nw AS (SELECT doc_id, start, cui, COUNT(*) AS ntok
+       FROM w GROUP BY 1, 2, 3),
+xs AS (SELECT wi.doc_id, wi.start, wi.cui, e.dim, SUM(e.val) AS s
+       FROM w wi JOIN emb e ON e.tok = wi.tok GROUP BY 1, 2, 3, 4),
+x AS (SELECT n.doc_id, n.start, n.cui, d.dim,
+             COALESCE(xs.s, 0.0) / n.ntok AS x
+      FROM nw n CROSS JOIN dims d
+      LEFT JOIN xs ON xs.doc_id = n.doc_id AND xs.start = n.start
+                  AND xs.cui = n.cui AND xs.dim = d.dim),
+h AS (SELECT x.doc_id, x.start, x.cui, w1.j,
+             GREATEST(0.0, SUM(w1.val * x.x) + ANY_VALUE(b1.val)) AS h
+      FROM x JOIN w1 ON w1.dim = x.dim JOIN b1 ON b1.j = w1.j
+      GROUP BY 1, 2, 3, 4),
+lgc AS (SELECT h.doc_id, h.start, h.cui, w2.c,
+               SUM(w2.val * h.h) + ANY_VALUE(b2.val) AS l
+        FROM h JOIN w2 ON w2.j = h.j JOIN b2 ON b2.c = w2.c
+        GROUP BY 1, 2, 3, 4),
+piv AS (SELECT doc_id, start, cui, {lcols} FROM lgc GROUP BY 1, 2, 3),
+lg AS (SELECT *, GREATEST({", ".join(f"l{i}" for i in range(n))}) AS mx
+       FROM piv)
+SELECT doc_id, CAST(start AS INT) AS start, cui,
+       '{meta_name}' AS meta_name,
+       {best} AS value,
+       ROUND(exp(({best_logit}) - mx) / ({exps}), 4) AS confidence
 FROM lg
 """

@@ -131,3 +131,68 @@ def test_meta_multi_and_projection(spark):
         "ontologies array<string>")
     out = project_output(ann, concepts, meta=multi).first()
     assert set(out["meta_anns"].keys()) == {"Negation", "Status"}
+
+
+def test_mlp_solves_nonlinear_cue_xor():
+    """The MLP fixture solves a task a linear head cannot: negated iff
+    EXACTLY ONE cue is present (XOR in mean-pooled bag-of-words space).
+    A linear model trained on the same data caps well below the MLP."""
+    import random
+
+    from medcat_spark.functions.meta_model import (
+        _NEGATION_CUES, _TESTDATA_WORDS, negation_mlp_fixture_model,
+        train_meta_model)
+
+    m = negation_mlp_fixture_model()
+    rng = random.Random(99)
+    non_cue = [w for w in _TESTDATA_WORDS if w not in _NEGATION_CUES]
+    cases = []
+    for _ in range(200):
+        ln = rng.randrange(4, 12)
+        base = [rng.choice(non_cue) for _ in range(ln)]
+        cases.append((list(base), "present"))
+        w1 = list(base)
+        w1[rng.randrange(ln)] = rng.choice(_NEGATION_CUES)
+        cases.append((w1, "negated"))
+        w2 = list(base)
+        p = rng.sample(range(ln), 2)
+        w2[p[0]] = "slow"
+        w2[p[1]] = "small"
+        cases.append((w2, "present"))
+    acc = sum(m.predict(w)[0] == lab for w, lab in cases) / len(cases)
+    assert acc >= 0.97
+
+    linear = train_meta_model(cases, ["present", "negated"], dim=32,
+                              epochs=1500, lr=4.0, seed=13)
+    lin_acc = sum(linear.predict(w)[0] == lab
+                  for w, lab in cases) / len(cases)
+    assert lin_acc <= 0.8          # the task really needs the hidden layer
+
+
+def test_mlp_padded_batch_equals_per_window():
+    """Ragged batch (padding + masking) must give bit-identical results
+    to one-at-a-time scoring — the torch batch-shape contract."""
+    from medcat_spark.functions.meta_model import negation_mlp_fixture_model
+
+    m = negation_mlp_fixture_model()
+    ws = [["key"], ["slow", "key", "row", "table", "scan"],
+          ["slow", "small", "key"], ["unseen-oov-token", "slow"],
+          ["key"] * 26]
+    assert m.predict_batch(ws) == [m.predict(w) for w in ws]
+
+
+def test_mlp_spark_matches_local(spark):
+    from medcat_spark.functions.meta_model import (meta_annotations_mlp,
+                                                   negation_mlp_fixture_model)
+
+    m = negation_mlp_fixture_model()
+    bc = spark.sparkContext.broadcast(m)
+    text = "table scan " + " ".join(["key"] * 9) + " slow"
+    docs = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    ann = spark.createDataFrame([("d1", 0, 10, "D104"), ("d1", 11, 14, "D999")],
+                                "doc_id string, start int, end int, cui string")
+    rows = {r["cui"]: r for r in meta_annotations_mlp(ann, docs, bc).collect()}
+    toks = text.split(" ")
+    v, c = m.predict(toks[0:2 + m.cntx_right])       # bigram: last tok = 1
+    assert rows["D104"]["value"] == v
+    assert abs(rows["D104"]["confidence"] - c) < 1e-9
