@@ -314,6 +314,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     centroids=_ivf_fixed_centroids())
     q["ann_ivf_topk"] = _topk_ivf
 
+    # --- IVF over the materialized (write-time cluster-partitioned)
+    #     layout: the probe is a partition-pruned scan, not a full-table
+    #     ivf_assign recompute — same results as ann_ivf_topk
+    def _topk_ivf_pruned(s, d):
+        import tempfile
+        emb = demo.load_embeddings(s, d)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        cen = _ivf_fixed_centroids()
+        path = tempfile.mkdtemp(prefix="ivf_idx_") + "/emb"
+        simf.write_ivf_partitioned(emb, cen, path)
+        return simf.cosine_topk_ivf_pruned(s, path, qv, cen, k=20, n_probe=2)
+    q["ann_ivf_pruned"] = _topk_ivf_pruned
+
     q["emb_near_dup"] = lambda s, d: simf.pairwise_cosine_within(
         demo.load_embeddings(s, d), "label", min_sim=0.8)
 
@@ -957,6 +970,10 @@ cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (cid))
 SELECT s.vec_id, s.sim FROM sims s JOIN cand USING (vec_id)
 ORDER BY s.sim DESC, s.vec_id LIMIT 20
 """
+
+    # the materialized-layout probe computes the same assignment at write
+    # time, so its oracle is identical
+    o["ann_ivf_pruned"] = o["ann_ivf_topk"]
 
     o["emb_near_dup_lsh"] = f"""
 WITH {_EB},

@@ -2,11 +2,17 @@
 
   spark-submit --py-files dist/medcat_spark.zip jobs/run_kg.py \
       --docs /path/docs.parquet --model-pack /path/pack \
-      --out /path/kg --partitions 512 [--max-docs N]
+      --out /path/kg --partitions 512 [--max-docs N] [--bucketed 32]
 
 Resumable: re-running with the same --out continues from the last
 committed snapshot (anti-join on processed doc_ids).  Build the zip with
 ``python tools/package.py``.
+
+``--bucketed N`` additionally persists the committed annotations as a
+doc_id-bucketed managed table (the Iceberg ``bucket(N, doc_id)``
+analogue) and derives the co-occurrence triples from it, so the self-
+join runs WITHOUT an Exchange on the join key — the manifest records
+the resulting shuffle count as evidence.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--max-docs", type=int, default=None)
+    p.add_argument("--bucketed", type=int, default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -42,12 +49,29 @@ def main(argv=None):
                                   max_docs=args.max_docs, config=cfg)
     ann = read_annotations(spark, args.out)
     if ann is not None:
-        mention_triples(ann, distinct=True).write.mode("overwrite") \
-            .parquet(f"{args.out}/triples/mentions")
-        # ann is a parquet scan of the committed snapshots: no recompute
-        # risk, skip the defensive localCheckpoint
-        cooccurrence_triples(ann, materialize=False).write.mode("overwrite") \
-            .parquet(f"{args.out}/triples/cooccurrence")
+        if args.bucketed:
+            from medcat_spark.operators.bucketing import (
+                bucketed_cooccurrence, write_annotations_bucketed)
+            write_annotations_bucketed(ann, "annotations_bucketed",
+                                       num_buckets=args.bucketed)
+            banns = spark.table("annotations_bucketed")
+            mention_triples(banns, distinct=True).write.mode("overwrite") \
+                .parquet(f"{args.out}/triples/mentions")
+            cooc = bucketed_cooccurrence(spark, "annotations_bucketed")
+            plan = cooc._jdf.queryExecution().executedPlan().toString()
+            manifest["bucketed"] = args.bucketed
+            manifest["cooc_shuffle_exchanges"] = \
+                plan.count("Exchange hashpartitioning")
+            cooc.write.mode("overwrite") \
+                .parquet(f"{args.out}/triples/cooccurrence")
+        else:
+            mention_triples(ann, distinct=True).write.mode("overwrite") \
+                .parquet(f"{args.out}/triples/mentions")
+            # ann is a parquet scan of the committed snapshots: no
+            # recompute risk, skip the defensive localCheckpoint
+            cooccurrence_triples(ann, materialize=False) \
+                .write.mode("overwrite") \
+                .parquet(f"{args.out}/triples/cooccurrence")
     print(json.dumps(manifest))
     spark.stop()
 

@@ -115,3 +115,50 @@ def test_kmeans_centroids_deterministic():
     b = kmeans_centroids(list(X), 4, seed=7)
     assert np.array_equal(a, b)
     assert a.shape == (4, 8)
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark, clustered_embeddings,
+                                                 tmp_path):
+    """write_ivf_partitioned + cosine_topk_ivf_pruned: the probe reads
+    only the probed clusters' partition directories (PartitionFilters on
+    the cluster column, fewer input files) and returns exactly what the
+    recompute-per-query path returns."""
+    import numpy as np
+
+    emb = clustered_embeddings.cache()
+    qv = emb.where("vec_id = 0").first()["embedding"]
+    sample = [r["embedding"] for r in
+              emb.orderBy("vec_id").limit(300).collect()]
+    cen = simf.kmeans_centroids(np.asarray(sample), 10, seed=7)
+
+    path = str(tmp_path / "ivf_idx")
+    simf.write_ivf_partitioned(emb, cen, path)
+
+    pruned = simf.cosine_topk_ivf_pruned(spark, path, qv, cen, k=20,
+                                         n_probe=2)
+    # plan: the cluster filter is a PARTITION filter, not a data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan, plan
+    # pruning is real: rows actually scanned come ONLY from the probed
+    # clusters' directories (input_file_name reflects post-pruning scan)
+    from pyspark.sql import functions as F
+    probes = [int(i) for i in np.argsort(
+        np.round(((cen - np.asarray(qv, dtype=np.float64)) ** 2)
+                 .sum(axis=1), 9), kind="stable")[:2]]
+    scanned_dirs = {f.split("ivf_cluster=")[1].split("/")[0]
+                    for f in (r[0] for r in spark.read.parquet(path)
+                              .where(F.col("ivf_cluster").isin(probes))
+                              .select(F.input_file_name())
+                              .distinct().collect())}
+    all_dirs = {r["ivf_cluster"] for r in spark.read.parquet(path)
+                .select("ivf_cluster").distinct().collect()}
+    assert scanned_dirs == {str(p) for p in probes}
+    assert len(all_dirs) > len(probes)
+
+    # identical results to the per-query assignment path
+    expect = [(r["vec_id"], r["sim"]) for r in
+              simf.cosine_topk_ivf(emb, qv, k=20, centroids=cen,
+                                   n_probe=2).collect()]
+    got = [(r["vec_id"], r["sim"]) for r in pruned.collect()]
+    assert got == expect and got
+    emb.unpersist()
