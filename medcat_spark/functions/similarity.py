@@ -94,12 +94,25 @@ def pairwise_cosine_within(df: DataFrame, group_col: str,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
                            min_sim: float = 0.9,
-                           round_to: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking group."""
-    a = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("id_a"),
-                  F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("id_b"),
-                  F.col(vec_col).cast("array<double>").alias("vb"))
+                           round_to: int = 6,
+                           max_group_size: int = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking group —
+    the EXACT all-pairs baseline.  The scale path is pairwise_cosine_lsh
+    (linear join input); prefer it whenever groups can grow with the
+    corpus.  ``max_group_size`` guards the quadratic blow-up the same
+    way dedup's LSH ``max_bucket_size`` does: groups above the cap are
+    dropped from pair generation (route those through the LSH path or an
+    exact-dup pass instead of materializing |g|² pairs)."""
+    base = df
+    if max_group_size is not None:
+        from pyspark.sql.window import Window
+        gsz = Window.partitionBy(group_col)
+        base = (df.withColumn("_gsz", F.count("*").over(gsz))
+                .where(F.col("_gsz") <= max_group_size).drop("_gsz"))
+    a = base.select(F.col(group_col).alias("g"), F.col(id_col).alias("id_a"),
+                    F.col(vec_col).cast("array<double>").alias("va"))
+    b = base.select(F.col(group_col).alias("g"), F.col(id_col).alias("id_b"),
+                    F.col(vec_col).cast("array<double>").alias("vb"))
     return (a.join(b, "g").where(F.col("id_a") < F.col("id_b"))
             .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
             .where(F.col("sim") >= min_sim)

@@ -273,23 +273,60 @@ def train_supervised_spark(spark: SparkSession, gold: DataFrame,
                     .alias("mean_vec"), "n"))
 
 
-def _unsup_context_sums(bc):
+_UNSUP_SCHEMA = StructType([
+    StructField("cui", StringType()),
+    StructField("ctx_type", StringType()),
+    StructField("vec_sum", ArrayType(DoubleType())),   # Σ(+pos) − Σ(neg)
+    StructField("n", LongType()),                      # positive examples
+    StructField("n_neg", LongType()),                  # negative examples
+])
+
+
+def _unsup_context_sums(bc, negative_sampling: bool = True):
     """mapInPandas fn for unsupervised training: run NER per doc, apply
     the L6 train-eligibility rule (context_based_linker.py:63-88 —
     name length >= disamb_length_limit; single candidate with status !=
     'N', or multi-candidate only for status in {P, PD}), emit per-(cui,
-    ctx_type) partial context-vector sums."""
+    ctx_type) partial context-vector sums.
+
+    L8 negative sampling (context_based_linker.py:39-54 + vocab.py:
+    179-242): after each positive example, with negative_probability a
+    per-ctx-type window of words is drawn from the broadcast vocab's
+    unigram^(3/4) cumulative distribution and its mean vector enters the
+    sum NEGATED — the L7 sign rule (cdb.py:406-471: negative updates
+    subtract the example) expressed in the count-weighted-mean combine.
+    The RNG is seeded per doc_id, so the draw stream is deterministic
+    and independent of partitioning."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import random
+
         from medcat_spark.core.annotate import preprocess
         from medcat_spark.core.linker import ContextModel
         from medcat_spark.core.ner import detect_entities
         from medcat_spark.pipeline import _get_model
         cdb, vocab, config, sc = _get_model(bc)
         cm = ContextModel(cdb, vocab, config)
+        do_neg = negative_sampling and vocab.word2vec
         for pdf in batches:
             acc: dict = {}
+
+            def add(cui, ct, v, pos):
+                key = (cui, ct)
+                if key not in acc:
+                    acc[key] = [np.zeros_like(v), 0, 0]
+                if pos:
+                    acc[key][0] += v
+                    acc[key][1] += 1
+                else:
+                    acc[key][0] -= v
+                    acc[key][2] += 1
+
             for row in pdf.itertuples(index=False):
                 text = (row.text or "")[:config.max_document_length]
+                rng = random.Random(int.from_bytes(hashlib.sha256(
+                    ("neg:%s" % row.doc_id).encode()).digest()[:8], "big")) \
+                    if do_neg else None
                 toks = preprocess(text, cdb, config, sc)
                 for ent in detect_entities(toks, text, cdb, config):
                     name = ent.detected_name
@@ -307,12 +344,19 @@ def _unsup_context_sums(bc):
                     vecs = cm.get_context_vectors(ent, toks)
                     for cui in train_cuis:
                         for ct, v in vecs.items():
-                            key = (cui, ct)
-                            if key in acc:
-                                acc[key][0] += v
-                                acc[key][1] += 1
-                            else:
-                                acc[key] = [v.copy(), 1]
+                            add(cui, ct, v, pos=True)
+                        if rng is not None and \
+                                config.negative_probability >= rng.random():
+                            for ct, size in config.context_vector_sizes.items():
+                                sampled = vocab.get_negative_samples(
+                                    size, rng,
+                                    ignore_punct_and_num=config
+                                    .negative_ignore_punct_and_num)
+                                vals = [vocab.vec(w) for w in sampled
+                                        if vocab.vec(w) is not None]
+                                if vals:
+                                    add(cui, ct, np.average(vals, axis=0),
+                                        pos=False)
             if not acc:
                 # yielding an EMPTY frame would give vec_sum a numeric
                 # dtype that Arrow cannot convert to list<double>
@@ -322,28 +366,38 @@ def _unsup_context_sums(bc):
                 "ctx_type": [k[1] for k in acc],
                 "vec_sum": [list(map(float, v[0])) for v in acc.values()],
                 "n": [v[1] for v in acc.values()],
+                "n_neg": [v[2] for v in acc.values()],
             })
     return fn
 
 
 def train_unsupervised_spark(spark: SparkSession, docs: DataFrame, bc,
-                             config: Optional[EngineConfig] = None) -> DataFrame:
+                             config: Optional[EngineConfig] = None,
+                             negative_sampling: bool = True) -> DataFrame:
     """Distributed unsupervised training (cat.py:620-674 analogue) with
     the same count-weighted mean combine as train_supervised_spark —
     documented divergence from the reference's sequential lr anneal
-    (see that function's docstring)."""
+    (see that function's docstring).  Negative sampling (L8) is wired
+    in: the mean is over positive examples MINUS sampled negatives
+    (sign rule of cdb.py:406-471), divided by the total example count;
+    the returned ``n`` counts positives only (it feeds count_train,
+    which the reference increments only on positives)."""
     sums = docs.select("doc_id", "text").mapInPandas(
-        _unsup_context_sums(bc), schema=_CTX_SCHEMA)
-    cells = sums.select("cui", "ctx_type", "n",
+        _unsup_context_sums(bc, negative_sampling=negative_sampling),
+        schema=_UNSUP_SCHEMA)
+    cells = sums.select("cui", "ctx_type", "n", "n_neg",
                         F.posexplode("vec_sum").alias("pos", "val"))
     per_dim = (cells.groupBy("cui", "ctx_type", "pos")
-               .agg(F.sum("val").alias("s"), F.sum("n").alias("n_tot")))
+               .agg(F.sum("val").alias("s"), F.sum("n").alias("n_tot"),
+                    F.sum("n_neg").alias("n_neg_tot")))
     return (per_dim.groupBy("cui", "ctx_type")
             .agg(F.collect_list(F.struct("pos", "s")).alias("cells"),
-                 F.first("n_tot").alias("n"))
+                 F.first("n_tot").alias("n"),
+                 F.first("n_neg_tot").alias("n_neg"))
             .select("cui", "ctx_type",
                     F.transform(F.array_sort("cells"),
-                                lambda e: e["s"] / F.col("n"))
+                                lambda e: e["s"]
+                                / (F.col("n") + F.col("n_neg")))
                     .alias("mean_vec"), "n"))
 
 

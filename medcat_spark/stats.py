@@ -54,6 +54,10 @@ def overall_stats(pred: DataFrame, gold: DataFrame) -> dict:
 # the other k-1 folds, evaluate on the held-out fold, aggregate.
 # ---------------------------------------------------------------------------
 
+# driver-side greedy split bound: ~100 bytes/row -> well under a GB
+_WEIGHTED_SPLIT_MAX_DOCS = 5_000_000
+
+
 def assign_folds_per_docs(doc_ids, k: int):
     """PerDocsFoldCreator (kfold.py:177-196): contiguous chunks of
     size n//k over the doc order; the LAST fold takes the remainder."""
@@ -106,20 +110,37 @@ def kfold_stats(spark, mct: DataFrame, cdb, vocab, config, k: int = 3,
                     F.col("end").cast("int").alias("end"), "cui").cache())
 
     if split_type == "per_docs":
-        ids = [r["doc_id"] for r in
-               docs.select("doc_id").orderBy("doc_id").collect()]
-        fold_of = assign_folds_per_docs(ids, k)
+        # scale-safe fold assignment: a deterministic hash column instead
+        # of collecting every doc_id to the driver.  Divergence from the
+        # reference's PerDocsFoldCreator (contiguous chunks over input
+        # order, kfold.py:177-196) is documented: hash folds are
+        # order-free and partition-independent, which is what a
+        # corpus-scale gold set needs; the contiguous splitter survives
+        # as assign_folds_per_docs for parity tests.
+        fold_df = docs.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(k)).cast("int").alias("fold"))
     elif split_type == "weighted":
+        # the greedy balanced split is inherently sequential (reference
+        # WeightedDocumentsCreator, kfold.py:240-262), so it stays
+        # driver-side with an explicit size bound — its domain is MCT
+        # exports (thousands of docs), not corpora.
+        n_docs = docs.count()
+        if n_docs > _WEIGHTED_SPLIT_MAX_DOCS:
+            raise ValueError(
+                f"split_type='weighted' collects one row per doc to the "
+                f"driver and is bounded at {_WEIGHTED_SPLIT_MAX_DOCS} docs "
+                f"(got {n_docs}); use split_type='per_docs' (hash folds) "
+                f"for corpus-scale gold sets")
         w = (gold.groupBy("doc_id").agg(F.count("*").alias("w"))
              .join(docs.select("doc_id"), "doc_id", "right")
              .select("doc_id", F.coalesce("w", F.lit(0)).alias("w"))
              .orderBy("doc_id").collect())
         fold_of = assign_folds_weighted([(r["doc_id"], r["w"]) for r in w], k)
+        fold_df = spark.createDataFrame(list(fold_of.items()),
+                                        "doc_id string, fold int")
     else:
         raise ValueError(f"unknown split_type {split_type}")
-
-    fold_df = spark.createDataFrame(list(fold_of.items()),
-                                    "doc_id string, fold int")
     per_fold, tot = [], {"tp": 0, "fp": 0, "fn": 0}
     for fold in range(k):
         train_docs = docs.join(fold_df.where(F.col("fold") != fold),

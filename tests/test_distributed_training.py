@@ -49,3 +49,54 @@ def test_distributed_pack_equals_driver_merge(spark, fixture_models, tmp_path):
     # untouched model surface is identical
     assert cdb2.name2cuis == cdb.name2cuis
     assert cdb2.snames == cdb.snames
+
+
+def test_unsup_negative_sampling_deterministic_and_close_to_sequential(
+        spark):
+    """L8 in the distributed trainer: per-doc seeded RNG makes the
+    negative draws deterministic and partition-invariant; the combined
+    mean (positives MINUS sampled negatives, L7 sign rule) stays
+    directionally close to the exact sequential trainer (whose own
+    negative draws come from a different RNG stream, so the tolerance
+    is loose by construction)."""
+    from medcat_spark.core.annotate import train_unsupervised
+    from medcat_spark.core.model import unitvec
+    from medcat_spark.fixtures import (_TEMPLATES, build_fixture_cdb,
+                                       build_fixture_vocab)
+    from medcat_spark.model_ops import train_unsupervised_spark
+
+    cfg = EngineConfig()
+    corpus = ["the patient presented " + t for t in _TEMPLATES * 3]
+    vocab = build_fixture_vocab()
+
+    cdb_seq = build_fixture_cdb(cfg)
+    train_unsupervised(corpus, cdb_seq, vocab, cfg, seed=42)
+
+    bc = broadcast_model(spark, build_fixture_cdb(cfg), vocab, cfg)
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(corpus)],
+        "doc_id string, text string")
+
+    def collect(d, **kw):
+        return {(r["cui"], r["ctx_type"]): np.array(r["mean_vec"])
+                for r in train_unsupervised_spark(spark, d, bc, **kw)
+                .collect()}
+
+    with_neg = collect(docs)
+    # deterministic across partitionings (per-doc seeds, not per-task)
+    repart = collect(docs.repartition(1))
+    assert set(with_neg) == set(repart)
+    for k in with_neg:
+        assert np.allclose(with_neg[k], repart[k], atol=1e-9), k
+
+    # negatives really enter the mean
+    pos_only = collect(docs, negative_sampling=False)
+    assert any(not np.allclose(with_neg[k], pos_only[k]) for k in with_neg)
+
+    # directional agreement with the exact sequential trainer
+    coss = [float(np.dot(unitvec(v),
+                         unitvec(cdb_seq.cui2context_vectors[cui][ct])))
+            for (cui, ct), v in with_neg.items()
+            if ct in cdb_seq.cui2context_vectors.get(cui, {})]
+    assert coss and min(coss) >= 0.7 and float(np.mean(coss)) >= 0.9, (
+        min(coss), float(np.mean(coss)))

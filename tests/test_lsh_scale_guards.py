@@ -162,3 +162,18 @@ def test_ivf_partitioned_probe_prunes_partitions(spark, clustered_embeddings,
     got = [(r["vec_id"], r["sim"]) for r in pruned.collect()]
     assert got == expect and got
     emb.unpersist()
+
+
+def test_pairwise_within_group_size_guard(spark):
+    """max_group_size drops mega-groups from the quadratic all-pairs
+    path (LSH max_bucket_size analogue); small groups are unaffected."""
+    rows = [(f"m{i}", "mega", [1.0, 0.0, 0.0]) for i in range(20)]
+    rows += [("s1", "small", [0.0, 1.0, 0.0]), ("s2", "small", [0.0, 1.0, 0.1])]
+    df = spark.createDataFrame(
+        rows, "vec_id string, label string, embedding array<double>")
+    uncapped = simf.pairwise_cosine_within(df, "label", min_sim=0.5)
+    capped = simf.pairwise_cosine_within(df, "label", min_sim=0.5,
+                                         max_group_size=10)
+    assert uncapped.count() == 20 * 19 // 2 + 1
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {("s1", "s2")}

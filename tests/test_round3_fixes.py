@@ -162,3 +162,39 @@ def test_pt2ch_and_refset_dict_allowlist(spark):
                                "cui string, codes array<string>")
     assert refset_dict(rs, cuis=["A"]) == {"A": ["I21"]}
     assert refset_dict(rs) == {"A": ["I21"], "X": ["J10"]}
+
+
+def test_kfold_per_docs_hash_folds_no_driver_collect(spark, fixture_models):
+    """split_type='per_docs' now assigns folds via pmod(xxhash64(doc_id))
+    — no driver collect of doc ids — and still yields perfect P/R on a
+    self-annotated export (every fold's eval docs were seen in the CDB
+    dictionary; linking math is train-set independent here)."""
+    import json
+    import tempfile
+
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.core.annotate import annotate_document
+    from medcat_spark.fixtures import fixture_documents
+    from medcat_spark.sources.mct_export import read_mct_export
+    from medcat_spark.stats import kfold_stats
+
+    cdb, vocab = fixture_models
+    cfg = EngineConfig()
+    export = {"projects": [{"id": 1, "name": "p", "cuis": "",
+                            "documents": []}]}
+    for d in fixture_documents(9):
+        text = " ".join(s["text"] for s in d["spans"] if s["kind"] == "text")
+        ents, _ = annotate_document(text, cdb, vocab, cfg)
+        export["projects"][0]["documents"].append(
+            {"id": d["doc_id"], "name": d["doc_id"], "text": text,
+             "annotations": [{"start": e.start, "end": e.end, "cui": e.cui,
+                              "value": e.source_value} for e in ents]})
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as fh:
+        json.dump(export, fh)
+        path = fh.name
+    mct = read_mct_export(spark, path)
+    res = kfold_stats(spark, mct, cdb, vocab, cfg, k=3,
+                      split_type="per_docs")
+    assert len(res["folds"]) == 3
+    assert res["tp"] > 0 and res["precision"] == 1.0 and res["recall"] == 1.0
