@@ -54,6 +54,11 @@ _IRREGULAR = {
     "news": "news", "herpes": "herpes", "measles": "measles",
     "rabies": "rabies", "scabies": "scabies", "sepsis": "sepsis",
     "pancreas": "pancreas", "atlas": "atlas", "gas": "gas",
+    "asbestos": "asbestos", "lens": "lens", "mumps": "mumps",
+    "shingles": "shingles", "forceps": "forceps", "biceps": "biceps",
+    # s-final adverbs/function words (grown from tools/lemma_divergence)
+    "sometimes": "sometimes", "always": "always", "perhaps": "perhaps",
+    "besides": "besides", "towards": "towards", "whereas": "whereas",
 }
 
 _KEEP_SUFFIX = ("ss", "us", "is", "ous")  # never strip plain trailing 's'

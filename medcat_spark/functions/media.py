@@ -43,9 +43,103 @@ def fake_decode(media_ref: str) -> dict:
 
 
 def real_decode(media_bytes: bytes) -> dict:
+    """Real header decode for the formats whose metadata needs no
+    library: PNG (IHDR chunk), JPEG (SOF frame header), GIF (logical
+    screen descriptor) — pure struct parsing of the container bytes.
+    Pixel decode / audio / video stay behind NotImplementedError until a
+    cluster provides PIL/ffmpeg.
+
+    Returns {format, width, height, phash} (phash = md5 of the bytes —
+    a content fingerprint; a perceptual hash needs pixel decode).
+    """
+    import struct
+
+    b = media_bytes or b""
+    h = hashlib.md5(b).hexdigest()[:16]
+
+    # PNG: 8-byte signature, first chunk must be IHDR (width/height BE)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, ht = struct.unpack(">II", b[16:24])
+        return {"format": "png", "width": int(w), "height": int(ht),
+                "phash": h}
+
+    # GIF: 6-byte signature then little-endian logical screen size
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, ht = struct.unpack("<HH", b[6:10])
+        return {"format": "gif", "width": int(w), "height": int(ht),
+                "phash": h}
+
+    # JPEG: walk the marker stream to the first SOFn (C0-CF minus
+    # C4/C8/CC), whose payload is precision(1) height(2BE) width(2BE)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker == 0xFF:          # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                i += 2                  # standalone marker, no length
+                continue
+            if i + 4 > len(b):
+                break
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    ht, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return {"format": "jpeg", "width": int(w),
+                            "height": int(ht), "phash": h}
+                break
+            i += 2 + seg_len
+        raise ValueError("truncated or SOF-less JPEG stream")
+
     raise NotImplementedError(
-        "image/audio decode libraries are not available in this "
-        "environment; wire PIL/ffmpeg here on a real cluster")
+        "only PNG/JPEG/GIF headers decode without libraries; wire "
+        "PIL/ffmpeg here on a real cluster for pixel/audio/video decode")
+
+
+MEDIA_BYTES_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("phash", StringType()),
+])
+
+
+def media_features_from_bytes(df: DataFrame, bytes_col: str = "media_bytes",
+                              id_col: str = "doc_id",
+                              ref_col: str = "media_ref") -> DataFrame:
+    """media_features over a REAL binary column: Arrow-batched header
+    decode of PNG/JPEG/GIF bytes (real_decode).  Undecodable rows get
+    null dims and format 'unknown' instead of failing the batch —
+    corpus-scale media tables always contain corrupt members."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_BYTES_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                try:
+                    meta = real_decode(getattr(row, bytes_col))
+                except (NotImplementedError, ValueError):
+                    meta = {"format": "unknown", "width": None,
+                            "height": None,
+                            "phash": hashlib.md5(
+                                getattr(row, bytes_col) or b"")
+                            .hexdigest()[:16]}
+                out["doc_id"].append(str(getattr(row, id_col)))
+                out["media_ref"].append(getattr(row, ref_col))
+                out["format"].append(meta["format"])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["phash"].append(meta["phash"])
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=MEDIA_BYTES_SCHEMA)
 
 
 def media_features(docs_with_spans: DataFrame) -> DataFrame:

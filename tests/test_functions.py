@@ -155,3 +155,66 @@ def test_media_resize_and_frame_sample(spark):
         assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
         assert all(r["frame_ref"] == f"{ref}#f{r['frame_idx']}"
                    for r in rows)
+
+
+def _png_bytes(w, h):
+    import struct
+    import zlib
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _jpeg_bytes(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + \
+        struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def test_real_decode_png_jpeg_gif_headers():
+    import pytest as _pytest
+
+    from medcat_spark.functions.media import real_decode
+
+    assert real_decode(_png_bytes(640, 480)) == {
+        "format": "png", "width": 640, "height": 480,
+        "phash": real_decode(_png_bytes(640, 480))["phash"]}
+    j = real_decode(_jpeg_bytes(1920, 1080))
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 1920, 1080)
+    g = real_decode(_gif_bytes(32, 16))
+    assert (g["format"], g["width"], g["height"]) == ("gif", 32, 16)
+    # video/unknown stays an honest stub
+    with _pytest.raises(NotImplementedError):
+        real_decode(b"\x00\x01\x02RIFFnotanimage")
+    with _pytest.raises(ValueError):
+        real_decode(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # SOF-less JPEG
+
+
+def test_media_features_from_bytes_spark(spark):
+    from medcat_spark.functions.media import media_features_from_bytes
+
+    rows = [("d1", "s3://img/a.png", _png_bytes(100, 50)),
+            ("d2", "s3://img/b.jpg", _jpeg_bytes(10, 20)),
+            ("d3", "s3://img/c.gif", _gif_bytes(7, 9)),
+            ("d4", "s3://img/d.mp4", b"\x00\x00\x00 ftypisom")]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, media_bytes binary")
+    got = {r["doc_id"]: r for r in media_features_from_bytes(df).collect()}
+    assert (got["d1"]["format"], got["d1"]["width"],
+            got["d1"]["height"]) == ("png", 100, 50)
+    assert (got["d2"]["format"], got["d2"]["width"],
+            got["d2"]["height"]) == ("jpeg", 10, 20)
+    assert (got["d3"]["format"], got["d3"]["width"],
+            got["d3"]["height"]) == ("gif", 7, 9)
+    # corrupt/unsupported rows survive as 'unknown', batch doesn't fail
+    assert got["d4"]["format"] == "unknown"
+    assert got["d4"]["width"] is None and got["d4"]["phash"]
