@@ -83,6 +83,14 @@ def run(spark) -> dict:
     timed("q11_meta_model",
           lambda: meta_annotations_model(ann, docs, bcm).count())
 
+    # q14: NONLINEAR meta classifier — padded batch MLP forward through
+    # the same broadcast + mapInPandas plumbing (torch-shape proof)
+    from medcat_spark.functions.meta_model import (meta_annotations_mlp,
+                                                   negation_mlp_fixture_model)
+    bcmlp = spark.sparkContext.broadcast(negation_mlp_fixture_model())
+    timed("q14_meta_mlp",
+          lambda: meta_annotations_mlp(ann, docs, bcmlp).count())
+
     # q12: RelCAT-analogue entity-pair classifier
     from medcat_spark.functions.rel_model import (relation_fixture_model,
                                                   relations_model)
