@@ -23,11 +23,18 @@ def main(argv=None):
     p.add_argument("--model-pack", required=True)
     p.add_argument("--out-pack", required=True)
     p.add_argument("--master", default=None)
+    p.add_argument("--devalue-others", action="store_true",
+                   help="negative-train other CUIs sharing a gold name "
+                        "(reference cat.py:790-800)")
+    p.add_argument("--no-add-names", action="store_true",
+                   help="skip adding gold (cui, value) names to the CDB "
+                        "(reference add_and_train_concept adds by default)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
 
-    from medcat_spark.model_ops import save_trained_pack, train_supervised_spark
+    from medcat_spark.model_ops import (add_gold_concepts, save_trained_pack,
+                                        train_supervised_spark)
     from medcat_spark.pipeline import broadcast_model
     from medcat_spark.session import get_spark
     from medcat_spark.sources.mct_export import (documents_from_mct,
@@ -46,19 +53,25 @@ def main(argv=None):
         for name in prepare_name(r["value"], cfg):
             cdb.unlink_name(r["cui"], name)
 
+    # gold names join the dictionary BEFORE training, like the
+    # reference's per-annotation add_and_train_concept (cat.py:730-785)
+    names_added = 0 if args.no_add_names else add_gold_concepts(cdb, mct, cfg)
+
     gold = (mct.where(F.col("validated") & ~F.col("killed") & ~F.col("deleted"))
             .select("doc_id", F.col("start").cast("int").alias("start"),
-                    F.col("end").cast("int").alias("end"), "cui"))
+                    F.col("end").cast("int").alias("end"), "cui", "value"))
     docs = documents_from_mct(mct)
     bc = broadcast_model(spark, cdb, vocab, cfg)
     # distributed pack write: mean context vectors go straight from the
     # trainer DataFrame into the pack's context_vectors.parquet — no
     # driver collect of vectors (VERDICT r01 finding #3)
-    trained = train_supervised_spark(spark, gold, docs, bc, cfg)
+    trained = train_supervised_spark(spark, gold, docs, bc, cfg,
+                                     devalue_others=args.devalue_others)
     manifest = save_trained_pack(spark, args.out_pack, cdb, vocab,
                                  trained, cfg)
     print(json.dumps({"examples": int(gold.count()),
-                      "killed_unlinked": len(killed), **manifest}))
+                      "killed_unlinked": len(killed),
+                      "gold_names_added": names_added, **manifest}))
     spark.stop()
 
 

@@ -239,11 +239,96 @@ def _context_sums(bc):
     return fn
 
 
+def _devalue_sums(bc):
+    """mapInPandas fn for the devalue_others branch (reference
+    cat.py:790-800): for each gold example, every OTHER CUI sharing the
+    gold name's dictionary entry receives the example's context vector
+    as a NEGATIVE — emitted as negated partial sums."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from medcat_spark.core.annotate import preprocess
+        from medcat_spark.core.linker import ContextModel
+        from medcat_spark.core.model import prepare_name
+        from medcat_spark.core.ner import Entity
+        from medcat_spark.pipeline import _get_model
+        cdb, vocab, config, sc = _get_model(bc)
+        cm = ContextModel(cdb, vocab, config)
+        for pdf in batches:
+            acc: dict = {}
+            for row in pdf.itertuples(index=False):
+                others: set = set()
+                for n in prepare_name(row.value or "", config):
+                    others.update(cdb.name2cuis.get(n, []))
+                others.discard(row.cui)
+                if not others:
+                    continue
+                toks = preprocess(row.text or "", cdb, config, sc)
+                span = [t for t in toks
+                        if t.start >= row.start and t.end <= row.end]
+                if not span:
+                    continue
+                ent = Entity(tok_start=span[0].i, tok_end=span[-1].i,
+                             start=row.start, end=row.end,
+                             source_value="", detected_name="",
+                             link_candidates=[], ent_id=0)
+                vecs = cm.get_context_vectors(ent, toks)
+                for other in sorted(others):
+                    for ct, v in vecs.items():
+                        key = (other, ct)
+                        if key in acc:
+                            acc[key][0] -= v
+                            acc[key][1] += 1
+                        else:
+                            acc[key] = [-v.copy(), 1]
+            if not acc:
+                continue
+            yield pd.DataFrame({
+                "cui": [k[0] for k in acc],
+                "ctx_type": [k[1] for k in acc],
+                "vec_sum": [list(map(float, v[0])) for v in acc.values()],
+                "n": [0] * len(acc),
+                "n_neg": [v[1] for v in acc.values()],
+            })
+    return fn
+
+
+def add_gold_concepts(cdb, mct: DataFrame,
+                      config: Optional[EngineConfig] = None,
+                      name_status: str = "A") -> int:
+    """The name-addition half of the reference's add_and_train_concept
+    (cat.py:730-785, called per gold annotation in train_supervised_raw):
+    every validated, non-killed, non-deleted (cui, value) pair is added
+    to the CDB (prepare_name + add_concept, default status 'A') so the
+    dictionary learns the annotators' surface forms.  The distinct pair
+    set is annotation-vocabulary-sized (thousands), so collecting it to
+    the driver-side model is the production shape — the model itself is
+    a broadcast object."""
+    from medcat_spark.core.model import prepare_name
+
+    cfg = config or EngineConfig()
+    pairs = (mct.where(F.col("validated") & ~F.col("killed")
+                       & ~F.col("deleted"))
+             .select("cui", "value").distinct()
+             .orderBy("cui", "value").collect())
+    added = 0
+    for r in pairs:
+        names = prepare_name(r["value"] or "", cfg)
+        if not names:
+            continue
+        new = [n for n in names if r["cui"] not in
+               cdb.name2cuis2status.get(n, {})]
+        if new:
+            cdb.add_concept(r["cui"], names, set(), name_status, set(), "")
+            added += 1
+    return added
+
+
 def train_supervised_spark(spark: SparkSession, gold: DataFrame,
                            docs: DataFrame, bc,
-                           config: Optional[EngineConfig] = None) -> DataFrame:
-    """Distributed supervised training: gold (doc_id, start, end, cui) ×
-    docs (doc_id, text) → per-(cui, ctx_type) context-vector MEANS.
+                           config: Optional[EngineConfig] = None,
+                           devalue_others: bool = False) -> DataFrame:
+    """Distributed supervised training: gold (doc_id, start, end, cui
+    [, value]) × docs (doc_id, text) → per-(cui, ctx_type)
+    context-vector MEANS.
 
     DOCUMENTED DIVERGENCE (SURVEY §7 Stage 4): the reference trainer is
     strictly sequential (lr anneals over the running count, cdb.py:441);
@@ -252,24 +337,39 @@ def train_supervised_spark(spark: SparkSession, gold: DataFrame,
     models (import_training averaging, cdb.py:585-611).  Exact-parity
     sequential training for small corpora lives in
     core.annotate.train_unsupervised.
+
+    ``devalue_others`` (reference cat.py:790-800): other CUIs sharing a
+    gold name receive that example's context NEGATIVELY (requires a
+    ``value`` column on ``gold``); negatives enter the mean with the L7
+    sign rule, exactly like the unsupervised trainer's L8 samples.
     """
+    cols = ["doc_id", "text", F.col("start").cast("int").alias("start"),
+            F.col("end").cast("int").alias("end"), "cui"]
     ex = gold.join(docs, "doc_id").select(
-        "doc_id", "text", F.col("start").cast("int").alias("start"),
-        F.col("end").cast("int").alias("end"), "cui")
-    sums = ex.mapInPandas(_context_sums(bc), schema=_CTX_SCHEMA)
+        *cols, *([F.col("value")] if devalue_others else []))
+    sums = ex.mapInPandas(_context_sums(bc), schema=_CTX_SCHEMA) \
+        .select("cui", "ctx_type", "vec_sum", "n",
+                F.lit(0).cast("long").alias("n_neg"))
+    if devalue_others:
+        sums = sums.unionByName(
+            ex.mapInPandas(_devalue_sums(bc), schema=_UNSUP_SCHEMA))
     # combine partial sums: explode to (cui, ctx_type, dim) cells so the
     # elementwise sum is a plain shuffle agg (map-side combinable), then
     # reassemble the mean vector in dim order
-    cells = sums.select("cui", "ctx_type", "n",
+    cells = sums.select("cui", "ctx_type", "n", "n_neg",
                         F.posexplode("vec_sum").alias("pos", "val"))
     per_dim = (cells.groupBy("cui", "ctx_type", "pos")
-               .agg(F.sum("val").alias("s"), F.sum("n").alias("n_tot")))
+               .agg(F.sum("val").alias("s"), F.sum("n").alias("n_tot"),
+                    F.sum("n_neg").alias("n_neg_tot")))
     return (per_dim.groupBy("cui", "ctx_type")
             .agg(F.collect_list(F.struct("pos", "s")).alias("cells"),
-                 F.first("n_tot").alias("n"))
+                 F.first("n_tot").alias("n"),
+                 F.first("n_neg_tot").alias("n_neg"))
+            .where(F.col("n") + F.col("n_neg") > 0)
             .select("cui", "ctx_type",
                     F.transform(F.array_sort("cells"),
-                                lambda e: e["s"] / F.col("n"))
+                                lambda e: e["s"]
+                                / (F.col("n") + F.col("n_neg")))
                     .alias("mean_vec"), "n"))
 
 

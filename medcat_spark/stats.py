@@ -150,6 +150,12 @@ def kfold_stats(spark, mct: DataFrame, cdb, vocab, config, k: int = 3,
         train_gold = gold.join(train_docs.select("doc_id"),
                                "doc_id", "left_semi")
         model = copy.deepcopy(cdb)  # reference captured_state_cdb restore
+        # train-fold gold names join the fold model's dictionary, like
+        # the reference's per-annotation add_and_train_concept
+        from medcat_spark.model_ops import add_gold_concepts
+        add_gold_concepts(
+            model, mct.join(train_docs.select("doc_id"), "doc_id",
+                            "left_semi"), config)
         bc = broadcast_model(spark, model, vocab, config)
         apply_training(model, train_supervised_spark(
             spark, train_gold, train_docs, bc, config).collect())

@@ -100,3 +100,63 @@ def test_unsup_negative_sampling_deterministic_and_close_to_sequential(
             if ct in cdb_seq.cui2context_vectors.get(cui, {})]
     assert coss and min(coss) >= 0.7 and float(np.mean(coss)) >= 0.9, (
         min(coss), float(np.mean(coss)))
+
+
+def test_devalue_others_and_gold_name_addition(spark, fixture_models):
+    """Reference add_and_train_concept semantics (cat.py:730-800):
+    (1) gold (cui, value) pairs join the dictionary before training;
+    (2) devalue_others=True trains other CUIs of a shared name
+    NEGATIVELY — their mean shifts opposite the example context."""
+    from medcat_spark.model_ops import add_gold_concepts
+
+    cdb, vocab = fixture_models
+    cfg = EngineConfig()
+
+    # (1) name addition: a brand-new surface form for a known CUI
+    import json
+    import tempfile
+
+    from medcat_spark.sources.mct_export import read_mct_export
+    export = {"projects": [{"id": 1, "name": "p", "cuis": "", "documents": [
+        {"id": "d1", "name": "d1",
+         "text": "cardiac event observed yesterday",
+         "annotations": [{"start": 0, "end": 13, "cui": "C0003",
+                          "value": "cardiac event"}]}]}]}
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as fh:
+        json.dump(export, fh)
+        path = fh.name
+    mct = read_mct_export(spark, path)
+    model = copy.deepcopy(cdb)
+    added = add_gold_concepts(model, mct, cfg)
+    assert added == 1
+    assert "C0003" in model.name2cuis.get("cardiac~event", [])
+    assert "cardiac" in model.snames and "cardiac~event" in model.snames
+    # idempotent: re-adding the same pair is a no-op
+    assert add_gold_concepts(model, mct, cfg) == 0
+
+    # (2) devalue_others: two CUIs share a name; gold trains one of them
+    from medcat_spark.fixtures import build_fixture_cdb, build_fixture_vocab
+    rows = [("S1", "shunt", "", "P", "T1", ""),
+            ("S2", "shunt", "", "A", "T1", "")]
+    cdb2 = build_fixture_cdb(cfg, rows=rows)
+    vocab2 = build_fixture_vocab()
+    bc = broadcast_model(spark, cdb2, vocab2, cfg)
+    docs = spark.createDataFrame(
+        [("d1", "patient fitted with shunt after surgery")],
+        "doc_id string, text string")
+    gold = spark.createDataFrame(
+        [("d1", 20, 25, "S1", "shunt")],
+        "doc_id string, start int, end int, cui string, value string")
+    plain = {(r["cui"], r["ctx_type"]): np.array(r["mean_vec"])
+             for r in train_supervised_spark(spark, gold, docs, bc,
+                                             cfg).collect()}
+    dev = {(r["cui"], r["ctx_type"]): np.array(r["mean_vec"])
+           for r in train_supervised_spark(
+               spark, gold, docs, bc, cfg, devalue_others=True).collect()}
+    assert all(k[0] == "S1" for k in plain)          # only the gold CUI
+    s2_keys = [k for k in dev if k[0] == "S2"]
+    assert s2_keys                                   # S2 got devalued
+    for cui, ct in s2_keys:
+        # the devalued mean is the NEGATED example context
+        assert np.allclose(dev[(cui, ct)], -plain[("S1", ct)], atol=1e-9)

@@ -34,9 +34,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PAIRS = [
-    {"name": "primary_2_to_8", "n": 2, "n4": 8, "replicate": 80},
+    {"name": "primary_2_to_8", "n": 2, "n4": 8, "replicate": 120},
     {"name": "secondary_8_to_32", "n": 8, "n4": 32, "replicate": 240},
 ]
+
+# Pin each measured JVM (and the Python workers it forks) to exactly N
+# CPUs: an unpinned local[N] JVM schedules its GC/netty/codegen helper
+# threads onto the box's idle cores — free compute a real N-core
+# executor does not have — and thread migration across 32 CPUs also
+# costs locality (measured: pinned local[2] is ~8% FASTER and honest).
+PIN_CPUS = os.environ.get("SCALING_PIN", "1") == "1"
 
 
 def one_master(master: str, cores: int, replicate: int,
@@ -95,10 +102,13 @@ def one_master(master: str, cores: int, replicate: int,
 
 def _subprocess_run(master: str, replicate: int, warmups: int,
                     n_runs: int) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--run", master,
+           str(replicate), str(warmups), str(n_runs)]
+    if PIN_CPUS:
+        cores = int(master.split("[")[1].rstrip("]"))
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--run", master,
-         str(replicate), str(warmups), str(n_runs)],
-        capture_output=True, text=True, cwd=REPO, timeout=3600)
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     line = [ln for ln in r.stdout.splitlines()
             if ln.startswith("RESULT ")][-1]
     return json.loads(line[len("RESULT "):])
@@ -123,7 +133,7 @@ def main():
     # yields one paired efficiency sample; the reported figure is the
     # median over rounds, so an episode distorts individual rounds, not
     # the estimator.  All raw per-run times are kept.
-    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    rounds = int(os.environ.get("SCALING_ROUNDS", "5"))
     out = {"sf_dir": SF_DIR, "protocol": "interleaved-pairs", "pairs": {}}
     for pair in PAIRS:
         n_m, n4_m = f"local[{pair['n']}]", f"local[{pair['n4']}]"
