@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--no-add-names", action="store_true",
                    help="skip adding gold (cui, value) names to the CDB "
                         "(reference add_and_train_concept adds by default)")
+    p.add_argument("--train-from-fp", action="store_true",
+                   help="negative-train predicted annotations absent from "
+                        "the gold set (reference cat.py:1061-1070)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -57,19 +60,29 @@ def main(argv=None):
     # reference's per-annotation add_and_train_concept (cat.py:730-785)
     names_added = 0 if args.no_add_names else add_gold_concepts(cdb, mct, cfg)
 
-    gold = (mct.where(F.col("validated") & ~F.col("killed") & ~F.col("deleted"))
-            .select("doc_id", F.col("start").cast("int").alias("start"),
-                    F.col("end").cast("int").alias("end"), "cui", "value"))
+    # positives/negatives per the reference training loop
+    # (cat.py:1046-1059): every non-killed annotation trains — deleted
+    # (annotator-rejected) ones NEGATIVELY; `validated` is not a train
+    # gate there (it gates stats only, stats/stats.py)
+    ann_cols = ["doc_id", F.col("start").cast("int").alias("start"),
+                F.col("end").cast("int").alias("end"), "cui", "value"]
+    gold = (mct.where(~F.col("killed") & ~F.col("deleted"))
+            .select(*ann_cols))
+    neg_gold = (mct.where(~F.col("killed") & F.col("deleted"))
+                .select(*ann_cols))
     docs = documents_from_mct(mct)
     bc = broadcast_model(spark, cdb, vocab, cfg)
     # distributed pack write: mean context vectors go straight from the
     # trainer DataFrame into the pack's context_vectors.parquet — no
     # driver collect of vectors (VERDICT r01 finding #3)
     trained = train_supervised_spark(spark, gold, docs, bc, cfg,
-                                     devalue_others=args.devalue_others)
+                                     devalue_others=args.devalue_others,
+                                     train_from_fp=args.train_from_fp,
+                                     negative_gold=neg_gold)
     manifest = save_trained_pack(spark, args.out_pack, cdb, vocab,
                                  trained, cfg)
     print(json.dumps({"examples": int(gold.count()),
+                      "negative_examples": int(neg_gold.count()),
                       "killed_unlinked": len(killed),
                       "gold_names_added": names_added, **manifest}))
     spark.stop()

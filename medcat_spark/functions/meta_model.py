@@ -347,13 +347,25 @@ class MlpMetaModel:
         G = self.E[idx] * emb_mask                      # (B, L, D)
         return G.sum(axis=1) / lens[:, None]
 
+    # Bound on windows per forward pass.  The (B, L, D) gather is the
+    # peak allocation; chunking keeps it ~50 MB so executor arenas are
+    # reused instead of freshly page-faulted (first-touch faults on
+    # large fresh mmaps cost ~100x on some virtualized kernels), and it
+    # is exactly the batch_size_eval knob a torch scorer needs
+    # (reference meta_cat.py config general.batch_size_eval).
+    MAX_FORWARD_BATCH = 8192
+
     def predict_batch(self, windows: Sequence[Sequence[str]]):
-        lg = self.forward(self.pool(windows))
-        best = lg.argmax(axis=1)
-        e = np.exp(lg - lg.max(axis=1, keepdims=True))
-        conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
-        return [(self.labels[i], round(float(c), 4))
-                for i, c in zip(best, conf)]
+        out: List[Tuple[str, float]] = []
+        for ofs in range(0, len(windows), self.MAX_FORWARD_BATCH):
+            chunk = windows[ofs:ofs + self.MAX_FORWARD_BATCH]
+            lg = self.forward(self.pool(chunk))
+            best = lg.argmax(axis=1)
+            e = np.exp(lg - lg.max(axis=1, keepdims=True))
+            conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
+            out.extend((self.labels[i], round(float(c), 4))
+                       for i, c in zip(best, conf))
+        return out
 
     def predict(self, window: Sequence[str]) -> Tuple[str, float]:
         return self.predict_batch([window])[0]

@@ -296,17 +296,17 @@ def add_gold_concepts(cdb, mct: DataFrame,
                       name_status: str = "A") -> int:
     """The name-addition half of the reference's add_and_train_concept
     (cat.py:730-785, called per gold annotation in train_supervised_raw):
-    every validated, non-killed, non-deleted (cui, value) pair is added
-    to the CDB (prepare_name + add_concept, default status 'A') so the
-    dictionary learns the annotators' surface forms.  The distinct pair
-    set is annotation-vocabulary-sized (thousands), so collecting it to
-    the driver-side model is the production shape — the model itself is
-    a broadcast object."""
+    every non-killed, non-deleted (cui, value) pair is added to the CDB
+    (prepare_name + add_concept, default status 'A') so the dictionary
+    learns the annotators' surface forms — the reference adds names for
+    every positive ann regardless of `validated` (that flag gates stats,
+    not training).  The distinct pair set is annotation-vocabulary-sized
+    (thousands), so collecting it to the driver-side model is the
+    production shape — the model itself is a broadcast object."""
     from medcat_spark.core.model import prepare_name
 
     cfg = config or EngineConfig()
-    pairs = (mct.where(F.col("validated") & ~F.col("killed")
-                       & ~F.col("deleted"))
+    pairs = (mct.where(~F.col("killed") & ~F.col("deleted"))
              .select("cui", "value").distinct()
              .orderBy("cui", "value").collect())
     added = 0
@@ -325,7 +325,10 @@ def add_gold_concepts(cdb, mct: DataFrame,
 def train_supervised_spark(spark: SparkSession, gold: DataFrame,
                            docs: DataFrame, bc,
                            config: Optional[EngineConfig] = None,
-                           devalue_others: bool = False) -> DataFrame:
+                           devalue_others: bool = False,
+                           train_from_fp: bool = False,
+                           negative_gold: Optional[DataFrame] = None
+                           ) -> DataFrame:
     """Distributed supervised training: gold (doc_id, start, end, cui
     [, value]) × docs (doc_id, text) → per-(cui, ctx_type)
     context-vector MEANS.
@@ -342,6 +345,17 @@ def train_supervised_spark(spark: SparkSession, gold: DataFrame,
     gold name receive that example's context NEGATIVELY (requires a
     ``value`` column on ``gold``); negatives enter the mean with the L7
     sign rule, exactly like the unsupervised trainer's L8 samples.
+
+    ``train_from_fp`` (reference cat.py:1061-1070 + data_utils.py:
+    958-969 get_false_positives): annotate the docs with the current
+    model and negative-train every predicted (doc_id, start, cui) not in
+    the gold set.  Divergence note: the reference collects FPs from the
+    full candidate set (doc._.ents); this uses the final linked
+    annotations, the candidates that actually survive linking.
+
+    ``negative_gold``: annotations to train negatively — the reference
+    passes deleted (rejected) annotations with negative=True
+    (cat.py:1052-1059).
     """
     cols = ["doc_id", "text", F.col("start").cast("int").alias("start"),
             F.col("end").cast("int").alias("end"), "cui"]
@@ -350,6 +364,23 @@ def train_supervised_spark(spark: SparkSession, gold: DataFrame,
     sums = ex.mapInPandas(_context_sums(bc), schema=_CTX_SCHEMA) \
         .select("cui", "ctx_type", "vec_sum", "n",
                 F.lit(0).cast("long").alias("n_neg"))
+
+    def _negated(examples: DataFrame) -> DataFrame:
+        return (examples.join(docs, "doc_id").select(*cols)
+                .mapInPandas(_context_sums(bc), schema=_CTX_SCHEMA)
+                .select("cui", "ctx_type",
+                        F.transform("vec_sum", lambda x: -x).alias("vec_sum"),
+                        F.lit(0).cast("long").alias("n"),
+                        F.col("n").alias("n_neg")))
+
+    if negative_gold is not None:
+        sums = sums.unionByName(_negated(negative_gold))
+    if train_from_fp:
+        from medcat_spark.pipeline import annotate
+        pred = annotate(docs, bc).select("doc_id", "start", "end", "cui")
+        fps = pred.join(gold.select("doc_id", "start", "cui"),
+                        ["doc_id", "start", "cui"], "left_anti")
+        sums = sums.unionByName(_negated(fps))
     if devalue_others:
         sums = sums.unionByName(
             ex.mapInPandas(_devalue_sums(bc), schema=_UNSUP_SCHEMA))

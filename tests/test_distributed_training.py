@@ -160,3 +160,49 @@ def test_devalue_others_and_gold_name_addition(spark, fixture_models):
     for cui, ct in s2_keys:
         # the devalued mean is the NEGATED example context
         assert np.allclose(dev[(cui, ct)], -plain[("S1", ct)], atol=1e-9)
+
+
+def test_train_from_fp_and_deleted_negatives(spark):
+    """Reference cat.py:1052-1070: deleted annotations train negatively;
+    train_from_fp negative-trains predictions absent from gold."""
+    cfg = EngineConfig()
+    from medcat_spark.fixtures import build_fixture_cdb, build_fixture_vocab
+    rows = [("P1", "plasma", "", "P", "T1", ""),
+            ("P2", "serum", "", "P", "T1", "")]
+    cdb2 = build_fixture_cdb(cfg, rows=rows)
+    vocab2 = build_fixture_vocab()
+    bc = broadcast_model(spark, cdb2, vocab2, cfg)
+    docs = spark.createDataFrame(
+        [("d1", "patient plasma and serum admitted to hospital ward")],
+        "doc_id string, text string")
+    # gold covers only 'plasma'; the model will also predict 'serum' -> FP
+    gold = spark.createDataFrame(
+        [("d1", 8, 14, "P1", "plasma")],
+        "doc_id string, start int, end int, cui string, value string")
+
+    plain = {(r["cui"], r["ctx_type"]): np.array(r["mean_vec"])
+             for r in train_supervised_spark(spark, gold, docs, bc,
+                                             cfg).collect()}
+    assert set(k[0] for k in plain) == {"P1"}
+
+    with_fp = {(r["cui"], r["ctx_type"]): np.array(r["mean_vec"])
+               for r in train_supervised_spark(
+                   spark, gold, docs, bc, cfg,
+                   train_from_fp=True).collect()}
+    fp_keys = [k for k in with_fp if k[0] == "P2"]
+    assert fp_keys                         # the FP cui got negative rows
+    # P1's positive mean is untouched by the FP branch
+    for k in plain:
+        assert np.allclose(with_fp[k], plain[k], atol=1e-12)
+
+    # deleted annotation as negative_gold: negated example context
+    neg = spark.createDataFrame(
+        [("d1", 19, 24, "P2", "serum")],
+        "doc_id string, start int, end int, cui string, value string")
+    with_neg = {(r["cui"], r["ctx_type"]): np.array(r["mean_vec"])
+                for r in train_supervised_spark(
+                    spark, gold, docs, bc, cfg,
+                    negative_gold=neg).collect()}
+    for cui, ct in [k for k in with_neg if k[0] == "P2"]:
+        assert np.allclose(with_neg[(cui, ct)], with_fp[(cui, ct)],
+                           atol=1e-9)     # same span -> same negated mean
