@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard_pairs"] = lambda s, d: ddp.ngram_jaccard_pairs(
         demo.load_docs(s, d), min_jaccard=0.2)
     q["dedup_simhash"] = lambda s, d: ddp.simhash32(demo.load_docs(s, d))
+    # pairs -> clusters -> keeper: the full fuzzy-dedup decision.
+    q["dedup_components"] = lambda s, d: ddp.dedup_clusters(
+        demo.load_docs(s, d), min_jaccard=0.2)
 
     # --- text analysis
     q["text_quality"] = lambda s, d: txt.text_quality(demo.load_docs(s, d))
@@ -835,6 +838,49 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
             AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+    o["dedup_components"] = f"""
+WITH RECURSIVE {_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+  FROM sh GROUP BY doc_id),
+bk AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(h2 || h3) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+ver AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.inter * 1.0 / (x.size + y.size - i.inter) >= 0.2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM ver
+          UNION SELECT doc_b, doc_a FROM ver),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node AS doc_id, MIN(label) AS component
+         FROM reach GROUP BY node),
+lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_keeper
+FROM lab
 """
 
     o["text_quality"] = """

@@ -139,6 +139,116 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
             .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, k: int = 3,
+                     min_jaccard: float = 0.0,
+                     text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, jaccard) for exactly the CANDIDATE pairs given —
+    the verify stage of LSH dedup.  Work is bounded by
+    |pairs| x shingles-per-doc, never the corpus cross-product: the
+    shingle join fans out only rows that came in as candidates.
+    """
+    sh = shingles(docs, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    pa = pairs.select("doc_a", "doc_b").distinct()
+    inter = (pa
+             .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+             .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                   ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    j = (pa.join(inter, ["doc_a", "doc_b"], "left")
+         .na.fill({"inter": 0})
+         .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                            F.col("size").alias("size_a")), "doc_a")
+         .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                            F.col("size").alias("size_b")), "doc_b")
+         .withColumn("jaccard", F.round(
+             F.col("inter") /
+             (F.col("size_a") + F.col("size_b") - F.col("inter")), 6)))
+    return (j.where(F.col("jaccard") >= min_jaccard)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(doc_id, component) for every node in ``pairs``; component = the
+    MINIMUM node id reachable through the pair graph (duplicate-cluster
+    canonical id).
+
+    Distributed min-label propagation with pointer jumping: each round
+    every node takes the least of (its label, its neighbours' labels,
+    its label's label).  The third term — treating the current labelling
+    as extra edges — is classic pointer doubling, so convergence is
+    O(log diameter) rounds instead of O(diameter); near-dup clusters
+    are dense (diameter 2-3) so 2-3 rounds is typical.  Each round is
+    two shuffles on the LABEL relation (one row per node — tiny next to
+    the corpus), lineage truncated per round with localCheckpoint, and
+    the driver only ever sees a changed-row COUNT, never data.  This is
+    the standard alternating-algorithm shape for MapReduce connected
+    components (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") restricted to min-propagation, which suffices at dedup
+    diameters.
+    """
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .unionByName(
+                 pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+             .distinct()
+             .localCheckpoint())
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy(F.col("u").alias("node"))
+               .agg(F.min("label").alias("nbr_label")))
+        hop = labels.select(F.col("node").alias("jl_node"),
+                            F.col("label").alias("jl_parent"))
+        new = (labels
+               .join(nbr, "node", "left")
+               .join(hop, F.col("label") == F.col("jl_node"), "left")
+               .select("node", F.least(
+                   "label",
+                   F.coalesce("nbr_label", "label"),
+                   F.coalesce("jl_parent", "label")).alias("label"))
+               .localCheckpoint())
+        changed = (new.withColumnRenamed("label", "new_label")
+                   .join(labels, "node")
+                   .where(F.col("new_label") != F.col("label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
+def dedup_clusters(docs: DataFrame, k: int = 3, n_hashes: int = 4,
+                   bands: int = 2, min_jaccard: float = 0.2,
+                   text_col: str = "text",
+                   max_bucket_size: int | None = None) -> DataFrame:
+    """End-to-end fuzzy-dedup: (doc_id, cluster_id, cluster_size,
+    is_keeper) for EVERY doc.  LSH candidates -> Jaccard verify ->
+    connected components -> canonical keeper (min doc_id per cluster).
+
+    This is the operator a 100 TB training-data pipeline actually runs:
+    pairs alone don't dedup (near-dup is transitive only through
+    clustering), and the keeper flag is the drop decision.  Docs in no
+    verified pair form singleton clusters of themselves.
+    """
+    cand = lsh_candidate_pairs(docs, k, n_hashes, bands, text_col,
+                               max_bucket_size=max_bucket_size)
+    verified = jaccard_on_pairs(docs, cand, k, min_jaccard, text_col)
+    comp = connected_components(verified)
+    out = (docs.select("doc_id")
+           .join(comp, "doc_id", "left")
+           .withColumn("cluster_id", F.coalesce("component", "doc_id"))
+           .drop("component"))
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (out.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_keeper")))
+
+
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over tokens (duplicates count).
 

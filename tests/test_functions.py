@@ -58,6 +58,36 @@ def test_ngram_jaccard_exact_and_near(dup_docs, spark):
     assert ("a1", "b1") not in j  # zero shared shingles -> no inter row
 
 
+def test_connected_components_chain_and_pointer_jumping(spark):
+    # a 6-node path (diameter 5) exercises >1 propagation round and the
+    # pointer-jumping shortcut; plus a separate pair and self-loop noise
+    pairs = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5"),
+         ("n5", "n6"), ("x1", "x2"), ("x1", "x1")],
+        "doc_a string, doc_b string")
+    cc = {r["doc_id"]: r["component"]
+          for r in ddp.connected_components(pairs).collect()}
+    assert cc == {f"n{i}": "n1" for i in range(1, 7)} | {"x1": "x1",
+                                                         "x2": "x1"}
+
+
+def test_dedup_clusters_transitive_keeper(dup_docs, spark):
+    # a1==a2 exactly, a3 near-dups both -> one cluster of 3 via
+    # transitivity; b1/b2 are singletons of themselves
+    out = {r["doc_id"]: r for r in
+           ddp.dedup_clusters(dup_docs, min_jaccard=0.2).collect()}
+    assert [out[d]["cluster_id"] for d in ("a1", "a2", "a3")] == ["a1"] * 3
+    assert out["a1"]["cluster_size"] == 3
+    assert out["a1"]["is_keeper"] and not out["a2"]["is_keeper"]
+    for d in ("b1", "b2"):
+        assert (out[d]["cluster_id"], out[d]["cluster_size"],
+                out[d]["is_keeper"]) == (d, 1, True)
+    # jaccard_on_pairs is bounded by its candidate list: an empty pair
+    # set verifies nothing even for identical docs
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert ddp.jaccard_on_pairs(dup_docs, empty).count() == 0
+
+
 def test_simhash_hamming(dup_docs):
     sh = {r["doc_id"]: r["simhash"] for r in ddp.simhash32(dup_docs).collect()}
     assert sh["a1"] == sh["a2"]
