@@ -627,3 +627,190 @@ def apply_training(cdb: CdbModel, rows) -> None:
         cdb.cui2context_vectors[cui] = cur
         cdb.cui2count_train[cui] = cdb.cui2count_train.get(cui, 0) + \
             max(n for _v, n in cts.values())
+
+
+def merge_packs(spark: SparkSession, path1: str, path2: str, out: str,
+                overwrite_training: int = 0,
+                full_build: bool = False) -> dict:
+    """Distributed model-pack merge — the reference's ``merge_cdb``
+    (utils/cdb_utils.py:10-140) re-expressed as DataFrame joins over the
+    pack tables, so two UMLS-scale packs merge without either fitting in
+    driver RAM.  Pack-1 is prioritised exactly like ``cdb1`` there:
+
+      * names: union; a (name, cui) in both keeps pack-1's status row
+        (the reference copies cdb1 wholesale and ``add_concept`` only
+        appends); candidate order = pack-1 rows first, then pack-2's new
+        rows in their own order.
+      * concepts: per-cui full outer join — name/sname/type-id sets
+        union, preferred name / group coalesce to pack-1,
+        ontologies+description merge only under ``full_build``.
+      * count_train: sum, unless ``overwrite_training`` pins pack 1 (=1)
+        or pack 2 (=2) for CUIs that pack carries.
+      * context vectors: CUIs present in BOTH packs' vector tables get
+        the count-weighted average over the UNION of ctx types (missing
+        type -> zero vector), the reference's exact rule; one-sided CUIs
+        pass through unweighted; ``overwrite_training`` short-circuits
+        to that pack's vectors.
+      * token_counts / vocab words: summed on overlap (reference vocab
+        loop), pack-2 value under ``overwrite_training == 2``.
+      * config.json comes from pack 1 (``deepcopy(cdb1.config)``).
+
+    The manifest records a distributed content stamp (order-independent
+    xxhash sum) instead of the driver-side ``cdb_hash`` — computing the
+    reference hash would mean collecting every vector to the driver.
+    """
+    import json
+    import os
+    import shutil
+
+    os.makedirs(out, exist_ok=True)
+    rd = lambda p, name: spark.read.parquet(os.path.join(p, name))
+    empty_s = F.array().cast("array<string>")
+
+    def write(df: DataFrame, name: str) -> None:
+        tmp = os.path.join(out, "_tmp_" + name)
+        df.write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(out, name)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        os.rename(tmp, dst)
+
+    # --- names ------------------------------------------------------
+    n1 = rd(path1, "names.parquet")
+    n2 = rd(path2, "names.parquet")
+    max1 = n1.agg(F.coalesce(F.max("cand_order"), F.lit(-1))).first()[0]
+    n2_new = (n2.join(n1.select("name", "cui"), ["name", "cui"], "left_anti")
+              .withColumn("cand_order", F.col("cand_order") + max1 + 1))
+    write(n1.unionByName(n2_new), "names.parquet")
+
+    # --- snames -----------------------------------------------------
+    write(rd(path1, "snames.parquet")
+          .unionByName(rd(path2, "snames.parquet")).distinct(),
+          "snames.parquet")
+
+    # --- concepts ---------------------------------------------------
+    c1 = rd(path1, "concepts.parquet").alias("c1")
+    c2 = rd(path2, "concepts.parquet").alias("c2")
+    j = c1.join(c2, F.col("c1.cui") == F.col("c2.cui"), "full_outer")
+    in1 = F.col("c1.cui").isNotNull()
+    in2 = F.col("c2.cui").isNotNull()
+    ct1 = F.coalesce(F.col("c1.count_train"), F.lit(0))
+    ct2 = F.coalesce(F.col("c2.count_train"), F.lit(0))
+    if overwrite_training == 1:
+        count_train = F.when(in1, ct1).otherwise(ct2)
+    elif overwrite_training == 2:
+        count_train = F.when(in2, ct2).otherwise(ct1)
+    else:
+        count_train = ct1 + ct2
+
+    def union_arr(col: str):
+        return F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(F.col(f"c1.{col}"), empty_s),
+            F.coalesce(F.col(f"c2.{col}"), empty_s))))
+
+    ontologies = (union_arr("ontologies") if full_build
+                  else F.coalesce(F.col("c1.ontologies"), empty_s))
+    description = (F.coalesce(F.nullif(F.col("c1.description"), F.lit("")),
+                              F.col("c2.description"))
+                   if full_build else F.col("c1.description"))
+    concepts = j.select(
+        F.coalesce(F.col("c1.cui"), F.col("c2.cui")).alias("cui"),
+        F.coalesce(F.col("c1.preferred_name"),
+                   F.col("c2.preferred_name")).alias("preferred_name"),
+        union_arr("type_ids").alias("type_ids"),
+        union_arr("names").alias("names"),
+        union_arr("snames").alias("snames"),
+        count_train.alias("count_train"),
+        F.coalesce(F.col("c1.average_confidence"),
+                   F.col("c2.average_confidence"), F.lit(0.0))
+        .alias("average_confidence"),
+        ontologies.alias("ontologies"),
+        description.alias("description"),
+        F.coalesce(F.col("c1.group"), F.col("c2.group")).alias("group"))
+    write(concepts, "concepts.parquet")
+
+    # --- context vectors -------------------------------------------
+    v1 = rd(path1, "context_vectors.parquet")
+    v2 = rd(path2, "context_vectors.parquet")
+    if overwrite_training == 1:
+        shared_src = v1
+    elif overwrite_training == 2:
+        shared_src = v2
+    else:
+        shared_src = None
+    cuis1 = v1.select("cui").distinct()
+    cuis2 = v2.select("cui").distinct()
+    shared = cuis1.join(cuis2, "cui")
+    only1 = v1.join(shared, "cui", "left_anti")
+    only2 = v2.join(shared, "cui", "left_anti")
+    if shared_src is not None:
+        both = shared_src.join(shared, "cui")
+    else:
+        counts = concepts.select("cui", "count_train")
+        a = v1.select("cui", "ctx_type", F.col("vec").alias("vec1")) \
+            .join(shared, "cui")
+        b = v2.select("cui", "ctx_type", F.col("vec").alias("vec2")) \
+            .join(shared, "cui")
+        m = a.join(b, ["cui", "ctx_type"], "full_outer")
+        pc1 = rd(path1, "concepts.parquet") \
+            .select("cui", F.col("count_train").alias("ct1"))
+        pc2 = rd(path2, "concepts.parquet") \
+            .select("cui", F.col("count_train").alias("ct2"))
+        norm = F.greatest(F.col("count_train"), F.lit(1)).cast("double")
+        w1 = F.coalesce(F.col("ct1"), F.lit(0)) / norm
+        w2 = F.coalesce(F.col("ct2"), F.lit(0)) / norm
+        zeros_like = lambda c, o: F.coalesce(
+            F.col(c), F.transform(F.col(o), lambda x: F.lit(0.0)))
+        both = (m.join(pc1, "cui", "left").join(pc2, "cui", "left")
+                .join(counts, "cui")
+                .select("cui", "ctx_type", F.zip_with(
+                    zeros_like("vec1", "vec2"), zeros_like("vec2", "vec1"),
+                    lambda x, y: w1 * x + w2 * y).alias("vec")))
+    write(only1.unionByName(only2).unionByName(
+        both.select("cui", "ctx_type", "vec")), "context_vectors.parquet")
+
+    # --- token counts (cdb.vocab) ----------------------------------
+    t1 = rd(path1, "token_counts.parquet")
+    t2 = rd(path2, "token_counts.parquet")
+    if overwrite_training == 1:
+        tokens = t1
+    else:
+        tj = (t1.select("token", F.col("cnt").alias("cnt1"))
+              .join(t2.select("token", F.col("cnt").alias("cnt2")),
+                    "token", "full_outer"))
+        if overwrite_training == 2:
+            cnt = F.coalesce(F.col("cnt2"), F.col("cnt1"))
+        else:
+            cnt = (F.coalesce(F.col("cnt1"), F.lit(0))
+                   + F.coalesce(F.col("cnt2"), F.lit(0)))
+        tokens = tj.select("token", cnt.alias("cnt"))
+    write(tokens, "token_counts.parquet")
+
+    # --- word vocab (pack bundle; not part of reference merge_cdb —
+    # pack-1 rows win, pack-2 contributes new words only) ------------
+    wv1 = rd(path1, "vocab.parquet")
+    wv2 = rd(path2, "vocab.parquet")
+    write(wv1.unionByName(wv2.join(wv1.select("word"), "word", "left_anti")),
+          "vocab.parquet")
+
+    # --- config + manifest -----------------------------------------
+    shutil.copyfile(os.path.join(path1, "config.json"),
+                    os.path.join(out, "config.json"))
+    with open(os.path.join(path1, "manifest.json")) as f:
+        manifest = json.load(f)
+    row_hash = F.xxhash64("cui", "ctx_type",
+                          F.concat_ws(",", F.transform(
+                              "vec", lambda x: F.format_number(x, 12))))
+    stamp = (spark.read.parquet(os.path.join(out, "context_vectors.parquet"))
+             .agg(F.sum(row_hash.cast("decimal(38,0)"))).first()[0])
+    manifest.update({
+        "merged_from": [path1, path2],
+        "overwrite_training": overwrite_training,
+        "full_build": full_build,
+        "context_vectors_stamp": str(stamp),
+        "cdb_hash": "merged:" + str(stamp)})
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

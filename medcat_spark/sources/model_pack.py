@@ -41,6 +41,18 @@ def save_model_pack(path: str, cdb: CdbModel, vocab: VocabModel,
            pa.table({"sname": sorted(cdb.snames)}))
 
     cuis = sorted(cdb.cui2names)
+    # explicit schema: an all-None column (e.g. preferred_name in a pack
+    # with no 'P' names, or group) must still be STRING — pyarrow would
+    # infer null/int and any later Spark-side join/coalesce against a
+    # populated pack (merge_packs, save_trained_pack) would insert a
+    # string->bigint cast and fail on real values
+    con_schema = pa.schema([
+        ("cui", pa.string()), ("preferred_name", pa.string()),
+        ("type_ids", pa.list_(pa.string())), ("names", pa.list_(pa.string())),
+        ("snames", pa.list_(pa.string())), ("count_train", pa.int64()),
+        ("average_confidence", pa.float64()),
+        ("ontologies", pa.list_(pa.string())), ("description", pa.string()),
+        ("group", pa.string())])
     _write(os.path.join(path, "concepts.parquet"), pa.table({
         "cui": cuis,
         "preferred_name": [cdb.cui2preferred_name.get(c) for c in cuis],
@@ -52,7 +64,7 @@ def save_model_pack(path: str, cdb: CdbModel, vocab: VocabModel,
         "ontologies": [sorted(cdb.addl_info["cui2ontologies"].get(c, ())) for c in cuis],
         "description": [cdb.addl_info["cui2description"].get(c) for c in cuis],
         "group": [cdb.addl_info["cui2group"].get(c) for c in cuis],
-    }))
+    }, schema=con_schema))
 
     cv_rows = [(c, ct, v) for c in sorted(cdb.cui2context_vectors)
                for ct, v in sorted(cdb.cui2context_vectors[c].items())]
@@ -74,7 +86,9 @@ def save_model_pack(path: str, cdb: CdbModel, vocab: VocabModel,
     _write(os.path.join(path, "vocab.parquet"), pa.table({
         "word": words, "cnt": [vocab.word2cnt[w] for w in words],
         "vec": [None if vocab.vec(w) is None else vocab.vec(w).tolist()
-                for w in words]}))
+                for w in words]},
+        schema=pa.schema([("word", pa.string()), ("cnt", pa.int64()),
+                          ("vec", pa.list_(pa.float64()))])))
 
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(cfg.to_json())
