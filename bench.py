@@ -69,6 +69,10 @@ def run(spark) -> dict:
     timed("q5_minhash_sig", lambda: ddp.minhash_signatures(docs).count())
     timed("q6_lsh_pairs", lambda: ddp.lsh_candidate_pairs(docs).count())
     timed("q7_simhash", lambda: ddp.simhash32(docs).count())
+    # q15: full fuzzy-dedup decision (LSH candidates -> bounded Jaccard
+    # verify -> connected components -> per-doc keeper flag)
+    timed("q15_dedup_components",
+          lambda: ddp.dedup_clusters(docs, min_jaccard=0.2).count())
     # q8: text quality
     timed("q8_text_quality", lambda: txt.text_quality(docs).count())
     # q9: ANN top-k

@@ -100,7 +100,8 @@ def save_model_pack(path: str, cdb: CdbModel, vocab: VocabModel,
     return manifest
 
 
-def load_model_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
+def load_pack_config(path: str) -> EngineConfig:
+    """Config-only pack read (no map materialization)."""
     with open(os.path.join(path, "config.json")) as f:
         d = json.load(f)
     # restore container types generically from the dataclass defaults so
@@ -115,7 +116,11 @@ def load_model_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
         elif isinstance(default, tuple):
             d[fld.name] = tuple(d[fld.name])
     d["stopwords"] = frozenset(d["stopwords"]) if d.get("stopwords") else None
-    cfg = EngineConfig(**d)
+    return EngineConfig(**d)
+
+
+def load_model_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
+    cfg = load_pack_config(path)
 
     cdb = CdbModel()
     t = pq.read_table(os.path.join(path, "names.parquet")).to_pylist()
@@ -159,3 +164,53 @@ def load_model_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
         vocab.add(r["word"], r["cnt"],
                   None if r["vec"] is None else np.asarray(r["vec"]))
     return cdb, vocab, cfg
+
+
+def model_card(spark, path: str, as_dict: bool = False):
+    """The reference's ``get_model_card`` (cat.py:180-212) for a pack:
+    CDB stats (reference ``cdb.make_stats``, cdb.py:740-750) computed
+    DISTRIBUTIVELY from the pack's parquet tables — a UMLS-scale pack's
+    card costs two tiny aggregations, not a full driver load — plus the
+    manifest's hashes/stamps and the important config parameters
+    (reference utils/helpers.py:15-43)."""
+    from pyspark.sql import functions as F
+
+    cfg = load_pack_config(path)
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+
+    con = spark.read.parquet(os.path.join(path, "concepts.parquet"))
+    trained = F.when(F.col("count_train") > 0, F.col("count_train"))
+    cstats = con.agg(
+        F.count("*").alias("n_concepts"),
+        F.count(trained).alias("n_trained"),
+        F.coalesce(F.sum("count_train"), F.lit(0)).alias("total_train"),
+        F.coalesce(F.avg(trained), F.lit(0.0)).alias("avg_train")).first()
+    n_names = (spark.read.parquet(os.path.join(path, "names.parquet"))
+               .select("name").distinct().count())
+
+    card = {
+        "Model ID": manifest.get("cdb_hash"),
+        "Config hash": manifest.get("config_hash"),
+        "Context vectors stamp": manifest.get("context_vectors_stamp"),
+        "Merged from": manifest.get("merged_from"),
+        "Basic CDB Stats": {
+            "Number of concepts": int(cstats["n_concepts"]),
+            "Number of names": int(n_names),
+            "Number of concepts that received training":
+                int(cstats["n_trained"]),
+            "Number of seen training examples in total":
+                int(cstats["total_train"]),
+            "Average training examples per concept":
+                float(round(cstats["avg_train"], 6)),
+        },
+        "Important Parameters": {
+            "ner.min_name_len": cfg.min_name_len,
+            "ner.upper_case_limit_len": cfg.upper_case_limit_len,
+            "linking.similarity_threshold": cfg.similarity_threshold,
+            "linking.filters.cuis": len(cfg.filter_cuis),
+            "general.spell_check": cfg.spell_check,
+            "general.spell_check_len_limit": cfg.spell_check_len_limit,
+        },
+    }
+    return card if as_dict else json.dumps(card, indent=2, sort_keys=False)

@@ -109,3 +109,20 @@ def test_merge_packs_no_full_build_keeps_pack1_addl(spark, packs):
     assert cdb.addl_info["cui2description"].get("C1") == "desc one"
     assert cdb.addl_info["cui2ontologies"].get("C1") == {"ONT1"}
     assert "C3" not in cdb.addl_info["cui2ontologies"]
+
+
+def test_model_card_distributed_stats(spark, packs):
+    """Reference get_model_card (cat.py:180-212) / cdb.make_stats
+    (cdb.py:740-750): stats from the pack tables, no driver load."""
+    from medcat_spark.sources.model_pack import model_card
+    p1, _p2, _base = packs
+    card = model_card(spark, p1, as_dict=True)
+    s = card["Basic CDB Stats"]
+    ref, _v, _c = load_model_pack(p1)
+    assert s["Number of concepts"] == len(ref.cui2names)
+    assert s["Number of names"] == len(ref.name2cuis)
+    trained = [n for n in ref.cui2count_train.values() if n > 0]
+    assert s["Number of concepts that received training"] == len(trained)
+    assert s["Number of seen training examples in total"] == sum(trained)
+    assert card["Important Parameters"]["ner.min_name_len"] == 3
+    assert isinstance(model_card(spark, p1), str)
