@@ -814,3 +814,122 @@ def merge_packs(spark: SparkSession, path1: str, path2: str, out: str,
     with open(os.path.join(out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def _pca_matrix_distributed(vecs: DataFrame, target_size: int) -> np.ndarray:
+    """PCA transformation matrix (target_size, D) from a DataFrame of
+    ``vec: array<double>`` rows — reference calc_matrix
+    (utils/vocab_utils.py:12-41) with the covariance computed in ONE
+    distributed pass: each Arrow batch emits its partial (n, sum_x,
+    X^T X); the driver combines the tiny (D, D) partials and runs eigh.
+    Nothing corpus-sized ever reaches the driver."""
+    import pandas as pd
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.stack(pdf["vec"].to_numpy())
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "sum_x": [X.sum(axis=0).tolist()],
+                "xtx": [(X.T @ X).ravel().tolist()]})
+
+    rows = (vecs.where(F.col("vec").isNotNull())
+            .select("vec")
+            .mapInPandas(partials, schema="n long, sum_x array<double>, "
+                                          "xtx array<double>")
+            .collect())
+    n = sum(r["n"] for r in rows)
+    sum_x = np.sum([r["sum_x"] for r in rows], axis=0)
+    d = sum_x.shape[0]
+    xtx = np.sum([r["xtx"] for r in rows], axis=0).reshape(d, d)
+    mean = sum_x / n
+    # np.cov ddof=1 on centered data: (X^T X - n mu mu^T) / (n - 1)
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    eigenvalues, eigenvectors = np.linalg.eigh(cov)
+    order = np.argsort(eigenvalues)[::-1]
+    return eigenvectors[:, order][:, :target_size].T
+
+
+def convert_vocab_vector_size(spark: SparkSession, pack_path: str,
+                              out_path: str, vec_size: int) -> dict:
+    """Reference convert_vocab_vector_size (utils/vocab_utils.py:93-126)
+    over a pack: PCA-shrink every vocab word vector AND every CDB
+    context vector to ``vec_size`` dims, writing a new pack.  The
+    transformation matrix comes from the distributed one-pass covariance
+    above; the projections run as a broadcast matmul inside Arrow
+    batches (reference convert_vec float32 cast preserved — values are
+    float32-exact inside the float64 pack schema)."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(out_path, exist_ok=True)
+    vocab = spark.read.parquet(os.path.join(pack_path, "vocab.parquet"))
+    matrix = _pca_matrix_distributed(vocab, vec_size)
+    bc = spark.sparkContext.broadcast(matrix)
+
+    def project(col_df: DataFrame, vec_col: str) -> DataFrame:
+        import pandas as pd
+        out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in col_df.schema.fields)
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            M = bc.value
+            for pdf in batches:
+                vs = pdf[vec_col].to_numpy()
+                mask = pd.notna(vs)
+                out = list(vs)
+                if mask.any():
+                    X = np.stack([np.asarray(v) for v in vs[mask]])
+                    P = (X @ M.T).astype(np.float32).astype(np.float64)
+                    proj = iter(P)
+                    out = [next(proj).tolist() if m else None
+                           for m, _ in zip(mask, vs)]
+                pdf = pdf.copy()
+                pdf[vec_col] = out
+                yield pdf
+
+        return col_df.mapInPandas(fn, schema=out_schema)
+
+    def write(df: DataFrame, name: str) -> None:
+        tmp = os.path.join(out_path, "_tmp_" + name)
+        df.write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(out_path, name)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        os.rename(tmp, dst)
+
+    write(project(vocab, "vec"), "vocab.parquet")
+    cv = spark.read.parquet(os.path.join(pack_path,
+                                         "context_vectors.parquet"))
+    write(project(cv, "vec"), "context_vectors.parquet")
+    for name in ("names.parquet", "snames.parquet", "concepts.parquet",
+                 "token_counts.parquet"):
+        src = os.path.join(pack_path, name)
+        dst = os.path.join(out_path, name)
+        if os.path.isdir(src):
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+    shutil.copyfile(os.path.join(pack_path, "config.json"),
+                    os.path.join(out_path, "config.json"))
+    with open(os.path.join(pack_path, "manifest.json")) as f:
+        manifest = json.load(f)
+    # re-stamp: the projected vectors are new content (same distributed
+    # order-independent stamp rule as save_trained_pack / merge_packs)
+    row_hash = F.xxhash64("cui", "ctx_type",
+                          F.concat_ws(",", F.transform(
+                              "vec", lambda x: F.format_number(x, 12))))
+    stamp = (spark.read.parquet(os.path.join(out_path,
+                                             "context_vectors.parquet"))
+             .agg(F.sum(row_hash.cast("decimal(38,0)"))).first()[0])
+    manifest.update({"vec_size": vec_size,
+                     "converted_from": pack_path,
+                     "context_vectors_stamp": str(stamp)})
+    with open(os.path.join(out_path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

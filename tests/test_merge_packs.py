@@ -126,3 +126,54 @@ def test_model_card_distributed_stats(spark, packs):
     assert s["Number of seen training examples in total"] == sum(trained)
     assert card["Important Parameters"]["ner.min_name_len"] == 3
     assert isinstance(model_card(spark, p1), str)
+
+
+def test_convert_vocab_vector_size_pca(spark, packs, tmp_path):
+    """Reference convert_vocab_vector_size (utils/vocab_utils.py:93-126):
+    distributed one-pass covariance == np.cov exactly; projections are
+    matrix @ vec with the float32 cast; context vectors shrink too."""
+    import numpy as np
+    from medcat_spark.model_ops import (_pca_matrix_distributed,
+                                        convert_vocab_vector_size)
+    # dedicated pack: context vectors must share the vocab's dimension
+    vocab = build_fixture_vocab()
+    dim = next(v for v in (vocab.vec(w) for w in vocab.word2cnt)
+               if v is not None).shape[0]
+    rng = np.random.RandomState(7)
+    cdb = _mk_cdb(
+        [("C1", "fever", "", "P", "T1", ""), ("C2", "chills", "", "A", "T1", "")],
+        {"C1": (3, {"short": rng.rand(dim), "long": rng.rand(dim)}),
+         "C2": (5, {"short": rng.rand(dim)})})
+    p1 = str(tmp_path / "src")
+    save_model_pack(p1, cdb, vocab, EngineConfig())
+    vocab_df = spark.read.parquet(p1 + "/vocab.parquet")
+    rows = [r["vec"] for r in vocab_df.collect() if r["vec"] is not None]
+    X = np.stack(rows)
+    k = 2
+    M = _pca_matrix_distributed(vocab_df, k)
+    # same subspace as driver-side PCA (numpy reference implementation)
+    cov = np.cov(X - X.mean(axis=0), rowvar=False)
+    ev, evec = np.linalg.eigh(cov)
+    M_ref = evec[:, np.argsort(ev)[::-1]][:, :k].T
+    np.testing.assert_allclose(np.abs(M @ M_ref.T), np.eye(k), atol=1e-8)
+
+    out = str(tmp_path / "shrunk")
+    manifest = convert_vocab_vector_size(spark, p1, out, k)
+    assert manifest["vec_size"] == k
+    conv = load_model_pack(out)
+    v0 = load_model_pack(p1)
+    for w in list(v0[1].word2cnt)[:5]:
+        orig, new = v0[1].vec(w), conv[1].vec(w)
+        if orig is None:
+            assert new is None
+            continue
+        assert new.shape == (k,)
+        np.testing.assert_allclose(
+            new, (M @ orig).astype(np.float32), rtol=1e-6)
+    for cui, cts in conv[0].cui2context_vectors.items():
+        for ct, vec in cts.items():
+            assert vec.shape == (k,)
+            np.testing.assert_allclose(
+                vec,
+                (M @ v0[0].cui2context_vectors[cui][ct]).astype(np.float32),
+                rtol=1e-6)
