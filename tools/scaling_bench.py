@@ -84,17 +84,28 @@ def one_master(master: str, cores: int, replicate: int,
         cooccurrence_triples(dc, materialize=False).count()
         dc.unpersist()
 
+    def jiffies():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+
     for _ in range(warmups):  # JIT of codegen'd stages + worker model caches
         job()
-    times = []
+    times, steals = [], []
     for _ in range(n_runs):
+        j0, s0 = jiffies()
         t0 = time.monotonic()
         job()
         times.append(time.monotonic() - t0)
+        j1, s1 = jiffies()
+        # hypervisor steal DURING this exact timed run — the evidence
+        # that a slow sample is host interference, not the engine
+        steals.append(round((s1 - s0) / max(j1 - j0, 1), 4))
     spark.stop()
     med = statistics.median(times)
     return {"master": master, "cores": cores, "n_docs": n_docs,
             "runs_sec": [round(t, 3) for t in times],
+            "run_steal_frac": steals,
             "median_sec": round(med, 3),
             "docs_per_sec": round(n_docs / med, 1),
             "docs_per_sec_best": round(n_docs / min(times), 1)}
@@ -135,14 +146,32 @@ def main():
     # the estimator.  All raw per-run times are kept.
     rounds = int(os.environ.get("SCALING_ROUNDS", "5"))
     out = {"sf_dir": SF_DIR, "protocol": "interleaved-pairs", "pairs": {}}
+
+    def cpu_jiffies():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), vals[7] if len(vals) > 7 else 0  # total, steal
+
+    only = os.environ.get("SCALING_PAIRS")  # e.g. "primary_2_to_8"
     for pair in PAIRS:
+        if only and pair["name"] not in only:
+            continue
         n_m, n4_m = f"local[{pair['n']}]", f"local[{pair['n4']}]"
         samples, detail = [], []
         for rnd in range(rounds):
+            t0, s0 = cpu_jiffies()
             rn = _subprocess_run(n_m, pair["replicate"], 1, 2)
             r4 = _subprocess_run(n4_m, pair["replicate"], 1, 2)
+            t1, s1 = cpu_jiffies()
+            # hypervisor steal fraction DURING this round: >0 means the
+            # shared host was taking CPU away from this VM while we
+            # measured — the per-round efficiency spread is host noise,
+            # not the engine (kept as evidence alongside every sample)
+            steal = round((s1 - s0) / max(t1 - t0, 1), 4)
             eff = round(r4["docs_per_sec"] / (4 * rn["docs_per_sec"]), 3)
             samples.append({"round": rnd, "eff": eff,
+                            "host_steal_frac": steal,
                             "docs_per_sec_N": rn["docs_per_sec"],
                             "docs_per_sec_4N": r4["docs_per_sec"]})
             detail.append({"round": rnd, n_m: rn, n4_m: r4})
@@ -161,7 +190,15 @@ def main():
             "detail": detail,
         }
     print(json.dumps(out))
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    # partial (SCALING_PAIRS) runs update their pair in place, keeping
+    # the other pair's recorded rounds
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev["pairs"].update(out["pairs"])
+        out = prev
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
 
