@@ -51,14 +51,17 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 4,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       sh: Optional[DataFrame] = None) -> DataFrame:
     """(doc_id, h0..h{n-1}): MinHash via min(md5(seed || ':' || shingle)).
 
     md5 hex strings order lexicographically, so min() over them is a
     valid min-hash; md5 is identical across engines, which makes the
-    signatures oracle-checkable bit-for-bit.
+    signatures oracle-checkable bit-for-bit.  ``sh`` lets a composite
+    (dedup_clusters) reuse one cached shingle relation across stages.
     """
-    sh = shingles(docs, k, text_col)
+    if sh is None:
+        sh = shingles(docs, k, text_col)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
             .alias(f"h{j}") for j in range(n_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -66,7 +69,8 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 4,
 
 def lsh_candidate_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 4,
                         bands: int = 2, text_col: str = "text",
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        sh: Optional[DataFrame] = None) -> DataFrame:
     """(doc_a, doc_b, band): pairs sharing at least one LSH band bucket.
 
     Band value = md5 of the band's concatenated signature rows.
@@ -81,7 +85,7 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 4,
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, k, n_hashes, text_col)
+    sig = minhash_signatures(docs, k, n_hashes, text_col, sh=sh)
     band_cols = [
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat(*[F.col(f"h{b * rows + r}")
@@ -141,13 +145,15 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
 
 def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, k: int = 3,
                      min_jaccard: float = 0.0,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     sh: Optional[DataFrame] = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for exactly the CANDIDATE pairs given —
     the verify stage of LSH dedup.  Work is bounded by
     |pairs| x shingles-per-doc, never the corpus cross-product: the
     shingle join fans out only rows that came in as candidates.
     """
-    sh = shingles(docs, k, text_col)
+    if sh is None:
+        sh = shingles(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
     pa = pairs.select("doc_a", "doc_b").distinct()
     inter = (pa
@@ -234,9 +240,14 @@ def dedup_clusters(docs: DataFrame, k: int = 3, n_hashes: int = 4,
     clustering), and the keeper flag is the drop decision.  Docs in no
     verified pair form singleton clusters of themselves.
     """
+    # ONE shingle pass feeds signature building, verify intersections,
+    # and sizes (3x shingle recompute measured as the composite's cost
+    # driver at sf0.1); localCheckpoint = cache + lineage cut, released
+    # after the components materialize
+    sh = shingles(docs, k, text_col).localCheckpoint()
     cand = lsh_candidate_pairs(docs, k, n_hashes, bands, text_col,
-                               max_bucket_size=max_bucket_size)
-    verified = jaccard_on_pairs(docs, cand, k, min_jaccard, text_col)
+                               max_bucket_size=max_bucket_size, sh=sh)
+    verified = jaccard_on_pairs(docs, cand, k, min_jaccard, text_col, sh=sh)
     comp = connected_components(verified)
     out = (docs.select("doc_id")
            .join(comp, "doc_id", "left")
