@@ -13,6 +13,16 @@ def get_spark(app_name: str = "medcat-spark", master: str | None = None,
               extra_conf: dict | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER",
                                       f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    # glibc arena tuning inherited by the Python UDF workers: large
+    # numpy buffers (Arrow batches, pooled MLP tensors, annotate
+    # intermediates) default to mmap'd allocations that are unmapped on
+    # free, so EVERY batch re-faults its pages — ruinous on virtualized
+    # hosts where first-touch faults are slow (measured 4-12 MB/s
+    # episodes on this sandbox's hypervisor; see BENCH/host_health.jsonl).
+    # Keeping frees in the heap (no trim, high mmap threshold) makes
+    # per-batch buffers reuse already-faulted memory.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS",
