@@ -253,6 +253,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round("f1", 6).alias("f1"))
     q["pr_stats_per_cui"] = _pr
 
+    # --- double-annotation consolidation (reference
+    #     consolidate_double_annotations, utils/data_utils.py:413-501):
+    #     two synthetic annotator projects derived deterministically
+    #     from the documents table, consolidated to the agreed+one-sided
+    #     gold rows (require_double_inner=False branch)
+    def _consolidate(s, d):
+        from medcat_spark.sources.mct_export import consolidate_annotations
+        docs = demo.load_docs(s, d).select(
+            F.col("doc_id").cast("long").alias("did"))
+        sa = F.pmod("did", F.lit(40)).cast("int")
+        ann_a = docs.select(
+            F.lit("P1").alias("project_id"), F.lit("dbl").alias("project_name"),
+            F.col("did").cast("string").alias("doc_id"),
+            sa.alias("start"), (sa + 5).alias("end"),
+            F.concat(F.lit("C"), F.pmod("did", F.lit(7))).alias("cui"),
+            (F.pmod("did", F.lit(11)) != 0).alias("validated"),
+            F.lit(False).alias("killed"), F.lit(False).alias("deleted"))
+        # annotator 2: cui shifted when did%3=0 (disagreement)
+        ann_b = docs.select(
+            F.lit("P2").alias("project_id"), F.lit("dbl").alias("project_name"),
+            F.col("did").cast("string").alias("doc_id"),
+            sa.alias("start"), (sa + 5).alias("end"),
+            F.concat(F.lit("C"), F.when(F.pmod("did", F.lit(3)) == 0,
+                                        F.pmod(F.col("did") + 1, F.lit(7)))
+                     .otherwise(F.pmod("did", F.lit(7)))).alias("cui"),
+            F.lit(True).alias("validated"),
+            F.lit(False).alias("killed"), F.lit(False).alias("deleted"))
+        # one-sided span B: annotator depends on did%5
+        span_b = (sa + 10).alias("start")
+        one_a = docs.where(F.pmod("did", F.lit(5)) != 0).select(
+            F.lit("P1").alias("project_id"), F.lit("dbl").alias("project_name"),
+            F.col("did").cast("string").alias("doc_id"),
+            span_b, (sa + 15).alias("end"),
+            F.lit("CB").alias("cui"), F.lit(True).alias("validated"),
+            F.lit(False).alias("killed"), F.lit(False).alias("deleted"))
+        one_b = docs.where(F.pmod("did", F.lit(5)) == 0).select(
+            F.lit("P2").alias("project_id"), F.lit("dbl").alias("project_name"),
+            F.col("did").cast("string").alias("doc_id"),
+            span_b, (sa + 15).alias("end"),
+            F.lit("CB").alias("cui"), F.lit(True).alias("validated"),
+            F.lit(False).alias("killed"), F.lit(False).alias("deleted"))
+        mct = ann_a.unionByName(ann_b).unionByName(one_a).unionByName(one_b)
+        return (consolidate_annotations(mct, require_double_inner=False)
+                .select("project_id", "doc_id", "start", "end", "cui"))
+    q["mct_consolidation"] = _consolidate
+
     # --- relation stand-in: co-mention within a 3-token window (J1 as a
     #     pure-DataFrame broadcast join over exploded tokens)
     def _rel(s, d):
@@ -716,6 +762,49 @@ names AS (
 kept_names AS (SELECT DISTINCT name FROM names WHERE cui = 'X2')
 SELECT n.name, n.cui, n.status
 FROM names n JOIN kept_names k ON n.name = k.name
+"""
+
+    o["mct_consolidation"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+a1 AS (
+  SELECT 'P1' AS project_id, CAST(did AS VARCHAR) AS doc_id,
+         CAST(did % 40 AS INT) AS start, CAST(did % 40 + 5 AS INT) AS "end",
+         'C' || CAST(did % 7 AS VARCHAR) AS cui,
+         (did % 11) <> 0 AS validated, FALSE AS killed, FALSE AS deleted
+  FROM d
+  UNION ALL
+  SELECT 'P1', CAST(did AS VARCHAR), CAST(did % 40 + 10 AS INT),
+         CAST(did % 40 + 15 AS INT), 'CB', TRUE, FALSE, FALSE
+  FROM d WHERE (did % 5) <> 0),
+a2 AS (
+  SELECT 'P2' AS project_id, CAST(did AS VARCHAR) AS doc_id,
+         CAST(did % 40 AS INT) AS start, CAST(did % 40 + 5 AS INT) AS "end",
+         'C' || CAST(CASE WHEN did % 3 = 0 THEN (did + 1) % 7
+                          ELSE did % 7 END AS VARCHAR) AS cui,
+         TRUE AS validated, FALSE AS killed, FALSE AS deleted
+  FROM d
+  UNION ALL
+  SELECT 'P2', CAST(did AS VARCHAR), CAST(did % 40 + 10 AS INT),
+         CAST(did % 40 + 15 AS INT), 'CB', TRUE, FALSE, FALSE
+  FROM d WHERE (did % 5) = 0),
+agreed AS (
+  SELECT a1.project_id, a1.doc_id, a1.start, a1."end", a1.cui
+  FROM a1 JOIN a2 ON a1.doc_id = a2.doc_id AND a1.start = a2.start
+                 AND a1."end" = a2."end"
+  WHERE a1.validated AND a1.cui = a2.cui AND a1.validated = a2.validated
+    AND a1.killed = a2.killed AND a1.deleted = a2.deleted),
+only1 AS (
+  SELECT a1.project_id, a1.doc_id, a1.start, a1."end", a1.cui
+  FROM a1 WHERE a1.validated AND NOT EXISTS (
+    SELECT 1 FROM a2 WHERE a2.doc_id = a1.doc_id AND a2.start = a1.start
+                       AND a2."end" = a1."end")),
+only2 AS (
+  SELECT a2.project_id, a2.doc_id, a2.start, a2."end", a2.cui
+  FROM a2 WHERE a2.validated AND NOT EXISTS (
+    SELECT 1 FROM a1 WHERE a1.doc_id = a2.doc_id AND a1.start = a2.start
+                       AND a1."end" = a2."end"))
+SELECT * FROM agreed UNION ALL SELECT * FROM only1
+UNION ALL SELECT * FROM only2
 """
 
     o["pr_stats_per_cui"] = f"""

@@ -98,3 +98,76 @@ def agreement_stats(agreement: DataFrame) -> dict:
                ("agree", "conflict", "only_a", "only_b")},
             "total": total,
             "pct_agreement": round(agree / total, 4) if total else 0.0}
+
+
+def consolidate_annotations(mct: DataFrame, require_double: bool = True,
+                            require_double_inner: bool = True) -> DataFrame:
+    """The reference's consolidate_double_annotations
+    (utils/data_utils.py:413-501 + get_same_anns:152-222) as DataFrame
+    joins: projects sharing a ``project_name`` under two different
+    ``project_id``s are annotator pairs; the output is the flat
+    agreed-annotation relation a supervised trainer consumes.
+
+      * an annotator-1 VALIDATED annotation survives iff annotator 2
+        has an annotation at the same (doc_id, start, end) with equal
+        cui and flags (are_anns_same — every flag column present in the
+        frame participates: validated/killed/deleted and, if carried,
+        correct/alternative/manually_created);
+      * ``require_double_inner=False`` additionally keeps one-sided
+        validated annotations from EITHER annotator (the reference's
+        reverse pass adds annotator-2-only spans);
+      * ``require_double=False`` passes through projects that have no
+        same-named partner, as-is.
+
+    With >2 projects per name the reference pairs each project with the
+    first other same-named project in file order; here the pair is the
+    (min, next-min) project_id per name — deterministic under any
+    partitioning.  Output columns = input columns, rows from the
+    annotator-1 project (plus reverse-added annotator-2 rows)."""
+    ids = mct.select("project_name", "project_id").distinct()
+    a, b = ids.alias("pa"), ids.alias("pb")
+    pairs = (a.join(b, (F.col("pa.project_name") == F.col("pb.project_name"))
+                    & (F.col("pa.project_id") < F.col("pb.project_id")))
+             .groupBy(F.col("pa.project_name").alias("project_name"))
+             .agg(F.min(F.struct(F.col("pa.project_id").alias("id1"),
+                                 F.col("pb.project_id").alias("id2")))
+                  .alias("p"))
+             .select("project_name", "p.id1", "p.id2"))
+
+    keys = ["doc_id", "start", "end"]
+    flag_cols = [c for c in ("cui", "validated", "killed", "deleted",
+                             "correct", "alternative", "manually_created")
+                 if c in mct.columns]
+    ann1 = mct.join(pairs.select(F.col("id1").alias("project_id")),
+                    "project_id")
+    ann2 = mct.join(pairs.select(F.col("id2").alias("project_id")),
+                    "project_id")
+    # one row per annotator-2 span, deterministically (the reference's
+    # get_ann_from_doc takes the first ann at a span; duplicate-span
+    # exports are degenerate — the min flag-tuple is partition-stable)
+    a2 = (ann2.groupBy(*keys)
+          .agg(F.min(F.struct(*flag_cols)).alias("s"))
+          .select(*keys, *[F.col(f"s.{c}").alias(f"b_{c}")
+                           for c in flag_cols]))
+
+    matched = ann1.where("validated").join(a2, keys, "left")
+    same = F.lit(True)
+    for c in flag_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"b_{c}"))
+    agreed = matched.where(F.col("b_cui").isNotNull() & same) \
+        .drop(*[f"b_{c}" for c in flag_cols])
+
+    out = agreed
+    if not require_double_inner:
+        one_sided_1 = (matched.where(F.col("b_cui").isNull())
+                       .drop(*[f"b_{c}" for c in flag_cols]))
+        a1_spans = ann1.select(*keys).distinct()
+        one_sided_2 = ann2.where("validated").join(a1_spans, keys,
+                                                   "left_anti")
+        out = out.unionByName(one_sided_1).unionByName(one_sided_2)
+    if not require_double:
+        paired = (pairs.select(F.col("id1").alias("project_id"))
+                  .unionByName(pairs.select(F.col("id2")
+                                            .alias("project_id"))))
+        out = out.unionByName(mct.join(paired, "project_id", "left_anti"))
+    return out

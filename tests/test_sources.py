@@ -121,3 +121,50 @@ def test_annotation_agreement(spark, tmp_path):
     st = agreement_stats(agr)
     assert st == {"agree": 1, "conflict": 1, "only_a": 1, "only_b": 1,
                   "total": 4, "pct_agreement": 0.25}
+
+
+def test_consolidate_double_annotations(spark):
+    """Reference consolidate_double_annotations semantics
+    (utils/data_utils.py:413-501): agreement keeps, disagreement drops,
+    one-sided spans drop unless require_double_inner=False, unpaired
+    projects pass through only with require_double=False."""
+    from medcat_spark.sources.mct_export import consolidate_annotations
+    cols = ("project_id string, project_name string, doc_id string, "
+            "text string, start int, end int, cui string, value string, "
+            "validated boolean, killed boolean, deleted boolean")
+    t = "the patient has diabetes and fever today"
+    rows = [
+        # project pair 'dbl' (ids 1, 2) over doc d1
+        ("1", "dbl", "d1", t, 16, 24, "C1", "diabetes", True, False, False),
+        ("2", "dbl", "d1", t, 16, 24, "C1", "diabetes", True, False, False),
+        # same span, different cui -> disagreement, dropped
+        ("1", "dbl", "d1", t, 29, 34, "C2", "fever", True, False, False),
+        ("2", "dbl", "d1", t, 29, 34, "C9", "fever", True, False, False),
+        # annotator-1 only span
+        ("1", "dbl", "d1", t, 35, 40, "C3", "today", True, False, False),
+        # annotator-2 only span
+        ("2", "dbl", "d1", t, 4, 11, "C4", "patient", True, False, False),
+        # same span+cui but flag mismatch (deleted) -> dropped
+        ("1", "dbl", "d1", t, 0, 3, "C5", "the", True, False, False),
+        ("2", "dbl", "d1", t, 0, 3, "C5", "the", True, False, True),
+        # unvalidated agreement -> not kept (validated gate)
+        ("1", "dbl", "d1", t, 12, 15, "C6", "has", False, False, False),
+        ("2", "dbl", "d1", t, 12, 15, "C6", "has", False, False, False),
+        # single project without a partner
+        ("7", "solo", "d9", t, 16, 24, "C1", "diabetes", True, False, False),
+    ]
+    mct = spark.createDataFrame(rows, cols)
+
+    strict = consolidate_annotations(mct).collect()
+    assert {(r["start"], r["cui"]) for r in strict} == {(16, "C1")}
+
+    loose = consolidate_annotations(mct, require_double_inner=False)
+    got = {(r["start"], r["cui"]) for r in loose.collect()}
+    # agreement + both one-sided validated spans; disagreement and the
+    # flag-mismatch span stay dropped (both annotators DID annotate it)
+    assert got == {(16, "C1"), (35, "C3"), (4, "C4")}
+
+    passthru = consolidate_annotations(mct, require_double=False)
+    got2 = {(r["project_id"], r["start"]) for r in passthru.collect()}
+    assert ("7", 16) in got2           # solo project carried as-is
+    assert ("1", 16) in got2 and ("1", 29) not in got2
