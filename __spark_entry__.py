@@ -299,6 +299,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("project_id", "doc_id", "start", "end", "cui"))
     q["mct_consolidation"] = _consolidate
 
+    # --- stratified train/test split (reference make_mc_train_test,
+    #     utils/data_utils.py:817-955): deterministic greedy via window
+    #     cumsums over md5(doc_id) order; annotations synthesized from
+    #     the documents table (2 per doc, skewed cui distribution)
+    def _mc_split(s, d):
+        from medcat_spark.stats import mc_train_test_split
+        docs = demo.load_docs(s, d).select(
+            F.col("doc_id").cast("long").alias("did"))
+        ann = (docs.select(
+            F.col("did").cast("string").alias("doc_id"),
+            F.concat(F.lit("C"), F.pmod("did", F.lit(13))).alias("cui"))
+            .unionByName(docs.select(
+                F.col("did").cast("string").alias("doc_id"),
+                F.concat(F.lit("K"), F.pmod("did", F.lit(5))).alias("cui"))))
+        return mc_train_test_split(ann, test_size=0.2, min_test_count=10,
+                                   max_test_fraction=0.3)
+    q["mc_train_test_split"] = _mc_split
+
     # --- relation stand-in: co-mention within a 3-token window (J1 as a
     #     pure-DataFrame broadcast join over exploded tokens)
     def _rel(s, d):
@@ -805,6 +823,46 @@ only2 AS (
                        AND a1."end" = a2."end"))
 SELECT * FROM agreed UNION ALL SELECT * FROM only1
 UNION ALL SELECT * FROM only2
+"""
+
+    o["mc_train_test_split"] = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did FROM documents),
+ann AS (
+  SELECT CAST(did AS VARCHAR) AS doc_id,
+         'C' || CAST(did % 13 AS VARCHAR) AS cui FROM d
+  UNION ALL
+  SELECT CAST(did AS VARCHAR), 'K' || CAST(did % 5 AS VARCHAR) FROM d),
+per AS (SELECT doc_id, cui, COUNT(*) AS v FROM ann GROUP BY 1, 2),
+tot AS (SELECT cui, SUM(v) AS cnt FROM per GROUP BY cui),
+total AS (SELECT COUNT(*) AS total_anns FROM ann),
+ranked AS (
+  SELECT p.doc_id, p.cui, p.v, t.cnt, md5(p.doc_id) AS rank
+  FROM per p JOIN tot t ON t.cui = p.cui),
+elig AS (
+  SELECT doc_id, rank, cui, v, cnt,
+         COALESCE(SUM(v) OVER (PARTITION BY cui ORDER BY rank, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM ranked),
+docs AS (
+  SELECT doc_id, rank,
+         MAX(CASE WHEN cnt >= 10
+                   AND (cum_before + v) * 1.0 / cnt < 0.3
+                  THEN 1 ELSE 0 END) = 1 AS candidate,
+         SUM(v) AS doc_anns
+  FROM elig GROUP BY doc_id, rank),
+flagged AS (
+  SELECT doc_id, candidate, doc_anns,
+         COALESCE(SUM(CASE WHEN candidate THEN doc_anns END)
+                  OVER (ORDER BY rank, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_test
+  FROM docs)
+SELECT doc_id,
+       CASE WHEN candidate
+             AND cum_test < 0.2 * (SELECT total_anns FROM total)
+            THEN 'test' ELSE 'train' END AS split
+FROM flagged
 """
 
     o["pr_stats_per_cui"] = f"""

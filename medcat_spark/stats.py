@@ -178,3 +178,60 @@ def kfold_stats(spark, mct: DataFrame, cdb, vocab, config, k: int = 3,
             "precision": prec, "recall": rec, "f1": f1, **tot,
             "precision_macro": sum(f["precision"] for f in per_fold) / n,
             "recall_macro": sum(f["recall"] for f in per_fold) / n}
+
+
+def mc_train_test_split(ann: DataFrame, test_size: float = 0.2,
+                        min_test_count: int = 10,
+                        max_test_fraction: float = 0.3) -> DataFrame:
+    """Deterministic scalable analogue of the reference's
+    make_mc_train_test (utils/data_utils.py:817-955): split DOCUMENTS
+    into train/test at annotation granularity targets.  Reference
+    invariants preserved —
+
+      * a document is test-ELIGIBLE iff at least one of its CUIs has a
+        corpus count >= ``min_test_count`` AND adding the document keeps
+        that CUI's test share under ``max_test_fraction``;
+      * eligible documents enter the test set until the test set holds
+        ~``test_size`` of all annotations; the rest train.
+
+    The reference walks documents in a np.random permutation with
+    running counters (inherently sequential); here the "permutation" is
+    md5(doc_id) (engine-portable, so the DuckDB oracle reproduces it
+    bit-for-bit) and the running counters are window cumulative sums
+    over that order — same greedy, deterministic under any partitioning,
+    and the per-CUI cumulative counts candidates in hash order rather
+    than accepted-only (a conservative refinement that can only
+    under-fill, never break the cap for the admitting CUI).  The
+    windowed relation is one row per GOLD document (MCT-export scale),
+    not the raw corpus.
+
+    ``ann``: (doc_id, cui) rows, one per annotation.
+    → (doc_id, split) with split in {'train', 'test'} for every doc.
+    """
+    from pyspark.sql.window import Window
+
+    per = ann.groupBy("doc_id", "cui").agg(F.count("*").alias("v"))
+    totals = per.groupBy("cui").agg(F.sum("v").alias("cnt"))
+    total_anns = ann.count()
+    per = (per.join(totals, "cui")
+           .withColumn("rank", F.md5(F.col("doc_id").cast("string"))))
+
+    w_cui = (Window.partitionBy("cui").orderBy("rank", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("v").over(w_cui), F.lit(0))
+    elig = ((F.col("cnt") >= min_test_count)
+            & ((cum_before + F.col("v")) / F.col("cnt") < max_test_fraction))
+    docs = (per.withColumn("elig", elig)
+            .groupBy("doc_id", "rank")
+            .agg(F.max("elig").alias("candidate"),
+                 F.sum("v").alias("doc_anns")))
+
+    w_doc = (Window.orderBy("rank", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum_test = F.coalesce(
+        F.sum(F.when(F.col("candidate"), F.col("doc_anns"))).over(w_doc),
+        F.lit(0))
+    split = (F.when(F.col("candidate")
+                    & (cum_test < test_size * total_anns), "test")
+             .otherwise("train"))
+    return docs.select("doc_id", split.alias("split"))

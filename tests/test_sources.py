@@ -168,3 +168,35 @@ def test_consolidate_double_annotations(spark):
     got2 = {(r["project_id"], r["start"]) for r in passthru.collect()}
     assert ("7", 16) in got2           # solo project carried as-is
     assert ("1", 16) in got2 and ("1", 29) not in got2
+
+
+def test_mc_train_test_split_invariants(spark):
+    """Reference make_mc_train_test invariants (utils/data_utils.py:
+    817-955): test share ~ test_size of annotations, admitting CUIs stay
+    under max_test_fraction, rare CUIs alone can't put a doc in test."""
+    from pyspark.sql import functions as F
+    from medcat_spark.stats import mc_train_test_split
+    rows = []
+    for i in range(200):
+        rows.append((f"d{i}", f"C{i % 8}"))          # common cuis (25 each)
+        if i % 40 == 0:
+            rows.append((f"d{i}", "RARE"))           # 5 examples only
+    ann = spark.createDataFrame(rows, "doc_id string, cui string")
+    split = mc_train_test_split(ann, test_size=0.2, min_test_count=10,
+                                max_test_fraction=0.3)
+    j = ann.join(split, "doc_id")
+    total = j.count()
+    test = j.where("split = 'test'")
+    n_test = test.count()
+    assert 0 < n_test <= 0.3 * total          # filled, but bounded
+    # the admitting-cui cap: no common cui exceeds 30% in test
+    per = {r["cui"]: r["n"] for r in
+           test.groupBy("cui").agg(F.count("*").alias("n")).collect()}
+    for c, n in per.items():
+        if c != "RARE":
+            assert n / 25 <= 0.3 + 1e-9, (c, n)
+    # determinism across partitionings
+    again = mc_train_test_split(ann.repartition(7), test_size=0.2,
+                                min_test_count=10, max_test_fraction=0.3)
+    assert sorted(map(tuple, split.collect())) == \
+        sorted(map(tuple, again.collect()))
