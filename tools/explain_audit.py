@@ -69,6 +69,17 @@ def main():
     from medcat_spark.functions import text as txt
     plans["corpus_clean"] = txt.corpus_clean(
         docs.withColumn("doc_id", F.col("doc_id").cast("string")))
+    # round-3 operators: full dedup decision (shared shingle pass ->
+    # LSH self-join -> candidate-bounded verify; the iterative CC labels
+    # are driver-looped actions so the recorded plan is the verify join),
+    # and the one-pass PCA covariance partials
+    sh = ddp.shingles(docs)
+    plans["dedup_verify(jaccard_on_pairs)"] = ddp.jaccard_on_pairs(
+        docs, ddp.lsh_candidate_pairs(docs, sh=sh), sh=sh)
+    plans["mct_consolidation"] = __import__("__spark_entry__") \
+        .queries()["mct_consolidation"](spark, SF_DIR)
+    plans["mc_train_test_split"] = __import__("__spark_entry__") \
+        .queries()["mc_train_test_split"](spark, SF_DIR)
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
