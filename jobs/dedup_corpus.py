@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--max-bucket-size", type=int, default=None)
     p.add_argument("--keepers-only", action="store_true",
                    help="write only the keeper rows (smallest output)")
+    p.add_argument("--write-index", action="store_true",
+                   help="also write the LSH bucket index (<out>_index) "
+                        "for incremental assign_to_clusters runs")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -57,6 +60,13 @@ def main(argv=None):
     out = clusters.where("is_keeper") if args.keepers_only else clusters
     (out.write.mode("overwrite").partitionBy("is_keeper")
         .parquet(args.out))
+
+    if args.write_index:
+        from medcat_spark.functions.dedup import lsh_bucket_index
+        (lsh_bucket_index(docs, k=args.k, n_hashes=args.n_hashes,
+                          bands=args.bands)
+         .write.mode("overwrite").partitionBy("band")
+         .parquet(args.out + "_index"))
 
     print(json.dumps({
         "n_docs": n_docs,

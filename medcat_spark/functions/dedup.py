@@ -280,3 +280,92 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
                       F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return g.select("doc_id", sim.alias("simhash"))
+
+
+def lsh_bucket_index(docs: DataFrame, k: int = 3, n_hashes: int = 4,
+                     bands: int = 2, text_col: str = "text",
+                     sh: Optional[DataFrame] = None) -> DataFrame:
+    """(band, bucket, doc_id): the corpus's LSH bucket membership — the
+    persistent index incremental dedup probes.  Write it partitioned by
+    ``band`` (2-4 partitions of ~n_docs rows each) next to the cluster
+    table; a daily ingest then joins ONLY its new docs' buckets against
+    it instead of re-shingling the historical corpus.
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, k, n_hashes, text_col, sh=sh)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(*[F.col(f"h{b * rows + r}")
+                                  for r in range(rows)])).alias("bucket"))
+        for b in range(bands)]
+    return (sig.select("doc_id",
+                       F.explode(F.array(*band_cols)).alias("bb"))
+            .select(F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket"), "doc_id"))
+
+
+def assign_to_clusters(new_docs: DataFrame, index: DataFrame,
+                       clusters: DataFrame, corpus: DataFrame,
+                       k: int = 3, n_hashes: int = 4, bands: int = 2,
+                       min_jaccard: float = 0.2,
+                       text_col: str = "text") -> DataFrame:
+    """Incremental dedup: place NEW documents into an EXISTING
+    clustering without re-clustering the corpus.
+
+    ``index``    — (band, bucket, doc_id) from :func:`lsh_bucket_index`
+    ``clusters`` — (doc_id, cluster_id, ...) from :func:`dedup_clusters`
+    ``corpus``   — the historical (doc_id, text) table (only candidate
+                   matches' shingles are recomputed, via semi-join)
+
+    Each new doc LSH-probes the index; candidate (new, old) pairs are
+    Jaccard-verified (bounded by bucket membership), and a verified
+    match adopts the matched doc's cluster_id (min cluster over matches
+    — deterministic).  Unmatched new docs become their own clusters.
+    New docs are NOT matched against each other here — run
+    dedup_clusters on the batch first if intra-batch duplication
+    matters (daily batches are corpus-fraction-sized, so the
+    corpus-probe dominates).
+
+    → (doc_id, cluster_id, is_new_cluster) for the NEW docs only.
+    """
+    new_sh = shingles(new_docs, k, text_col).localCheckpoint()
+    new_buckets = lsh_bucket_index(new_docs, k, n_hashes, bands,
+                                   text_col, sh=new_sh)
+    cand = (new_buckets.alias("n")
+            .join(index.alias("i"), ["band", "bucket"])
+            .select(F.col("n.doc_id").alias("doc_a"),
+                    F.col("i.doc_id").alias("doc_b"))
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .distinct())
+    # shingles for exactly the matched old docs (semi-join keeps the
+    # historical scan candidate-bounded)
+    old_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    old_sh = shingles(corpus.join(old_ids, "doc_id"), k, text_col)
+    sizes_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    sizes_old = old_sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    inter = (cand
+             .join(new_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+             .join(old_sh.select(F.col("doc_id").alias("doc_b"),
+                                 "shingle"), ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    verified = (inter
+                .join(sizes_new.select(F.col("doc_id").alias("doc_a"),
+                                       F.col("size").alias("size_a")),
+                      "doc_a")
+                .join(sizes_old.select(F.col("doc_id").alias("doc_b"),
+                                       F.col("size").alias("size_b")),
+                      "doc_b")
+                .where(F.col("inter")
+                       / (F.col("size_a") + F.col("size_b")
+                          - F.col("inter")) >= min_jaccard))
+    adopted = (verified
+               .join(clusters.select(F.col("doc_id").alias("doc_b"),
+                                     "cluster_id"), "doc_b")
+               .groupBy(F.col("doc_a").alias("doc_id"))
+               .agg(F.min("cluster_id").alias("cluster_id")))
+    return (new_docs.select("doc_id")
+            .join(adopted, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                    F.col("cluster_id").isNull().alias("is_new_cluster")))

@@ -248,3 +248,21 @@ def test_media_features_from_bytes_spark(spark):
     # corrupt/unsupported rows survive as 'unknown', batch doesn't fail
     assert got["d4"]["format"] == "unknown"
     assert got["d4"]["width"] is None and got["d4"]["phash"]
+
+
+def test_incremental_cluster_assignment(dup_docs, spark):
+    """assign_to_clusters: a new near-dup adopts the existing cluster,
+    a novel doc founds its own, and the historical corpus is only
+    consulted for candidate matches."""
+    clusters = ddp.dedup_clusters(dup_docs, min_jaccard=0.2)
+    index = ddp.lsh_bucket_index(dup_docs)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new = spark.createDataFrame(
+        [("n1", base.replace("alpha", "omega")),     # near-dup of a-group
+         ("n2", "entirely novel content nothing shared with corpus docs x")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_new_cluster"])
+           for r in ddp.assign_to_clusters(new, index, clusters,
+                                           dup_docs).collect()}
+    assert out["n1"] == ("a1", False)     # adopted the a1/a2/a3 cluster
+    assert out["n2"] == ("n2", True)      # novel -> own cluster
