@@ -678,3 +678,219 @@ SELECT doc_id, CAST(start AS INT) AS start, cui,
        ROUND(exp(({best_logit}) - mx) / ({exps}), 4) AS confidence
 FROM lg
 """
+
+
+# ---------------------------------------------------------------------------
+# STATEFUL sequence scorer — the BiLSTM-shape proof the MLP cannot give.
+#
+# A bidirectional Elman RNN in pure numpy behind the same broadcast +
+# mapInPandas plumbing: per-timestep tanh recurrence, forward+backward
+# final states -> linear head.  Padded positions CARRY state (the
+# packed-sequence semantics a torch BiLSTM uses), so ragged batches
+# score identically to per-window calls — asserted in tests.
+#
+# Trained with full-batch BPTT on an ORDER task (label = does the
+# negation cue precede the entity marker) built from order-swapped
+# pairs with IDENTICAL token multisets — any order-blind pooled model
+# (the linear scorer, the MLP) is provably at chance on it, so the
+# accuracy gap demonstrates true sequence statefulness end to end.
+# ---------------------------------------------------------------------------
+
+
+class RnnMetaModel:
+    """Broadcastable stateful model: embeddings + 2 RNN cells + head."""
+
+    MAX_FORWARD_BATCH = 8192
+
+    def __init__(self, labels: List[str], vocab: List[str], E: np.ndarray,
+                 fwd: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                 bwd: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                 Wo: np.ndarray, bo: np.ndarray,
+                 cntx_left: int = CNTX_LEFT,
+                 cntx_right: int = CNTX_RIGHT) -> None:
+        self.labels = labels
+        self.vocab = vocab
+        self.tok2i = {t: i for i, t in enumerate(vocab)}
+        self.E = E                      # (V, D); row 0 reserved (pad/OOV)
+        self.fwd = fwd                  # (Wx (H,D), Wh (H,H), bh (H,))
+        self.bwd = bwd
+        self.Wo = Wo                    # (C, 2H)
+        self.bo = bo                    # (C,)
+        self.cntx_left = cntx_left
+        self.cntx_right = cntx_right
+
+    def embed(self, windows: Sequence[Sequence[str]]):
+        B = len(windows)
+        L = max((len(w) for w in windows), default=1) or 1
+        idx = np.zeros((B, L), dtype=np.int64)
+        mask = np.zeros((B, L))
+        for r, w in enumerate(windows):
+            for c, t in enumerate(w):
+                idx[r, c] = self.tok2i.get(t, 0)
+                mask[r, c] = 1.0        # in-window position (OOV -> E[0])
+        return self.E[idx], mask        # (B, L, D), (B, L)
+
+    @staticmethod
+    def _run_cell(cell, X, mask, reverse: bool):
+        Wx, Wh, bh = cell
+        B, L, _ = X.shape
+        h = np.zeros((B, Wh.shape[0]))
+        steps = range(L - 1, -1, -1) if reverse else range(L)
+        for t in steps:
+            m = mask[:, t:t + 1]
+            h_new = np.tanh(X[:, t] @ Wx.T + h @ Wh.T + bh)
+            h = m * h_new + (1.0 - m) * h   # pad carries state through
+        return h                            # (B, H) final state
+
+    def forward_windows(self, windows: Sequence[Sequence[str]]):
+        X, mask = self.embed(windows)
+        hf = self._run_cell(self.fwd, X, mask, reverse=False)
+        hb = self._run_cell(self.bwd, X, mask, reverse=True)
+        return np.concatenate([hf, hb], axis=1) @ self.Wo.T + self.bo
+
+    def predict_batch(self, windows: Sequence[Sequence[str]]):
+        out: List[Tuple[str, float]] = []
+        for ofs in range(0, len(windows), self.MAX_FORWARD_BATCH):
+            lg = self.forward_windows(windows[ofs:ofs + self.MAX_FORWARD_BATCH])
+            best = lg.argmax(axis=1)
+            e = np.exp(lg - lg.max(axis=1, keepdims=True))
+            conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
+            out.extend((self.labels[i], round(float(c), 4))
+                       for i, c in zip(best, conf))
+        return out
+
+    def predict(self, window: Sequence[str]) -> Tuple[str, float]:
+        return self.predict_batch([window])[0]
+
+
+def train_rnn_meta_model(seqs: List[Tuple[List[str], str]],
+                         labels: List[str], dim: int = 12, hidden: int = 12,
+                         epochs: int = 400, lr: float = 0.5,
+                         seed: int = 23, cntx_left: int = CNTX_LEFT,
+                         cntx_right: int = CNTX_RIGHT) -> RnnMetaModel:
+    """Full-batch BPTT (fixed-length training sequences, softmax CE,
+    gradient clip) through both directions; embeddings stay a fixed
+    random codebook — the recurrence does the work.  Weights rounded to
+    4 decimals at export like the other fixture models."""
+    rng = np.random.RandomState(seed)
+    vocab = ["<pad>"] + sorted({t for s, _ in seqs for t in s})
+    tok2i = {t: i for i, t in enumerate(vocab)}
+    V, C = len(vocab), len(labels)
+    L = len(seqs[0][0])
+    assert all(len(s) == L for s, _ in seqs), "training seqs fixed-length"
+    E = rng.randn(V, dim) * 0.5
+    E[0] = 0.0
+    idx = np.array([[tok2i[t] for t in s] for s, _ in seqs])
+    y = np.array([labels.index(lbl) for _, lbl in seqs])
+    X = E[idx]                                           # (B, L, D)
+    B = len(seqs)
+
+    def init_cell():
+        return [rng.randn(hidden, dim) * 0.3,
+                np.eye(hidden) * 0.5 + rng.randn(hidden, hidden) * 0.1,
+                np.zeros(hidden)]
+
+    fwd, bwd = init_cell(), init_cell()
+    Wo = rng.randn(C, 2 * hidden) * 0.3
+    bo = np.zeros(C)
+
+    def run(cell, reverse):
+        Wx, Wh, bh = cell
+        hs = [np.zeros((B, hidden))]
+        steps = range(L - 1, -1, -1) if reverse else range(L)
+        for t in steps:
+            hs.append(np.tanh(X[:, t] @ Wx.T + hs[-1] @ Wh.T + bh))
+        return hs, list(steps)
+
+    for _ in range(epochs):
+        hs_f, order_f = run(fwd, False)
+        hs_b, order_b = run(bwd, True)
+        hcat = np.concatenate([hs_f[-1], hs_b[-1]], axis=1)
+        logits = hcat @ Wo.T + bo
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        p = e / e.sum(axis=1, keepdims=True)
+        dlogits = p.copy()
+        dlogits[np.arange(B), y] -= 1.0
+        dlogits /= B
+        dWo = dlogits.T @ hcat
+        dbo = dlogits.sum(axis=0)
+        dh_f = dlogits @ Wo[:, :hidden]
+        dh_b = dlogits @ Wo[:, hidden:]
+
+        def bptt(cell, hs, order, dh_last):
+            Wx, Wh, bh = cell
+            dWx = np.zeros_like(Wx)
+            dWh = np.zeros_like(Wh)
+            dbh = np.zeros_like(bh)
+            dh = dh_last
+            for i in range(len(order) - 1, -1, -1):
+                t = order[i]
+                h_t, h_prev = hs[i + 1], hs[i]
+                da = dh * (1.0 - h_t ** 2)
+                dWx += da.T @ X[:, t]
+                dWh += da.T @ h_prev
+                dbh += da.sum(axis=0)
+                dh = da @ Wh
+            return dWx, dWh, dbh
+
+        grads_f = bptt(fwd, hs_f, order_f, dh_f)
+        grads_b = bptt(bwd, hs_b, order_b, dh_b)
+        for cell, grads in ((fwd, grads_f), (bwd, grads_b)):
+            for j in range(3):
+                g = np.clip(grads[j], -5.0, 5.0)
+                cell[j] = cell[j] - lr * g
+        Wo -= lr * np.clip(dWo, -5.0, 5.0)
+        bo -= lr * np.clip(dbo, -5.0, 5.0)
+
+    r4 = lambda a: np.round(a, 4)
+    return RnnMetaModel(labels, vocab, r4(E),
+                        tuple(r4(w) for w in fwd),
+                        tuple(r4(w) for w in bwd), r4(Wo), r4(bo),
+                        cntx_left, cntx_right)
+
+
+_RNN_FIXTURE_CACHE: Optional[RnnMetaModel] = None
+
+
+def order_task_sequences(n_pairs: int = 120, length: int = 8,
+                         seed: int = 5):
+    """Order-swapped pairs with IDENTICAL token multisets: 'neg' before
+    'ent' -> negated, after -> present.  Any pooled (order-blind) model
+    scores exactly 50% on this set; a stateful model can solve it."""
+    import random
+    rng = random.Random(seed)
+    filler = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    pairs = []
+    for _ in range(n_pairs):
+        toks = [rng.choice(filler) for _ in range(length - 2)]
+        i, j = sorted(rng.sample(range(length), 2))
+        a = list(toks)
+        a.insert(i, "neg")
+        a.insert(j + 1, "ent") if j + 1 <= len(a) else a.append("ent")
+        a = a[:length]
+        if "ent" not in a or "neg" not in a:
+            continue
+        b = list(a)
+        # swap the two marker positions -> same multiset, opposite order
+        ia, ja = a.index("neg"), a.index("ent")
+        b[ia], b[ja] = b[ja], b[ia]
+        pairs.append((a, "negated" if ia < ja else "present"))
+        pairs.append((b, "present" if ia < ja else "negated"))
+    return pairs
+
+
+def negation_rnn_fixture_model() -> RnnMetaModel:
+    global _RNN_FIXTURE_CACHE
+    if _RNN_FIXTURE_CACHE is None:
+        _RNN_FIXTURE_CACHE = train_rnn_meta_model(
+            order_task_sequences(), ["present", "negated"])
+    return _RNN_FIXTURE_CACHE
+
+
+def meta_annotations_rnn(ann: DataFrame, docs: DataFrame, bc,
+                         meta_name: str = "Negation",
+                         text_col: str = "text") -> DataFrame:
+    """meta_annotations_mlp with the STATEFUL scorer — byte-identical
+    plan shape; only the broadcast model differs (the torch-swap
+    contract: plumbing fixed, forward pass swapped)."""
+    return meta_annotations_mlp(ann, docs, bc, meta_name, text_col)

@@ -196,3 +196,60 @@ def test_mlp_spark_matches_local(spark):
     v, c = m.predict(toks[0:2 + m.cntx_right])       # bigram: last tok = 1
     assert rows["D104"]["value"] == v
     assert abs(rows["D104"]["confidence"] - c) < 1e-9
+
+
+def test_rnn_order_task_statefulness():
+    """The BiRNN solves an order task on which any pooled (order-blind)
+    model is provably at chance — the statefulness evidence the MLP
+    cannot give (reference BiLSTM shape, meta_cat.py:447-517)."""
+    import numpy as np
+    from medcat_spark.functions.meta_model import (
+        negation_rnn_fixture_model, order_task_sequences,
+        train_mlp_meta_model)
+    seqs = order_task_sequences()
+    m = negation_rnn_fixture_model()
+    preds = m.predict_batch([s for s, _ in seqs])
+    acc = sum(p == y for (p, _), (_, y) in zip(preds, seqs)) / len(seqs)
+    assert acc >= 0.95
+    mlp = train_mlp_meta_model([(s, y) for s, y in seqs],
+                               ["present", "negated"], dim=16, hidden=8,
+                               epochs=800, lr=1.0, seed=3)
+    mp = mlp.predict_batch([s for s, _ in seqs])
+    macc = sum(p == y for (p, _), (_, y) in zip(mp, seqs)) / len(seqs)
+    assert macc <= 0.6          # multiset-identical pairs -> chance
+
+
+def test_rnn_padding_and_chunk_invariance():
+    """Ragged batches (padded, state-carry masking) == per-window calls,
+    and chunked forwards == unchunked — the packed-sequence semantics a
+    torch BiLSTM swap must preserve."""
+    from medcat_spark.functions.meta_model import negation_rnn_fixture_model
+    m = negation_rnn_fixture_model()
+    windows = [["neg", "alpha", "ent"],
+               ["alpha", "beta", "gamma", "ent", "zeta", "neg", "eps"],
+               ["ent"], ["neg", "ent", "alpha", "beta", "gamma", "delta"]]
+    batched = m.predict_batch(windows)
+    single = [m.predict(w) for w in windows]
+    assert batched == single
+    m2 = negation_rnn_fixture_model()
+    m2.MAX_FORWARD_BATCH = 2
+    assert m2.predict_batch(windows) == batched
+
+
+def test_rnn_through_spark_plumbing(spark):
+    """The stateful scorer rides the identical broadcast + mapInPandas
+    plan; order decides the label end to end."""
+    from medcat_spark.functions.meta_model import (meta_annotations_rnn,
+                                                   negation_rnn_fixture_model)
+    m = negation_rnn_fixture_model()
+    bc = spark.sparkContext.broadcast(m)
+    docs = spark.createDataFrame(
+        [("d1", "neg alpha beta ent gamma"),
+         ("d2", "alpha ent beta gamma neg")],
+        "doc_id string, text string")
+    ann = spark.createDataFrame(
+        [("d1", 15, 18, "C1"), ("d2", 6, 9, "C1")],
+        "doc_id string, start int, end int, cui string")
+    out = {r["doc_id"]: r["value"]
+           for r in meta_annotations_rnn(ann, docs, bc).collect()}
+    assert out == {"d1": "negated", "d2": "present"}
