@@ -132,8 +132,27 @@ def run(spark) -> dict:
     ann.unpersist()
     docs.unpersist()
     total = round(sum(timings.values()), 3)
+    # host-health stamp: first-touch fault latency for a fresh 133 MB
+    # buffer and the steal counter — this box shows multi-hour hypervisor
+    # degradation episodes (4-12 MB/s page backing, see
+    # BENCH/host_health.jsonl) that inflate EVERY timing; a reader
+    # comparing rounds needs the run's own context. Clean baseline <0.1s.
+    import numpy as _np
+    import time as _t
+    _t0 = _t.monotonic()
+    _buf = _np.ones((20000, 26, 32))
+    first_touch = round(_t.monotonic() - _t0, 2)
+    del _buf
+    try:
+        with open("/proc/stat") as _f:
+            _v = [int(x) for x in _f.readline().split()[1:]]
+        steal_cum_pct = round(100.0 * _v[7] / max(sum(_v), 1), 3)
+    except (OSError, IndexError):
+        steal_cum_pct = None
     out = {"metric": "headline_total", "value": total, "unit": "sec",
            "queries": timings, "sf": SF_DIR.rstrip("/").split("sf")[-1],
+           "host_first_touch_133mb_sec": first_touch,
+           "host_steal_cum_pct": steal_cum_pct,
            "n_docs": n_docs,
            "docs_per_sec_annotate": round(n_docs / timings["q1_annotate"], 1),
            "docs_per_sec_sustained": round(
