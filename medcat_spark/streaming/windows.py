@@ -78,3 +78,48 @@ def stateful_cui_totals(ann_stream: DataFrame) -> DataFrame:
                                     stateStructType=_STATE_SCHEMA,
                                     outputMode="update",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_SEEN_STATE = StructType([StructField("n_seen", LongType())])
+_DEDUP_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("fp", StringType()),
+    StructField("is_duplicate", StringType()),
+])
+
+
+def _stream_dedup_fn(key: Tuple[str],
+                     pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    (prev,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        flags = []
+        for _ in range(len(pdf)):
+            flags.append("dup" if prev > 0 else "first")
+            prev += 1
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(str),
+                            "fp": key[0],
+                            "is_duplicate": flags})
+    state.update((prev,))
+
+
+def streaming_exact_dedup(doc_stream: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Streaming exact-dedup: each document is flagged ``first`` or
+    ``dup`` against every document EVER seen with the same content hash
+    — ``GroupState`` keyed by md5(text) carries the seen-count across
+    micro-batches, so the ingest pipeline filters duplicates before
+    paying annotation cost.  The batch analogue is
+    ``dedup.exact_dup_groups``; state is one counter per DISTINCT
+    content (bounded by unique-doc count, not stream length).  Within a
+    single micro-batch the first row of a group (arrival order) is the
+    keeper, matching the batch operator's rank-1 rule.
+    """
+    fp = doc_stream.select(F.col("doc_id").cast("string").alias("doc_id"),
+                           F.md5(F.col(text_col)).alias("fp"))
+    return (fp.groupBy("fp")
+            .applyInPandasWithState(_stream_dedup_fn,
+                                    outputStructType=_DEDUP_SCHEMA,
+                                    stateStructType=_SEEN_STATE,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

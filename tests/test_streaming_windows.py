@@ -87,3 +87,40 @@ def test_stateful_totals_across_batches(spark, tmp_path):
     _write_parquet(spark, src, [("d4", "C1")], "doc_id string, cui string")
     second = {r["cui"]: r["total_mentions"] for r in run_once()}
     assert second["C1"] == 3  # 2 from restored state + 1 new
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """streaming_exact_dedup: duplicates are flagged against every doc
+    ever seen (state restored from the checkpoint across restarts)."""
+    from medcat_spark.streaming.windows import streaming_exact_dedup
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "dckpt")
+    _write_parquet(spark, src,
+                   [("d1", "alpha beta"), ("d2", "alpha beta"),
+                    ("d3", "unique text")],
+                   "doc_id string, text string")
+
+    def run_once():
+        collected = []
+        stream = (spark.readStream.schema("doc_id string, text string")
+                  .parquet(src))
+        q = (streaming_exact_dedup(stream)
+             .writeStream
+             .foreachBatch(lambda df, _eid: collected.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return collected
+
+    first = {r["doc_id"]: r["is_duplicate"] for r in run_once()}
+    assert first["d3"] == "first"
+    # d1/d2 share a fingerprint: exactly one is 'first' in the batch
+    assert sorted([first["d1"], first["d2"]]) == ["dup", "first"]
+
+    # restart with a new batch: a re-occurrence of old content is a dup
+    # (state survived), new content is first
+    _write_parquet(spark, src, [("d4", "alpha beta"), ("d5", "fresh")],
+                   "doc_id string, text string")
+    second = {r["doc_id"]: r["is_duplicate"] for r in run_once()}
+    assert second["d4"] == "dup" and second["d5"] == "first"
