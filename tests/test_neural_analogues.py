@@ -253,3 +253,77 @@ def test_rnn_through_spark_plumbing(spark):
     out = {r["doc_id"]: r["value"]
            for r in meta_annotations_rnn(ann, docs, bc).collect()}
     assert out == {"d1": "negated", "d2": "present"}
+
+
+def test_rnn_tagger_bracket_task_beats_windowed_linear():
+    """Per-TIMESTEP stateful outputs (the TransformersNER tensor shape):
+    the BiRNN labels bracket interiors far beyond any fixed context
+    window, where the windowed linear tagger structurally cannot."""
+    import numpy as np
+    from medcat_spark.functions.ner_model import (
+        bracket_task_sentences, rnn_tagger_fixture_model,
+        train_token_tagger)
+    sents = bracket_task_sentences()
+    rnn = rnn_tagger_fixture_model()
+    pred = rnn.tag_batch([s for s, _ in sents])
+    total = sum(len(g) for _, g in sents)
+    racc = sum(p == g for ps, (_, gs) in zip(pred, sents)
+               for p, g in zip(ps, gs)) / total
+    assert racc >= 0.98
+    lin = train_token_tagger(sents, ["O", "I"])
+
+    def lin_tag(toks):
+        out = []
+        for i in range(len(toks)):
+            lo = max(0, i - lin.window)
+            hi = min(len(toks), i + lin.window + 1)
+            s = lin.center_scores[toks[i]] + lin.bias + np.mean(
+                [lin.ctx_scores[toks[j]] for j in range(lo, hi)], axis=0)
+            out.append(lin.labels[int(np.argmax(s))])
+        return out
+
+    lacc = sum(p == g for toks, gs in sents
+               for p, g in zip(lin_tag(toks), gs)) / total
+    assert lacc <= 0.8 and racc - lacc >= 0.15
+
+
+def test_rnn_tagger_ragged_batch_and_spark_spans(spark):
+    """Ragged batches == per-sentence calls, and the Spark wrapper's
+    span relation matches a driver-side loop over the same docs."""
+    from medcat_spark.functions.ner_model import (rnn_tagger_fixture_model,
+                                                  tag_spans_rnn)
+    m = rnn_tagger_fixture_model()
+    seqs = [["alpha", "open", "beta", "gamma", "delta", "eps", "zeta",
+             "alpha", "beta", "gamma", "delta", "eps", "beta", "gamma",
+             "close", "alpha"],
+            ["beta", "gamma"],
+            ["open", "alpha", "beta", "gamma", "delta", "eps", "zeta",
+             "alpha", "beta", "gamma", "delta", "eps", "close"]]
+    batched = m.tag_batch(seqs)
+    single = [m.tag_batch([s])[0] for s in seqs]
+    assert batched == single
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(s)) for i, s in enumerate(seqs)],
+        "doc_id string, text string")
+    bc = spark.sparkContext.broadcast(m)
+    got = {(r["doc_id"], r["start"], r["end"], r["label"])
+           for r in tag_spans_rnn(docs, bc).collect()}
+    want = set()
+    for i, (s, labels) in enumerate(zip(seqs, batched)):
+        starts, pos = [], 0
+        for t in s:
+            starts.append(pos)
+            pos += len(t) + 1
+        j = 0
+        while j < len(s):
+            if labels[j] == "O":
+                j += 1
+                continue
+            k = j
+            while k + 1 < len(s) and labels[k + 1] == labels[j]:
+                k += 1
+            want.add((f"d{i}", starts[j], starts[k] + len(s[k]),
+                      labels[j]))
+            j = k + 1
+    assert got == want and got   # non-empty
