@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--max-docs", type=int, default=None)
     p.add_argument("--bucketed", type=int, default=None)
+    p.add_argument("--dedup", action="store_true",
+                   help="fuzzy-dedup the corpus first and annotate only "
+                        "cluster keepers (functions/dedup.dedup_clusters)")
+    p.add_argument("--dedup-min-jaccard", type=float, default=0.2)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -43,6 +47,33 @@ def main(argv=None):
     cdb, vocab, cfg = load_model_pack(args.model_pack)
     bc = broadcast_model(spark, cdb, vocab, cfg)
     docs = spark.read.parquet(args.docs)
+
+    if args.dedup:
+        # annotate only cluster keepers: for interleaved docs the dedup
+        # text is the concatenated text spans (JVM expression — the same
+        # content the annotate kernel reconstructs)
+        from pyspark.sql import functions as F
+
+        from medcat_spark.functions.dedup import dedup_clusters
+        if "spans" in docs.columns:
+            dd = docs.select(
+                "doc_id",
+                F.concat_ws(" ", F.transform(
+                    F.filter("spans", lambda s: s["kind"] == "text"),
+                    lambda s: s["text"])).alias("text"))
+        else:
+            dd = docs.select("doc_id", "text")
+        keepers = (dedup_clusters(dd,
+                                  min_jaccard=args.dedup_min_jaccard)
+                   .where("is_keeper").select("doc_id"))
+        n_before = docs.count()
+        docs = docs.join(keepers, "doc_id")
+        n_after = docs.count()
+        dedup_stats = {"dedup_docs_in": n_before,
+                       "dedup_keepers": n_after,
+                       "dedup_dropped": n_before - n_after}
+    else:
+        dedup_stats = {}
 
     manifest = resumable_annotate(spark, docs, bc, args.out,
                                   num_partitions=args.partitions,
@@ -72,7 +103,7 @@ def main(argv=None):
             cooccurrence_triples(ann, materialize=False) \
                 .write.mode("overwrite") \
                 .parquet(f"{args.out}/triples/cooccurrence")
-    print(json.dumps(manifest))
+    print(json.dumps({**manifest, **dedup_stats}))
     spark.stop()
 
 
