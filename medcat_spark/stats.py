@@ -109,7 +109,21 @@ def kfold_stats(spark, mct: DataFrame, cdb, vocab, config, k: int = 3,
             .select("doc_id", F.col("start").cast("int").alias("start"),
                     F.col("end").cast("int").alias("end"), "cui").cache())
 
-    if split_type == "per_docs":
+    ann_folds = None
+    if split_type == "per_anns":
+        # annotation-granularity folds (reference PerAnnsFoldCreator,
+        # kfold.py:198-237): hash over the annotation identity, so one
+        # doc can contribute training annotations to one fold and eval
+        # annotations to another.  The reference quirk is kept: a
+        # predicted train-fold annotation on an eval doc counts as FP
+        # against that fold's gold, exactly as its per-fold exports do.
+        fold_df = None
+        ann_folds = gold.select(
+            "doc_id", "start", "cui",
+            F.pmod(F.xxhash64("doc_id",
+                              F.col("start").cast("string"), "cui"),
+                   F.lit(k)).cast("int").alias("fold"))
+    elif split_type == "per_docs":
         # scale-safe fold assignment: a deterministic hash column instead
         # of collecting every doc_id to the driver.  Divergence from the
         # reference's PerDocsFoldCreator (contiguous chunks over input
@@ -142,27 +156,45 @@ def kfold_stats(spark, mct: DataFrame, cdb, vocab, config, k: int = 3,
     else:
         raise ValueError(f"unknown split_type {split_type}")
     per_fold, tot = [], {"tp": 0, "fp": 0, "fn": 0}
+    akeys = ["doc_id", "start", "cui"]
     for fold in range(k):
-        train_docs = docs.join(fold_df.where(F.col("fold") != fold),
-                               "doc_id", "left_semi")
-        eval_docs = docs.join(fold_df.where(F.col("fold") == fold),
-                              "doc_id", "left_semi")
-        train_gold = gold.join(train_docs.select("doc_id"),
-                               "doc_id", "left_semi")
+        if ann_folds is not None:
+            train_gold = gold.join(
+                ann_folds.where(F.col("fold") != fold).select(*akeys),
+                akeys, "left_semi")
+            eval_gold_f = gold.join(
+                ann_folds.where(F.col("fold") == fold).select(*akeys),
+                akeys, "left_semi")
+            train_docs = docs.join(train_gold.select("doc_id"),
+                                   "doc_id", "left_semi")
+            eval_docs = docs.join(eval_gold_f.select("doc_id"),
+                                  "doc_id", "left_semi")
+            train_mct = mct.withColumn("start",
+                                       F.col("start").cast("int")) \
+                .join(train_gold.select(*akeys), akeys, "left_semi")
+        else:
+            train_docs = docs.join(fold_df.where(F.col("fold") != fold),
+                                   "doc_id", "left_semi")
+            eval_docs = docs.join(fold_df.where(F.col("fold") == fold),
+                                  "doc_id", "left_semi")
+            train_gold = gold.join(train_docs.select("doc_id"),
+                                   "doc_id", "left_semi")
+            eval_gold_f = None
+            train_mct = mct.join(train_docs.select("doc_id"), "doc_id",
+                                 "left_semi")
         model = copy.deepcopy(cdb)  # reference captured_state_cdb restore
         # train-fold gold names join the fold model's dictionary, like
         # the reference's per-annotation add_and_train_concept
         from medcat_spark.model_ops import add_gold_concepts
-        add_gold_concepts(
-            model, mct.join(train_docs.select("doc_id"), "doc_id",
-                            "left_semi"), config)
+        add_gold_concepts(model, train_mct, config)
         bc = broadcast_model(spark, model, vocab, config)
         apply_training(model, train_supervised_spark(
             spark, train_gold, train_docs, bc, config).collect())
         bc2 = broadcast_model(spark, model, vocab, config)
         pred = annotate(eval_docs, bc2).select("doc_id", "start", "cui")
-        eval_gold = gold.join(eval_docs.select("doc_id"),
-                              "doc_id", "left_semi")
+        eval_gold = (eval_gold_f if eval_gold_f is not None
+                     else gold.join(eval_docs.select("doc_id"),
+                                    "doc_id", "left_semi"))
         st = overall_stats(pred, eval_gold)
         per_fold.append(st)
         for kk in tot:

@@ -198,3 +198,44 @@ def test_kfold_per_docs_hash_folds_no_driver_collect(spark, fixture_models):
                       split_type="per_docs")
     assert len(res["folds"]) == 3
     assert res["tp"] > 0 and res["precision"] == 1.0 and res["recall"] == 1.0
+
+
+def test_kfold_per_anns_split(spark, fixture_models):
+    """Reference PerAnnsFoldCreator (kfold.py:198-237): folds at
+    ANNOTATION granularity — a doc's annotations can span folds, and a
+    perfect model still scores P=R=1 because predictions on eval docs
+    are judged against that fold's own annotations."""
+    import json
+    import tempfile
+
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.core.annotate import annotate_document
+    from medcat_spark.fixtures import fixture_documents
+    from medcat_spark.sources.mct_export import read_mct_export
+    from medcat_spark.stats import kfold_stats
+
+    cdb, vocab = fixture_models
+    cfg = EngineConfig()
+    docs = fixture_documents(9)
+    export = {"projects": [{"id": 1, "name": "p", "cuis": "",
+                            "documents": []}]}
+    for d in docs:
+        text = " ".join(s["text"] for s in d["spans"]
+                        if s["kind"] == "text")
+        ents, _ = annotate_document(text, cdb, vocab, cfg)
+        export["projects"][0]["documents"].append(
+            {"id": d["doc_id"], "name": d["doc_id"], "text": text,
+             "annotations": [{"start": e.start, "end": e.end, "cui": e.cui,
+                              "value": e.source_value} for e in ents]})
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as fh:
+        json.dump(export, fh)
+        path = fh.name
+    mct = read_mct_export(spark, path)
+    res = kfold_stats(spark, mct, cdb, vocab, cfg, k=3,
+                      split_type="per_anns")
+    assert len(res["folds"]) == 3 and res["tp"] > 0
+    # per-anns quirk: train-fold predictions on eval docs count as FP,
+    # so with a perfect model recall is 1.0 and precision reflects the
+    # annotation-granularity split, not model error
+    assert res["recall"] == 1.0
