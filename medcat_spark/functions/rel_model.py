@@ -294,3 +294,115 @@ SELECT doc_id, CAST(start1 AS INT) AS start1, CAST(start2 AS INT) AS start2,
        ROUND(exp(({best_logit}) - mx) / ({exps}), 4) AS confidence
 FROM lgt
 """
+
+# ---------------------------------------------------------------------------
+# STATEFUL pair classifier — the RelCAT/BERT shape: the pair's token
+# sequence with entity MARKERS inserted ("<e1>"/"<e2>", the reference's
+# special-token annotation, rel_cat.py tokenizer setup) classified by a
+# recurrent model.  Trained on a DIRECTIONAL task whose between-entity
+# cue tokens have identical multisets in both directions — the linear
+# between-token BAG scorer is provably at chance on it; only carried
+# state can read the cue ORDER.
+# ---------------------------------------------------------------------------
+
+
+def rel_direction_sequences(n_pairs: int = 120, length: int = 12,
+                            seed: int = 13):
+    """Marked sequences: '<e1>' ... cues ... '<e2>'; label 'forward'
+    when cue 'act' precedes cue 'rev' between the markers, 'reverse'
+    otherwise — the swapped variant has the identical token multiset."""
+    import random
+    rng = random.Random(seed)
+    filler = ["alpha", "beta", "gamma", "delta"]
+    out = []
+    n_between = length - 4                   # 2 markers + 2 edge fillers
+    for _ in range(n_pairs):
+        between = [rng.choice(filler) for _ in range(n_between - 2)]
+        i, j = sorted(rng.sample(range(len(between) + 1), 2))
+        a = list(between)
+        a.insert(i, "act")
+        a.insert(j + 1, "rev")
+        fwd = [rng.choice(filler), "<e1>"] + a + ["<e2>", rng.choice(filler)]
+        b = list(a)
+        ia, ja = a.index("act"), a.index("rev")
+        b[ia], b[ja] = b[ja], b[ia]
+        rev = [fwd[0], "<e1>"] + b + ["<e2>", fwd[-1]]
+        out.append((fwd, "forward"))
+        out.append((rev, "reverse"))
+    return out
+
+
+_REL_RNN_CACHE = None
+
+
+def rel_rnn_fixture_model():
+    """RnnMetaModel trained on the directional task (the sequence-
+    classifier machinery is shared with the meta scorer — exactly the
+    torch-swap contract: same head shape, different input marking)."""
+    global _REL_RNN_CACHE
+    if _REL_RNN_CACHE is None:
+        from medcat_spark.functions.meta_model import train_rnn_meta_model
+        _REL_RNN_CACHE = train_rnn_meta_model(
+            rel_direction_sequences(), ["forward", "reverse"],
+            dim=12, hidden=14, epochs=500, lr=0.5, seed=29)
+    return _REL_RNN_CACHE
+
+
+def _score_batches_rnn(bc, cntx: int = 2):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = bc.value
+        max_d = 24
+        for pdf in batches:
+            out = {f.name: [] for f in _SCHEMA.fields}
+            seqs = []
+            for row in pdf.itertuples(index=False):
+                toks = (row.text or "").split(" ")
+                starts, pos = {}, 0
+                for i, t in enumerate(toks):
+                    starts[pos] = i
+                    pos += len(t) + 1
+                ents = sorted(
+                    ((starts.get(e["start"]), e) for e in row.ents
+                     if starts.get(e["start"]) is not None),
+                    key=lambda x: x[0])
+                for i in range(len(ents)):
+                    pa, ea = ents[i]
+                    for j in range(i + 1, len(ents)):
+                        pb, eb = ents[j]
+                        d = pb - pa
+                        if d <= 0:
+                            continue
+                        if d > max_d:
+                            break
+                        lo = max(0, pa - cntx)
+                        hi = min(len(toks), pb + 1 + cntx)
+                        marked = (toks[lo:pa] + ["<e1>"]
+                                  + toks[pa:pb] + ["<e2>"]
+                                  + toks[pb:hi])
+                        seqs.append(marked)
+                        out["doc_id"].append(str(row.doc_id))
+                        out["start1"].append(int(ea["start"]))
+                        out["start2"].append(int(eb["start"]))
+                        out["ent1_cui"].append(ea["cui"])
+                        out["ent2_cui"].append(eb["cui"])
+            if out["doc_id"]:
+                preds = model.predict_batch(seqs)
+                out["relation"] = [v for v, _ in preds]
+                out["confidence"] = [c for _, c in preds]
+                yield pd.DataFrame(out)
+    return fn
+
+
+def relations_rnn(ann: DataFrame, docs: DataFrame, bc,
+                  text_col: str = "text") -> DataFrame:
+    """relations_model with the STATEFUL marked-sequence scorer —
+    identical plan shape; one padded recurrent forward per Arrow batch
+    over all of its pairs' marked windows."""
+    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       "start", "cui")
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("start", "cui")).alias("ents")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    return ents.join(src, "doc_id").mapInPandas(_score_batches_rnn(bc),
+                                                schema=_SCHEMA)

@@ -327,3 +327,33 @@ def test_rnn_tagger_ragged_batch_and_spark_spans(spark):
                       labels[j]))
             j = k + 1
     assert got == want and got   # non-empty
+
+
+def test_rel_rnn_directionality(spark):
+    """The marked-sequence recurrent pair classifier reads cue ORDER
+    between entities (multiset-identical in both directions — the
+    between-token BAG scorer is provably at chance), end to end through
+    the relations plan."""
+    from medcat_spark.functions.rel_model import (rel_direction_sequences,
+                                                  rel_rnn_fixture_model,
+                                                  relations_rnn)
+    seqs = rel_direction_sequences()
+    m = rel_rnn_fixture_model()
+    preds = m.predict_batch([s for s, _ in seqs])
+    acc = sum(p == y for (p, _), (_, y) in zip(preds, seqs)) / len(seqs)
+    assert acc >= 0.95
+
+    # through Spark: two docs whose between-cue order differs; entity
+    # tokens at known char offsets
+    t1 = "alpha ENT1 act beta rev ENT2 gamma"     # forward
+    t2 = "alpha ENT1 rev beta act ENT2 gamma"     # reverse
+    docs = spark.createDataFrame([("d1", t1), ("d2", t2)],
+                                 "doc_id string, text string")
+    ann = spark.createDataFrame(
+        [("d1", t1.index("ENT1"), "C1"), ("d1", t1.index("ENT2"), "C2"),
+         ("d2", t2.index("ENT1"), "C1"), ("d2", t2.index("ENT2"), "C2")],
+        "doc_id string, start int, cui string")
+    bc = spark.sparkContext.broadcast(m)
+    out = {r["doc_id"]: r["relation"]
+           for r in relations_rnn(ann, docs, bc).collect()}
+    assert out == {"d1": "forward", "d2": "reverse"}
