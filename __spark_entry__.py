@@ -317,6 +317,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    max_test_fraction=0.3)
     q["mc_train_test_split"] = _mc_split
 
+    # --- regex-rule DeID + model-pred merge (reference
+    #     utils/ner/deid.py match_rules/merge_preds): literal rule
+    #     'the' over documents, synthesized model spans, model wins on
+    #     overlap
+    def _deid_rules(s, d):
+        from medcat_spark.functions.deid import match_rules, merge_rule_preds
+        docs = demo.load_docs(s, d)
+        did = F.col("doc_id").cast("long")
+        model = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.pmod(did, F.lit(40)).cast("int").alias("start"),
+            (F.pmod(did, F.lit(40)) + 5).cast("int").alias("end"),
+            F.lit("CM").alias("cui"))
+        rules = match_rules(docs, [("the", "CRULE")]) \
+            .select("doc_id", "start", "end", "cui")
+        return merge_rule_preds(model, rules, accept_preds=True)
+    q["deid_rule_merge"] = _deid_rules
+
     # --- relation stand-in: co-mention within a 3-token window (J1 as a
     #     pure-DataFrame broadcast join over exploded tokens)
     def _rel(s, d):
@@ -863,6 +881,33 @@ SELECT doc_id,
              AND cum_test < 0.2 * (SELECT total_anns FROM total)
             THEN 'test' ELSE 'train' END AS split
 FROM flagged
+"""
+
+    o["deid_rule_merge"] = """
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS did,
+         text FROM documents),
+model AS (
+  SELECT doc_id, CAST(did % 40 AS INT) AS start,
+         CAST(did % 40 + 5 AS INT) AS "end", 'CM' AS cui FROM d),
+occ(doc_id, pos, text) AS (
+  SELECT doc_id, CAST(POSITION('the' IN text) - 1 AS INT), text
+  FROM d WHERE POSITION('the' IN text) > 0
+  UNION ALL
+  SELECT doc_id,
+         CAST(pos + 3 + POSITION('the' IN substr(text, pos + 4)) - 1
+              AS INT), text
+  FROM occ WHERE POSITION('the' IN substr(text, pos + 4)) > 0),
+rules AS (
+  SELECT doc_id, pos AS start, CAST(pos + 3 AS INT) AS "end",
+         'CRULE' AS cui FROM occ),
+kept_rules AS (
+  SELECT r.* FROM rules r WHERE NOT EXISTS (
+    SELECT 1 FROM model m
+    WHERE m.doc_id = r.doc_id AND r.start < m."end"
+      AND m.start < r."end"))
+SELECT DISTINCT doc_id, start, "end", cui FROM (
+  SELECT * FROM model UNION ALL SELECT * FROM kept_rules)
 """
 
     o["pr_stats_per_cui"] = f"""

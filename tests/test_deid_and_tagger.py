@@ -57,3 +57,30 @@ def test_deid_composes_with_tagger(spark):
         "doc_id", "start", "end", F.col("label").alias("cui"))
     out = deid_text(docs, spans).first()["deid_text"]
     assert out == "the [SYS] runs a [OP] fast"
+
+
+def test_match_rules_and_merge_precedence(spark):
+    """Reference utils/ner/deid.py match_rules/merge_preds: finditer
+    positions + overlap precedence in both directions."""
+    from medcat_spark.functions.deid import match_rules, merge_rule_preds
+    docs = spark.createDataFrame(
+        [("d1", "call 123-4567 or 999-0000 now")],
+        "doc_id string, text string")
+    rules = match_rules(docs, [(r"\d{3}-\d{4}", "PHONE")])
+    got = {(r["start"], r["end"], r["cui"], r["source_value"])
+           for r in rules.collect()}
+    assert got == {(5, 13, "PHONE", "123-4567"),
+                   (17, 25, "PHONE", "999-0000")}
+
+    model = spark.createDataFrame([("d1", 5, 13, "CM")],
+                                  "doc_id string, start int, end int, "
+                                  "cui string")
+    # model wins on the overlapping first phone; second rule survives
+    m1 = {(r["start"], r["cui"])
+          for r in merge_rule_preds(model, rules).collect()}
+    assert m1 == {(5, "CM"), (17, "PHONE")}
+    # rules win when accept_preds=False
+    m2 = {(r["start"], r["cui"])
+          for r in merge_rule_preds(model, rules,
+                                    accept_preds=False).collect()}
+    assert m2 == {(5, "PHONE"), (17, "PHONE")}
