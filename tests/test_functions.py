@@ -266,3 +266,45 @@ def test_incremental_cluster_assignment(dup_docs, spark):
                                            dup_docs).collect()}
     assert out["n1"] == ("a1", False)     # adopted the a1/a2/a3 cluster
     assert out["n2"] == ("n2", True)      # novel -> own cluster
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: distributed min-label propagation == driver-side
+    union-find on seeded random graphs (varied density incl. isolated
+    pairs, triangles, long chains)."""
+    import random
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 60), (3, 25, 8),
+                                   (4, 50, 49)]:
+        rng = random.Random(seed)
+        nodes = [f"v{i:03d}" for i in range(n_nodes)]
+        edges = [(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(n_edges)]
+        expect = union_find_components(edges)
+        # min-root canonicalisation for the union-find reference
+        roots = {}
+        for n, r in expect.items():
+            roots.setdefault(r, []).append(n)
+        want = {n: min(mem) for r, mem in roots.items() for n in mem}
+        pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+        got = {r["doc_id"]: r["component"]
+               for r in ddp.connected_components(pairs).collect()}
+        assert got == want, (seed, {k: (got.get(k), want.get(k))
+                                    for k in set(got) | set(want)
+                                    if got.get(k) != want.get(k)})
