@@ -335,6 +335,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return merge_rule_preds(model, rules, accept_preds=True)
     q["deid_rule_merge"] = _deid_rules
 
+    # --- incremental dedup: docs with did%10==0 are the NEW batch, the
+    #     rest the historical corpus (index + clusters built from it);
+    #     new docs adopt the min matching cluster or found their own
+    def _dedup_assign(s, d):
+        from medcat_spark.functions.dedup import (assign_to_clusters,
+                                                  dedup_clusters,
+                                                  lsh_bucket_index)
+        docs = demo.load_docs(s, d).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text")
+        is_new = F.pmod(F.col("doc_id").cast("long"), F.lit(10)) == 0
+        corpus = docs.where(~is_new)
+        new = docs.where(is_new)
+        clusters = dedup_clusters(corpus, min_jaccard=0.2)
+        index = lsh_bucket_index(corpus)
+        return assign_to_clusters(new, index, clusters, corpus,
+                                  min_jaccard=0.2)
+    q["dedup_incremental_assign"] = _dedup_assign
+
     # --- relation stand-in: co-mention within a 3-token window (J1 as a
     #     pure-DataFrame broadcast join over exploded tokens)
     def _rel(s, d):
@@ -1073,6 +1091,77 @@ SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS is_keeper
 FROM lab
+"""
+
+    o["dedup_incremental_assign"] = f"""
+WITH RECURSIVE {_SHINGLES},
+mem AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               (CAST(doc_id AS BIGINT) % 10 = 0) AS is_new
+        FROM documents),
+shm AS (SELECT CAST(s.doc_id AS VARCHAR) AS doc_id, s.shingle, m.is_new
+        FROM sh s JOIN mem m ON CAST(s.doc_id AS VARCHAR) = m.doc_id),
+sizes AS (SELECT doc_id, is_new, COUNT(*) AS size
+          FROM shm GROUP BY doc_id, is_new),
+sig AS (
+  SELECT doc_id, is_new,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3
+  FROM shm GROUP BY doc_id, is_new),
+bk AS (
+  SELECT doc_id, is_new, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, is_new, 1 AS band, md5(h2 || h3) AS bucket FROM sig),
+-- corpus clustering (corpus docs only)
+ccand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE NOT a.is_new AND NOT b.is_new AND a.doc_id < b.doc_id),
+cinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM ccand c
+  JOIN shm sa ON sa.doc_id = c.doc_a
+  JOIN shm sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+cver AS (
+  SELECT i.doc_a, i.doc_b FROM cinter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.inter * 1.0 / (x.size + y.size - i.inter) >= 0.2),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cver
+          UNION SELECT doc_b, doc_a FROM cver),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node AS doc_id, MIN(label) AS component
+         FROM reach GROUP BY node),
+clus AS (SELECT m.doc_id, COALESCE(c.component, m.doc_id) AS cluster_id
+         FROM mem m LEFT JOIN comp c ON c.doc_id = m.doc_id
+         WHERE NOT m.is_new),
+-- new-batch probe
+ncand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+  FROM bk n JOIN bk o ON n.band = o.band AND n.bucket = o.bucket
+  WHERE n.is_new AND NOT o.is_new),
+ninter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM ncand c
+  JOIN shm sa ON sa.doc_id = c.doc_a
+  JOIN shm sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+nver AS (
+  SELECT i.doc_a, i.doc_b FROM ninter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE i.inter * 1.0 / (x.size + y.size - i.inter) >= 0.2),
+adopted AS (
+  SELECT v.doc_a AS doc_id, MIN(c.cluster_id) AS cluster_id
+  FROM nver v JOIN clus c ON c.doc_id = v.doc_b
+  GROUP BY 1)
+SELECT m.doc_id, COALESCE(a.cluster_id, m.doc_id) AS cluster_id,
+       a.cluster_id IS NULL AS is_new_cluster
+FROM mem m LEFT JOIN adopted a ON a.doc_id = m.doc_id
+WHERE m.is_new
 """
 
     o["text_quality"] = """
