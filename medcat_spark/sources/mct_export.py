@@ -171,3 +171,34 @@ def consolidate_annotations(mct: DataFrame, require_double: bool = True,
                                             .alias("project_id"))))
         out = out.unionByName(mct.join(paired, "project_id", "left_anti"))
     return out
+
+
+def project_cui_filters(mct: DataFrame) -> DataFrame:
+    """(project_id, cui) allowed pairs from each project's ``cuis``
+    filter string (reference utils/filters.py:33-58
+    get_project_filters / stats.py project filtering).  Projects whose
+    filter is empty contribute NO rows — meaning allow-all.  The
+    reference's type_ids->cuis expansion requires the model's
+    ``type_id2cuis`` map; pass those pairs pre-expanded into the MCT
+    frame if needed (documented divergence: ``tuis`` strings are not
+    read by this source)."""
+    return (mct.select("project_id", "project_cuis").distinct()
+            .select("project_id",
+                    F.explode(F.split(F.coalesce(F.col("project_cuis"),
+                                                 F.lit("")), ","))
+                    .alias("cui"))
+            .select("project_id", F.trim("cui").alias("cui"))
+            .where(F.col("cui") != ""))
+
+
+def filter_by_project(ann: DataFrame, filters: DataFrame) -> DataFrame:
+    """Keep annotation rows whose cui is in their project's filter —
+    rows of projects WITHOUT any filter rows pass untouched (the
+    reference's check_filters: empty cuis set = allow all)."""
+    has = (filters.select("project_id").distinct()
+           .withColumn("has_filter", F.lit(True)))
+    ok = filters.withColumn("ok", F.lit(True))
+    return (ann.join(F.broadcast(has), "project_id", "left")
+            .join(F.broadcast(ok), ["project_id", "cui"], "left")
+            .where(F.col("has_filter").isNull() | F.col("ok").isNotNull())
+            .drop("has_filter", "ok"))

@@ -200,3 +200,23 @@ def test_mc_train_test_split_invariants(spark):
                                 min_test_count=10, max_test_fraction=0.3)
     assert sorted(map(tuple, split.collect())) == \
         sorted(map(tuple, again.collect()))
+
+
+def test_project_cui_filters(spark):
+    """Reference get_project_filters/check_filters: a project's cuis
+    string restricts its annotations; empty filter = allow all."""
+    from medcat_spark.sources.mct_export import (filter_by_project,
+                                                 project_cui_filters)
+    mct = spark.createDataFrame(
+        [("1", "C1, C3", "d1", "C1"), ("1", "C1, C3", "d1", "C2"),
+         ("1", "C1, C3", "d2", "C3"),
+         ("2", "", "d3", "C9"), ("2", "", "d3", "C1")],
+        "project_id string, project_cuis string, doc_id string, cui string")
+    filt = project_cui_filters(mct)
+    got = {(r["project_id"], r["cui"]) for r in filt.collect()}
+    assert got == {("1", "C1"), ("1", "C3")}
+    kept = {(r["project_id"], r["doc_id"], r["cui"])
+            for r in filter_by_project(mct, filt).collect()}
+    # C2 dropped from the filtered project; project 2 (no filter) intact
+    assert kept == {("1", "d1", "C1"), ("1", "d2", "C3"),
+                    ("2", "d3", "C9"), ("2", "d3", "C1")}
