@@ -221,6 +221,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdb_names"] = lambda s, d: _cdb_demo_tables(s)["names"] \
         .select("name", "cui", "status")
     q["cdb_snames"] = lambda s, d: _cdb_demo_tables(s)["snames"]
+
+    # --- reference-format model-pack import (S4 adoption path): the demo
+    #     CDB is written in MedCAT's own pack layout (JSON-split maps +
+    #     pickled cdb.dat/vocab.dat + config.json, zipped), loaded back by
+    #     sources/reference_pack.py WITHOUT medcat/dill, and its name
+    #     table must equal the natively-built CDB's (same oracle as
+    #     cdb_names)
+    def _pack_import(s, d):
+        import tempfile
+        from medcat_spark.fixtures import (build_fixture_cdb,
+                                           build_fixture_vocab)
+        from medcat_spark.sources.reference_pack import (
+            load_reference_pack, write_reference_layout_pack)
+        cdb = build_fixture_cdb(rows=[r[1:] for r in CDB_DEMO_ROWS])
+        zpath = write_reference_layout_pack(
+            tempfile.mkdtemp(prefix="refpack_q_") + "/pack",
+            cdb, build_fixture_vocab(), EngineConfig(), as_zip=True)
+        cdb2, _vocab, _cfg, _comps = load_reference_pack(zpath)
+        rows = [(n, c, st) for n in sorted(cdb2.name2cuis2status)
+                for c, st in sorted(cdb2.name2cuis2status[n].items())]
+        return s.createDataFrame(rows, "name string, cui string, status string")
+    q["pack_import_names"] = _pack_import
     q["cdb_token_counts"] = lambda s, d: _cdb_demo_tables(s)["token_counts"]
 
     def _subset(s, d):
@@ -493,6 +515,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann = _uni_ann(s, d).unionByName(_bi_ann(s, d))
         return meta_annotations_mlp(ann, docs, bc)
     q["meta_negation_mlp"] = _meta_mlp
+
+    # --- REAL LSTM head from a torch-format checkpoint: the fixture
+    #     state dict is written in the torch zip layout, read back by the
+    #     pure-numpy torch_pickle reader, and scored with a faithful
+    #     numpy LSTM (torch gate order, packed-sequence masking, center
+    #     max-pool — reference meta_cat/models.py:11-84).  The oracle
+    #     unrolls the recurrence into SQL.
+    def _meta_lstm(s, d):
+        from medcat_spark.functions.lstm_meta import (lstm_fixture_model,
+                                                      meta_annotations_lstm)
+        bc = s.sparkContext.broadcast(lstm_fixture_model())
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        ann = _uni_ann(s, d).unionByName(_bi_ann(s, d))
+        return meta_annotations_lstm(ann, docs, bc)
+    q["meta_lstm_torch"] = _meta_lstm
 
     # --- RelCAT analogue: trained entity-pair relation classifier →
     #     (subj, pred, obj) relation triples (reference rel_cat.py:551-613;
@@ -783,6 +821,14 @@ GROUP BY 1, 2, 3
 """
 
     o["cdb_names"] = f"""
+WITH {_CDB_PREP_CTE}
+SELECT name, cui,
+       CASE WHEN MAX(CASE WHEN status = 'P' THEN 1 ELSE 0 END) = 1
+            THEN 'P' ELSE arg_min(status, row_id) END AS status
+FROM nm GROUP BY name, cui
+"""
+
+    o["pack_import_names"] = f"""
 WITH {_CDB_PREP_CTE}
 SELECT name, cui,
        CASE WHEN MAX(CASE WHEN status = 'P' THEN 1 ELSE 0 END) = 1
@@ -1644,6 +1690,13 @@ FROM r WHERE rank <= 3
         return oracle_sql_for_mlp(negation_mlp_fixture_model(), _TOKS_CTE,
                                   _UNI_DICT_SQL, bi_dict_sql=_BI_DICT_SQL)
     o["meta_negation_mlp"] = _meta_mlp_oracle()
+
+    def _meta_lstm_oracle():
+        from medcat_spark.functions.lstm_meta import (lstm_fixture_model,
+                                                      oracle_sql_for_lstm)
+        return oracle_sql_for_lstm(lstm_fixture_model(), _TOKS_CTE,
+                                   _UNI_DICT_SQL, bi_dict_sql=_BI_DICT_SQL)
+    o["meta_lstm_torch"] = _meta_lstm_oracle()
 
     def _kg_relations_oracle():
         from medcat_spark.functions import rel_model

@@ -1,0 +1,543 @@
+"""Import/export of MedCAT-format model packs (the adoption path).
+
+A reference model pack (medcat/cat.py:235-337 ``create_model_pack``) is a
+zip/directory of::
+
+    cdb.dat            dill dump {'cdb_main': {<non-speciality attrs>}}
+                       (JSON format) or {'cdb': {<everything>}} (dill format)
+    <speciality>.json  when saved with cdb_format='json': cui2names,
+                       cui2snames, cui2type_ids, name2cuis, name2cuis2status,
+                       name_isupper, snames, addl_info (+ optional cui2many,
+                       name2many) — utils/saving/serializer.py:18-23; sets
+                       encoded as {'==SET==': [...]}, regex patterns as
+                       {'==PATTERN==': '...'} (utils/saving/coding.py:38-105)
+    vocab.dat          plain ``pickle.dump(Vocab.__dict__)`` (vocab.py:262-264)
+    config.json        JSON of the config tree (config.py:101-112)
+    model_card.json    metadata
+    meta_<name>/       MetaCAT: config.json + model.dat (torch state dict,
+                       meta_cat.py:359-385) + bbpe-vocab.json/merges
+    trf_*/, rel_*/     TransformersNER / RelCAT components
+    <spacy model>/     spacy pipeline (ignored here)
+
+``load_reference_pack`` reads all of it WITHOUT medcat/dill/torch/spacy:
+the JSON-split maps load as plain JSON; ``cdb.dat``/``vocab.dat`` load
+through a restricted unpickler that materializes only builtin/numpy
+types (a dill-pickled ``weighted_average_function`` degrades to an inert
+stub — its ``factor`` is recovered from config or defaulted);
+``meta_*/model.dat`` loads through the pure-numpy torch reader into a
+faithful LSTM head (functions/lstm_meta.py).
+
+Limitations (documented, tested):
+- legacy ALL-dill packs (cdb_format='dill') load only if the pickled
+  maps contain plain builtins/numpy data — medcat class instances inside
+  degrade to stubs; the JSON-split format is the supported path.
+- ``name2count_train``/``cui2tags``/``cui2info`` have no engine analogue
+  and are dropped.
+- meta tokenizers: ``bbpe-vocab.json`` is used as a whole-token → id
+  map; BPE merge segmentation of UNSEEN tokens is not reimplemented
+  (tokens absent from the vocab map to <unk>).
+
+``write_reference_layout_pack`` is the inverse: it writes OUR model in
+the reference's JSON-split layout (plain pickle for the .dat files —
+dill reads plain pickles, so real MedCAT can load the result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import re
+import tempfile
+import zipfile
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from medcat_spark.config import EngineConfig
+from medcat_spark.core.model import CdbModel, VocabModel
+from medcat_spark.sources.torch_pickle import (is_inert, read_state_dict,
+                                               tolerant_pickle_load)
+
+SPECIALITY_NAMES = (
+    "cui2names", "cui2snames", "cui2type_ids",
+    "name2cuis", "name2cuis2status", "name_isupper",
+    "snames", "addl_info")
+
+_SET_ID = "==SET=="
+_PATTERN_ID = "==PATTERN=="
+
+
+def _ref_hook(dct: dict):
+    """JSON object hook for the reference's set/pattern encoding."""
+    if _SET_ID in dct:
+        return set(dct[_SET_ID])
+    if _PATTERN_ID in dct:
+        return re.compile(dct[_PATTERN_ID])
+    return dct
+
+
+def _read_json(path: str):
+    with open(path) as f:
+        return json.load(f, object_hook=_ref_hook)
+
+
+def _encode_sets(obj):
+    """Inverse of :func:`_ref_hook` for writing."""
+    if isinstance(obj, (set, frozenset)):
+        return {_SET_ID: sorted(obj)}
+    if isinstance(obj, re.Pattern):
+        return {_PATTERN_ID: obj.pattern}
+    if isinstance(obj, dict):
+        return {k: _encode_sets(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_encode_sets(v) for v in obj]
+    return obj
+
+
+# ---------------------------------------------------------------------------
+# config mapping
+
+
+def engine_config_from_reference(d: dict) -> EngineConfig:
+    """Map a reference ``config.json`` dict onto :class:`EngineConfig`.
+
+    Only semantics-bearing fields are mapped (our config docstring);
+    unknown fields are ignored.  Field names were chosen to mirror the
+    reference (config.py:340-578) so the mapping is mostly 1:1.
+    """
+    g = d.get("general", {}) or {}
+    p = d.get("preprocessing", {}) or {}
+    n = d.get("ner", {}) or {}
+    lk = d.get("linking", {}) or {}
+    cm = d.get("cdb_maker", {}) or {}
+    filters = lk.get("filters", {}) or {}
+    optim = lk.get("optim", {}) or {}
+
+    def fs(val, default):
+        if val is None:
+            return default
+        return frozenset(val)
+
+    kw: Dict[str, object] = {}
+
+    def put(key, val):
+        if val is not None:
+            kw[key] = val
+
+    put("separator", g.get("separator"))
+    put("spell_check", g.get("spell_check"))
+    put("spell_check_deep", g.get("spell_check_deep"))
+    put("spell_check_len_limit", g.get("spell_check_len_limit"))
+    put("diacritics", g.get("diacritics"))
+
+    if "words_to_skip" in p:
+        kw["words_to_skip"] = fs(p["words_to_skip"], frozenset({"nos"}))
+    if "keep_punct" in p:
+        kw["keep_punct"] = fs(p["keep_punct"], frozenset({".", ":"}))
+    if "do_not_normalize" in p:
+        kw["do_not_normalize"] = fs(p["do_not_normalize"], frozenset())
+    put("skip_stopwords", p.get("skip_stopwords"))
+    put("min_len_normalize", p.get("min_len_normalize"))
+    put("max_document_length", p.get("max_document_length"))
+    if p.get("stopwords") is not None:
+        kw["stopwords"] = frozenset(p["stopwords"])
+
+    put("min_name_len", n.get("min_name_len"))
+    put("max_skip_tokens", n.get("max_skip_tokens"))
+    put("upper_case_limit_len", n.get("upper_case_limit_len"))
+    put("check_upper_case_names", n.get("check_upper_case_names"))
+    put("try_reverse_word_order", n.get("try_reverse_word_order"))
+
+    put("context_vector_sizes", lk.get("context_vector_sizes"))
+    put("context_vector_weights", lk.get("context_vector_weights"))
+    put("context_ignore_center_tokens",
+        lk.get("context_ignore_center_tokens"))
+    put("disamb_length_limit", lk.get("disamb_length_limit"))
+    put("filter_before_disamb", lk.get("filter_before_disamb"))
+    put("train_count_threshold", lk.get("train_count_threshold"))
+    put("always_calculate_similarity",
+        lk.get("always_calculate_similarity"))
+    put("similarity_threshold_type", lk.get("similarity_threshold_type"))
+    put("similarity_threshold", lk.get("similarity_threshold"))
+    put("prefer_primary_name", lk.get("prefer_primary_name"))
+    put("prefer_frequent_concepts", lk.get("prefer_frequent_concepts"))
+    put("random_replacement_unsupervised",
+        lk.get("random_replacement_unsupervised"))
+    put("negative_probability", lk.get("negative_probability"))
+    put("negative_ignore_punct_and_num",
+        lk.get("negative_ignore_punct_and_num"))
+    if "cuis" in filters:
+        kw["filter_cuis"] = frozenset(filters["cuis"] or ())
+    put("optim_type", optim.get("type"))
+    put("optim_base_lr", optim.get("base_lr"))
+    put("optim_min_lr", optim.get("min_lr"))
+
+    # weighted_average_function: a partial in the reference; if the JSON
+    # carries a recoverable factor use it, else keep the default 0.0004
+    waf = lk.get("weighted_average_function")
+    factor = _extract_waf_factor(waf)
+    if factor is not None:
+        kw["weighted_average_factor"] = factor
+
+    if "name_versions" in cm:
+        kw["name_versions"] = tuple(cm["name_versions"])
+    put("multi_separator", cm.get("multi_separator"))
+    put("min_letters_required", cm.get("min_letters_required"))
+    put("remove_parenthesis", cm.get("remove_parenthesis"))
+
+    return EngineConfig(**kw)
+
+
+def _extract_waf_factor(waf) -> Optional[float]:
+    """Dig a ``factor`` kwarg out of whatever JSON shape the reference's
+    ``partial(weighted_average, factor=...)`` serialized to."""
+    if isinstance(waf, dict):
+        for key in ("factor", "keywords"):
+            v = waf.get(key)
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, dict) and isinstance(
+                    v.get("factor"), (int, float)):
+                return float(v["factor"])
+    if isinstance(waf, (int, float)):
+        return float(waf)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# load
+
+
+def _clean(obj):
+    """Drop inert stubs recursively; keep plain data."""
+    if is_inert(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: _clean(v) for k, v in obj.items() if not is_inert(v)}
+    return obj
+
+
+def load_reference_pack(path: str, load_components: bool = True
+                        ) -> Tuple[CdbModel, VocabModel, EngineConfig, dict]:
+    """Load a MedCAT model pack (dir or .zip) into engine models.
+
+    Returns ``(cdb, vocab, config, components)`` where ``components``
+    maps meta-task names to loaded :class:`LstmMetaModel` heads (plus a
+    ``_skipped`` list naming subdirs that could not be loaded).
+    """
+    if path.endswith(".zip"):
+        out_dir = tempfile.mkdtemp(prefix="ref_pack_")
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(out_dir)
+        path = out_dir
+        # a zip created from the pack FOLDER may nest one level
+        entries = os.listdir(path)
+        if "cdb.dat" not in entries and len(entries) == 1:
+            path = os.path.join(path, entries[0])
+
+    cfg_path = os.path.join(path, "config.json")
+    ref_cfg = _read_json(cfg_path) if os.path.exists(cfg_path) else {}
+    cfg = engine_config_from_reference(ref_cfg)
+
+    # --- cdb.dat main part (tolerant unpickle) ---
+    main = tolerant_pickle_load(os.path.join(path, "cdb.dat"))
+    if not isinstance(main, dict):
+        raise ValueError("cdb.dat did not unpickle to a dict — unsupported "
+                         "legacy format")
+    if "cdb_main" in main:
+        cdb_main = main["cdb_main"]
+        json_split = True
+    elif "cdb" in main:
+        cdb_main = main["cdb"]
+        json_split = False
+    else:  # very old: attrs at top level
+        cdb_main = main
+        json_split = os.path.exists(os.path.join(path, "cui2names.json"))
+
+    # embedded old-style config takes effect only if no config.json
+    if not ref_cfg and isinstance(cdb_main.get("config"), dict):
+        cfg = engine_config_from_reference(cdb_main["config"])
+
+    spec: Dict[str, object] = {}
+    for name in SPECIALITY_NAMES:
+        jp = os.path.join(path, f"{name}.json")
+        if json_split and os.path.exists(jp):
+            spec[name] = _read_json(jp)
+        elif name in cdb_main:
+            spec[name] = _clean(cdb_main[name])
+        else:
+            spec[name] = {} if name != "snames" else set()
+
+    cdb = CdbModel()
+    cdb.name2cuis = {k: list(v) for k, v in (spec["name2cuis"] or {}).items()}
+    cdb.name2cuis2status = {k: dict(v) for k, v
+                            in (spec["name2cuis2status"] or {}).items()}
+    cdb.snames = set(spec["snames"] or ())
+    cdb.cui2names = {k: set(v) for k, v in (spec["cui2names"] or {}).items()}
+    cdb.cui2snames = {k: set(v) for k, v
+                      in (spec["cui2snames"] or {}).items()}
+    cdb.cui2type_ids = {k: set(v) for k, v
+                        in (spec["cui2type_ids"] or {}).items()}
+    cdb.name_isupper = dict(spec["name_isupper"] or {})
+    addl = spec["addl_info"] or {}
+    for key in ("cui2group", "cui2icd10", "cui2ontologies",
+                "cui2description", "cui2original_names"):
+        if key in addl and addl[key]:
+            cdb.addl_info[key] = _clean(addl[key])
+
+    cdb.cui2preferred_name = _clean(cdb_main.get("cui2preferred_name")) or {}
+    cdb.cui2count_train = _clean(cdb_main.get("cui2count_train")) or {}
+    cdb.cui2average_confidence = _clean(
+        cdb_main.get("cui2average_confidence")) or {}
+    cdb.vocab = _clean(cdb_main.get("vocab")) or {}
+    cvs = cdb_main.get("cui2context_vectors") or {}
+    for cui, per_type in cvs.items():
+        if is_inert(per_type) or not isinstance(per_type, dict):
+            continue
+        clean = {ct: np.asarray(v, dtype=np.float64)
+                 for ct, v in per_type.items()
+                 if isinstance(v, np.ndarray) or (
+                     not is_inert(v) and np.ndim(v) == 1)}
+        if clean:
+            cdb.cui2context_vectors[cui] = clean
+    cdb.weighted_average_factor = cfg.weighted_average_factor
+
+    # --- vocab.dat ---
+    vocab = VocabModel()
+    vpath = os.path.join(path, "vocab.dat")
+    if os.path.exists(vpath):
+        vd = tolerant_pickle_load(vpath)
+        words = vd.get("vocab", {}) if isinstance(vd, dict) else {}
+        for word, info in words.items():
+            if is_inert(info) or not isinstance(info, dict):
+                continue
+            vec = info.get("vec")
+            if vec is not None and not isinstance(vec, np.ndarray):
+                vec = None if is_inert(vec) else np.asarray(
+                    vec, dtype=np.float64)
+            vocab.add(word, int(info.get("cnt", 1)), vec)
+        vocab.make_unigram_table()
+
+    components: dict = {"_skipped": []}
+    if load_components:
+        for entry in sorted(os.listdir(path)):
+            sub = os.path.join(path, entry)
+            if not os.path.isdir(sub):
+                continue
+            if entry.startswith("meta_"):
+                try:
+                    components[entry[len("meta_"):]] = _load_meta_component(sub)
+                except Exception as exc:  # noqa: BLE001 — skip, report
+                    components["_skipped"].append((entry, str(exc)))
+            elif entry.startswith(("trf_", "rel_")):
+                components["_skipped"].append(
+                    (entry, "transformer weights: load via torch_pickle."
+                            "read_state_dict; no numpy head for this "
+                            "architecture"))
+    return cdb, vocab, cfg, components
+
+
+def _load_meta_component(sub: str):
+    """meta_<name>/ -> LstmMetaModel (config.json + model.dat +
+    bbpe-vocab.json token map)."""
+    from medcat_spark.functions.lstm_meta import LstmMetaModel
+    with open(os.path.join(sub, "config.json")) as f:
+        mc = json.load(f, object_hook=_ref_hook)
+    g = mc.get("general", {}) or {}
+    model_cfg = mc.get("model", {}) or {}
+    val2id = g.get("category_value2id") or {}
+    labels = [v for v, _ in sorted(val2id.items(), key=lambda kv: kv[1])]
+    token2id: Dict[str, int] = {}
+    for cand in ("bbpe-vocab.json", "vocab.json", "bert-tokenizer-vocab.json"):
+        vp = os.path.join(sub, cand)
+        if os.path.exists(vp):
+            with open(vp) as f:
+                token2id = {str(k): int(v) for k, v in json.load(f).items()}
+            break
+    sd = read_state_dict(os.path.join(sub, "model.dat"))
+    pad = model_cfg.get("padding_idx", 0)
+    if pad in (None, -1):
+        pad = 0
+    unk = token2id.get("<unk>", token2id.get("[UNK]", pad))
+    return LstmMetaModel.from_state_dict(
+        sd, labels or ["0", "1"], token2id, pad_id=int(pad), unk_id=int(unk),
+        cntx_left=int(g.get("cntx_left", 15)),
+        cntx_right=int(g.get("cntx_right", 10)))
+
+
+# ---------------------------------------------------------------------------
+# write (reference layout) — fixture generator AND exporter
+
+
+def reference_config_dict(cfg: EngineConfig) -> dict:
+    """Our config in the reference's nested JSON shape."""
+    return {
+        "general": {
+            "separator": cfg.separator,
+            "spell_check": cfg.spell_check,
+            "spell_check_deep": cfg.spell_check_deep,
+            "spell_check_len_limit": cfg.spell_check_len_limit,
+            "diacritics": cfg.diacritics,
+            "spacy_model": "en_core_web_md",
+        },
+        "preprocessing": {
+            "words_to_skip": set(cfg.words_to_skip),
+            "keep_punct": set(cfg.keep_punct),
+            "do_not_normalize": set(cfg.do_not_normalize),
+            "skip_stopwords": cfg.skip_stopwords,
+            "min_len_normalize": cfg.min_len_normalize,
+            "max_document_length": cfg.max_document_length,
+            "stopwords": (set(cfg.stopwords)
+                          if cfg.stopwords is not None else None),
+        },
+        "ner": {
+            "min_name_len": cfg.min_name_len,
+            "max_skip_tokens": cfg.max_skip_tokens,
+            "upper_case_limit_len": cfg.upper_case_limit_len,
+            "check_upper_case_names": cfg.check_upper_case_names,
+            "try_reverse_word_order": cfg.try_reverse_word_order,
+        },
+        "linking": {
+            "context_vector_sizes": dict(cfg.context_vector_sizes),
+            "context_vector_weights": dict(cfg.context_vector_weights),
+            "context_ignore_center_tokens": cfg.context_ignore_center_tokens,
+            "disamb_length_limit": cfg.disamb_length_limit,
+            "filter_before_disamb": cfg.filter_before_disamb,
+            "train_count_threshold": cfg.train_count_threshold,
+            "always_calculate_similarity": cfg.always_calculate_similarity,
+            "similarity_threshold_type": cfg.similarity_threshold_type,
+            "similarity_threshold": cfg.similarity_threshold,
+            "prefer_primary_name": cfg.prefer_primary_name,
+            "prefer_frequent_concepts": cfg.prefer_frequent_concepts,
+            "random_replacement_unsupervised":
+                cfg.random_replacement_unsupervised,
+            "negative_probability": cfg.negative_probability,
+            "negative_ignore_punct_and_num":
+                cfg.negative_ignore_punct_and_num,
+            "filters": {"cuis": set(cfg.filter_cuis)},
+            "optim": {"type": cfg.optim_type, "base_lr": cfg.optim_base_lr,
+                      "min_lr": cfg.optim_min_lr},
+            "weighted_average_function": {
+                "factor": cfg.weighted_average_factor},
+        },
+        "cdb_maker": {
+            "name_versions": list(cfg.name_versions),
+            "multi_separator": cfg.multi_separator,
+            "min_letters_required": cfg.min_letters_required,
+            "remove_parenthesis": cfg.remove_parenthesis,
+        },
+        "version": {"id": "medcat-spark-export"},
+    }
+
+
+def write_reference_layout_pack(path: str, cdb: CdbModel, vocab: VocabModel,
+                                cfg: Optional[EngineConfig] = None,
+                                as_zip: bool = False) -> str:
+    """Write our model in the reference's JSON-split pack layout.
+
+    The .dat files are PLAIN pickle (dill — which the reference uses to
+    read them — accepts plain pickles), so real MedCAT can load the
+    result; also the round-trip fixture for :func:`load_reference_pack`.
+    """
+    cfg = cfg or EngineConfig()
+    os.makedirs(path, exist_ok=True)
+
+    spec = {
+        "cui2names": {c: set(v) for c, v in cdb.cui2names.items()},
+        "cui2snames": {c: set(v) for c, v in cdb.cui2snames.items()},
+        "cui2type_ids": {c: set(v) for c, v in cdb.cui2type_ids.items()},
+        "name2cuis": dict(cdb.name2cuis),
+        "name2cuis2status": dict(cdb.name2cuis2status),
+        "name_isupper": dict(cdb.name_isupper),
+        "snames": set(cdb.snames),
+        "addl_info": dict(cdb.addl_info),
+    }
+    for name, obj in spec.items():
+        with open(os.path.join(path, f"{name}.json"), "w") as f:
+            json.dump(_encode_sets(obj), f)
+
+    cdb_main = {
+        "cui2context_vectors": {
+            c: {ct: np.asarray(v) for ct, v in per.items()}
+            for c, per in cdb.cui2context_vectors.items()},
+        "cui2count_train": dict(cdb.cui2count_train),
+        "cui2info": {},
+        "cui2tags": {},
+        "cui2preferred_name": dict(cdb.cui2preferred_name),
+        "cui2average_confidence": dict(cdb.cui2average_confidence),
+        "name2count_train": {},
+        "vocab": dict(cdb.vocab),
+        "_optim_params": None,
+        "is_dirty": False,
+    }
+    with open(os.path.join(path, "cdb.dat"), "wb") as f:
+        pickle.dump({"cdb_main": cdb_main}, f, protocol=4)
+
+    vd = {"vocab": {}, "index2word": {}, "vec_index2word": {},
+          "cum_probs": np.array([])}
+    for ind, word in enumerate(sorted(vocab.word2cnt)):
+        vec = vocab.vec(word)
+        vd["vocab"][word] = {
+            "vec": None if vec is None else np.asarray(vec),
+            "cnt": int(vocab.word2cnt[word]), "ind": ind}
+        vd["index2word"][ind] = word
+        if vec is not None:
+            vd["vec_index2word"][ind] = word
+    with open(os.path.join(path, "vocab.dat"), "wb") as f:
+        pickle.dump(vd, f, protocol=4)
+
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(_encode_sets(reference_config_dict(cfg)), f)
+    with open(os.path.join(path, "model_card.json"), "w") as f:
+        json.dump({"Model ID": "medcat-spark-export",
+                   "Description": "exported by medcat_spark"}, f)
+
+    if as_zip:
+        zpath = path.rstrip("/") + ".zip"
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, path))
+        return zpath
+    return path
+
+
+def write_reference_meta_component(path: str, model, category_name: str,
+                                   tokenizer_name: str = "bbpe") -> str:
+    """Write an LstmMetaModel as a reference ``meta_<name>/`` dir
+    (config.json + torch-format model.dat + bbpe-vocab.json)."""
+    from medcat_spark.sources.torch_pickle import write_state_dict
+    os.makedirs(path, exist_ok=True)
+    H = model.layers[0][0].H
+    ndir = 2 if model.layers[0][1] is not None else 1
+    mc = {
+        "general": {
+            "category_name": category_name,
+            "category_value2id": {v: i for i, v in enumerate(model.labels)},
+            "cntx_left": model.cntx_left,
+            "cntx_right": model.cntx_right,
+            "tokenizer_name": tokenizer_name,
+            "vocab_size": int(model.E.shape[0]),
+            "lowercase": True,
+        },
+        "model": {
+            "model_name": "lstm",
+            "num_layers": len(model.layers),
+            "input_size": int(model.E.shape[1]),
+            "hidden_size": H * ndir,
+            "num_directions": ndir,
+            "nclasses": len(model.labels),
+            "padding_idx": model.pad_id,
+            "emb_grad": True,
+            "dropout": 0.5,
+        },
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(mc, f)
+    with open(os.path.join(path, f"{tokenizer_name}-vocab.json"), "w") as f:
+        json.dump(model.token2id, f)
+    write_state_dict(os.path.join(path, "model.dat"),
+                     model.export_state_dict())
+    return path
