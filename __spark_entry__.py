@@ -243,6 +243,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for c, st in sorted(cdb2.name2cuis2status[n].items())]
         return s.createDataFrame(rows, "name string, cui string, status string")
     q["pack_import_names"] = _pack_import
+
+    # --- patient concept streams (reference datasets/
+    #     patient_concept_stream.py:81-96): annotations + patient/time
+    #     metadata -> per-patient time-ordered concept stream with age
+    #     markers injected on increase.  Patient/ts/age derive
+    #     deterministically from doc_id so the oracle recomputes them.
+    def _pt_stream(s, d):
+        from medcat_spark.functions.timeline import (patient_concept_streams,
+                                                     patient_stream_tokens)
+        ann = _uni_ann(s, d)
+        num = F.col("doc_id").cast("long")
+        meta = (demo.load_docs(s, d).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(F.lit("P"), (num % 40).cast("string"))
+            .alias("patient_id"),
+            (num % 1000).cast("int").alias("ts"),
+            (F.lit(30) + F.floor((num % 1000) / F.lit(365)).cast("int"))
+            .alias("age")))
+        st = patient_concept_streams(ann, meta)
+        return (patient_stream_tokens(st)
+                .select("patient_id",
+                        F.array_join("stream_tokens", " ").alias("stream"),
+                        F.size("stream_tokens").alias("n_tokens")))
+    q["patient_concept_stream"] = _pt_stream
     q["cdb_token_counts"] = lambda s, d: _cdb_demo_tables(s)["token_counts"]
 
     def _subset(s, d):
@@ -834,6 +858,30 @@ SELECT name, cui,
        CASE WHEN MAX(CASE WHEN status = 'P' THEN 1 ELSE 0 END) = 1
             THEN 'P' ELSE arg_min(status, row_id) END AS status
 FROM nm GROUP BY name, cui
+"""
+
+    o["patient_concept_stream"] = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT t.doc_id, d.cui FROM tokn t JOIN {_UNI_DICT_SQL}
+      ON t.tok = d.name),
+meta AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                'P' || CAST(doc_id % 40 AS VARCHAR) AS patient_id,
+                CAST(doc_id % 1000 AS INT) AS ts,
+                30 + CAST(FLOOR((doc_id % 1000) / 365.0) AS INT) AS age
+         FROM documents),
+per AS (SELECT patient_id, cui, COUNT(*) AS cnt, MIN(ts) AS first_ts,
+               arg_min(age, ts) AS age
+        FROM m JOIN meta USING (doc_id) GROUP BY 1, 2),
+ord AS (SELECT *, CASE WHEN age > COALESCE(MAX(age) OVER (
+                PARTITION BY patient_id ORDER BY first_ts, cui
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN [CAST(age AS VARCHAR), cui] ELSE [cui] END AS toks
+        FROM per),
+agg AS (SELECT patient_id, flatten(list(toks ORDER BY first_ts, cui)) AS arr
+        FROM ord GROUP BY 1)
+SELECT patient_id, array_to_string(arr, ' ') AS stream,
+       CAST(len(arr) AS INT) AS n_tokens
+FROM agg
 """
 
     o["cdb_snames"] = f"""

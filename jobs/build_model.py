@@ -78,11 +78,10 @@ def main(argv=None):
         vecs = build_vocab_word2vec(docs, dim=args.vec_dim,
                                     min_count=args.min_count)
         joined = counts.join(vecs, "word", "left")
-    vocab = VocabModel()
-    for r in joined.collect():  # vocab is model-sized (~800k words at UMLS)
-        import numpy as np
-        vocab.add(r["word"], int(r["cnt"]),
-                  None if r["vec"] is None else np.asarray(r["vec"]))
+    # model-sized (~800k words at UMLS): fetch as ONE Arrow table and
+    # slice vectors out of the flat buffer — no per-Row Python loop
+    from medcat_spark.cdb_build import collect_vocab_model_arrow
+    vocab = collect_vocab_model_arrow(joined)
     vocab.make_unigram_table()
 
     # 3 + 4. unsupervised training, distributed pack write

@@ -43,6 +43,26 @@ def test_vocab_tsv_source(spark, tmp_path):
     assert "catty" in vm
 
 
+def test_vocab_arrow_collect_matches_row_collect(spark, tmp_path):
+    """collect_vocab_model_arrow (the build_model.py path) produces the
+    same model as the Row loop — float32 TSV vectors upcast identically."""
+    from medcat_spark.cdb_build import collect_vocab_model_arrow
+    p = tmp_path / "vocab.dat"
+    lines = ["house\t34444\t0.3232 0.123213 1.231231",
+             "dog\t14444\t0.76762 0.76767 0.45454",
+             "catty\t7"]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_vocab_tsv(spark, str(p))
+    a, b = collect_vocab_model(df), collect_vocab_model_arrow(df)
+    assert a.word2cnt == b.word2cnt
+    for w in a.word2cnt:
+        va, vb = a.vec(w), b.vec(w)
+        assert (va is None) == (vb is None)
+        if va is not None:
+            np.testing.assert_array_equal(np.asarray(va, dtype=np.float64),
+                                          vb)
+
+
 @pytest.fixture(scope="module")
 def mct_path(tmp_path_factory, fixture_models):
     """MCT export whose gold = the exact kernel's own output on two docs,
