@@ -59,6 +59,13 @@ _IRREGULAR = {
     # s-final adverbs/function words (grown from tools/lemma_divergence)
     "sometimes": "sometimes", "always": "always", "perhaps": "perhaps",
     "besides": "besides", "towards": "towards", "whereas": "whereas",
+    # unambiguous -ves plurals (spacy-lookups-data en_lemma_exc noun;
+    # grown from the r4 open-vocab divergence run — the suffix rule
+    # alone would emit 'wive'/'knive'/...)
+    "wives": "wife", "knives": "knife", "shelves": "shelf",
+    "calves": "calf", "halves": "half", "selves": "self",
+    "thieves": "thief", "wolves": "wolf", "scarves": "scarf",
+    "hooves": "hoof", "loaves": "loaf", "elves": "elf",
 }
 
 _KEEP_SUFFIX = ("ss", "us", "is", "ous")  # never strip plain trailing 's'
@@ -133,6 +140,14 @@ _ED_IRREGULAR = {
 
 _DOUBLED = frozenset("bdgmnprt")  # runn→run; 'll'/'ss' are natural endings
 
+# bases that genuinely END in a doubled consonant: suffix stripping must
+# NOT undouble them (add+ed='added', not 'ad'+ded; grown from the r4
+# open-vocab divergence run — spaCy resolves this class via its lemma
+# index, we enumerate the common bases)
+_DOUBLE_FINAL_BASES = frozenset({
+    "add", "odd", "err", "ebb", "egg", "inn", "putt", "butt", "purr",
+    "burr", "whirr"})
+
 
 def tag_lite(lower: str) -> Optional[str]:
     """Suffix-based POS guess; only the tags ``do_not_normalize`` can
@@ -155,7 +170,8 @@ def _strip_ing(w: str) -> str:
     if w in _ING_IRREGULAR:
         return _ING_IRREGULAR[w]
     stem = w[:-3]
-    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED:
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED \
+            and stem not in _DOUBLE_FINAL_BASES:
         return stem[:-1]
     return stem
 
@@ -166,7 +182,8 @@ def _strip_ed(w: str) -> str:
     if len(w) > 4 and w.endswith("ied"):
         return w[:-3] + "y"
     stem = w[:-2]
-    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED:
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _DOUBLED \
+            and stem not in _DOUBLE_FINAL_BASES:
         return stem[:-1]
     return stem
 
