@@ -95,6 +95,14 @@ def run(spark) -> dict:
     timed("q14_meta_mlp",
           lambda: meta_annotations_mlp(ann, docs, bcmlp).count())
 
+    # q16: REAL LSTM meta head ingested from a torch-format checkpoint
+    # (pure-numpy reader + packed-sequence LSTM forward; round 4)
+    from medcat_spark.functions.lstm_meta import (lstm_fixture_model,
+                                                  meta_annotations_lstm)
+    bclstm = spark.sparkContext.broadcast(lstm_fixture_model())
+    timed("q16_meta_lstm",
+          lambda: meta_annotations_lstm(ann, docs, bclstm).count())
+
     # q12: RelCAT-analogue entity-pair classifier
     from medcat_spark.functions.rel_model import (relation_fixture_model,
                                                   relations_model)

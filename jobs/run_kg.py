@@ -40,11 +40,11 @@ def main(argv=None):
     from medcat_spark.checkpoint import read_annotations, resumable_annotate
     from medcat_spark.pipeline import broadcast_model
     from medcat_spark.session import get_spark
-    from medcat_spark.sources.model_pack import load_model_pack
+    from medcat_spark.sources.model_pack import load_any_pack
     from medcat_spark.triples import cooccurrence_triples, mention_triples
 
     spark = get_spark("medcat-spark-kg", master=args.master)
-    cdb, vocab, cfg = load_model_pack(args.model_pack)
+    cdb, vocab, cfg = load_any_pack(args.model_pack)
     bc = broadcast_model(spark, cdb, vocab, cfg)
     docs = spark.read.parquet(args.docs)
 

@@ -42,10 +42,10 @@ def main(argv=None):
     from medcat_spark.session import get_spark
     from medcat_spark.sources.mct_export import (documents_from_mct,
                                                  read_mct_export)
-    from medcat_spark.sources.model_pack import load_model_pack
+    from medcat_spark.sources.model_pack import load_any_pack
 
     spark = get_spark("medcat-spark-train", master=args.master)
-    cdb, vocab, cfg = load_model_pack(args.model_pack)
+    cdb, vocab, cfg = load_any_pack(args.model_pack)
     mct = read_mct_export(spark, args.mct).cache()
 
     # killed annotations unlink the name from the concept (cat.py:693-728)

@@ -33,10 +33,10 @@ def main(argv=None):
                                         train_unsupervised_spark)
     from medcat_spark.pipeline import broadcast_model
     from medcat_spark.session import get_spark
-    from medcat_spark.sources.model_pack import load_model_pack
+    from medcat_spark.sources.model_pack import load_any_pack
 
     spark = get_spark("medcat-spark-train-unsup", master=args.master)
-    cdb, vocab, cfg = load_model_pack(args.model_pack)
+    cdb, vocab, cfg = load_any_pack(args.model_pack)
     docs = spark.read.parquet(args.docs)
     if "spans" in docs.columns and "text" not in docs.columns:
         docs = docs.select(

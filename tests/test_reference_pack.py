@@ -189,6 +189,27 @@ def test_meta_component_round_trip(tmp_path):
     assert m.predict_batch(wins, cents) == m2.predict_batch(wins, cents)
 
 
+def test_load_any_pack_dispatch(models, ref_pack, tmp_path):
+    """The job surface (run_kg --model-pack) accepts BOTH layouts."""
+    from medcat_spark.config import EngineConfig as EC
+    from medcat_spark.sources.model_pack import (load_any_pack,
+                                                 save_model_pack)
+    cdb, vocab = models
+    # reference layout (dir)
+    c1, _v1, _ = load_any_pack(ref_pack)
+    assert c1.name2cuis == cdb.name2cuis
+    # native columnar layout
+    native = str(tmp_path / "native")
+    save_model_pack(native, cdb, vocab, EC())
+    c2, _v2, _ = load_any_pack(native)
+    assert c2.name2cuis == cdb.name2cuis
+    # reference layout (zip)
+    zpath = write_reference_layout_pack(str(tmp_path / "zp"), cdb, vocab,
+                                        EC(), as_zip=True)
+    c3, _v3, _ = load_any_pack(zpath)
+    assert c3.name2cuis == cdb.name2cuis
+
+
 def test_engine_config_mapping_round_trip():
     """reference_config_dict ∘ engine_config_from_reference == identity
     (via the reference's JSON set/pattern encoding)."""
