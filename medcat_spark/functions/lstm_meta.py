@@ -96,7 +96,8 @@ class LstmMetaModel:
                  fc_W: np.ndarray, fc_b: np.ndarray,
                  pad_id: int = 0, unk_id: int = 1,
                  cntx_left: int = CNTX_LEFT,
-                 cntx_right: int = CNTX_RIGHT) -> None:
+                 cntx_right: int = CNTX_RIGHT,
+                 tokenizer=None) -> None:
         self.labels = labels
         self.token2id = token2id
         self.E = E.astype(np.float64)                # (V, D)
@@ -107,6 +108,12 @@ class LstmMetaModel:
         self.unk_id = unk_id
         self.cntx_left = cntx_left
         self.cntx_right = cntx_right
+        # optional BbpeTokenizer: when set, the scorer works in TOKEN
+        # space exactly like the reference (document tokenized once,
+        # entity centers located via char offsets —
+        # utils/meta_cat/data_utils.py prepare_document); when None,
+        # whitespace tokens are mapped through token2id.
+        self.tokenizer = tokenizer
 
     @classmethod
     def from_state_dict(cls, sd: Dict[str, np.ndarray], labels: List[str],
@@ -196,11 +203,47 @@ class LstmMetaModel:
         for ofs in range(0, len(windows), self.MAX_FORWARD_BATCH):
             lg = self.forward_windows(windows[ofs:ofs + self.MAX_FORWARD_BATCH],
                                       centers[ofs:ofs + self.MAX_FORWARD_BATCH])
-            best = lg.argmax(axis=1)
-            e = np.exp(lg - lg.max(axis=1, keepdims=True))
-            conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
-            out.extend((self.labels[i], round(float(c), 4))
-                       for i, c in zip(best, conf))
+            out.extend(self._decide(lg))
+        return out
+
+    def _decide(self, lg: np.ndarray):
+        best = lg.argmax(axis=1)
+        e = np.exp(lg - lg.max(axis=1, keepdims=True))
+        conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
+        return [(self.labels[i], round(float(c), 4))
+                for i, c in zip(best, conf)]
+
+    # -- token-id path (BBPE token space, reference semantics) ----------
+    def forward_id_windows(self, id_windows: Sequence[Sequence[int]],
+                           centers: Sequence[Tuple[int, int]]) -> np.ndarray:
+        B = len(id_windows)
+        L = max((len(w) for w in id_windows), default=1) or 1
+        ids = np.full((B, L), self.pad_id, dtype=np.int64)
+        mask = np.zeros((B, L))
+        V = self.E.shape[0]
+        for r, w in enumerate(id_windows):
+            for cpos, tid in enumerate(w):
+                ids[r, cpos] = tid if 0 <= tid < V else self.unk_id
+                mask[r, cpos] = 1.0
+        X = self.E[ids]
+        for fwd, bwd in self.layers:
+            outs = [_run_direction(X, mask, fwd, reverse=False)]
+            if bwd is not None:
+                outs.append(_run_direction(X, mask, bwd, reverse=True))
+            X = np.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+        pooled = np.empty((B, X.shape[2]))
+        for b, (cf, cl) in enumerate(centers):
+            pooled[b] = X[b, cf:cl + 1].max(axis=0)
+        return pooled @ self.fc_W.T + self.fc_b
+
+    def predict_batch_ids(self, id_windows: Sequence[Sequence[int]],
+                          centers: Sequence[Tuple[int, int]]):
+        out: List[Tuple[str, float]] = []
+        for ofs in range(0, len(id_windows), self.MAX_FORWARD_BATCH):
+            lg = self.forward_id_windows(
+                id_windows[ofs:ofs + self.MAX_FORWARD_BATCH],
+                centers[ofs:ofs + self.MAX_FORWARD_BATCH])
+            out.extend(self._decide(lg))
         return out
 
 
@@ -216,6 +259,9 @@ def _score_batches_lstm(bc, meta_name: str):
             model = bc.value
             _META_CACHE[key] = model
         from bisect import bisect_right
+        if model.tokenizer is not None:
+            yield from _score_token_space(model, meta_name, batches)
+            return
         for pdf in batches:
             rows_meta: List[Tuple[str, int, str]] = []
             windows: List[List[str]] = []
@@ -254,6 +300,52 @@ def _score_batches_lstm(bc, meta_name: str):
                 "value": [p[0] for p in preds],
                 "confidence": [p[1] for p in preds]})
     return fn
+
+
+def _score_token_space(model: LstmMetaModel, meta_name: str,
+                       batches: Iterator[pd.DataFrame]):
+    """Reference semantics with a real BBPE tokenizer: the document is
+    tokenized ONCE (ids + char offsets), entity centers are located by
+    char-span overlap, windows are slices in TOKEN space
+    (utils/meta_cat/data_utils.py:80-115 prepare_document)."""
+    from bisect import bisect_right
+    tok = model.tokenizer
+    for pdf in batches:
+        rows_meta: List[Tuple[str, int, str]] = []
+        id_windows: List[List[int]] = []
+        centers: List[Tuple[int, int]] = []
+        for row in pdf.itertuples(index=False):
+            ids, spans = tok.encode_with_offsets(row.text or "")
+            if not ids:
+                continue
+            tok_starts = [s for s, _e in spans]
+            for ent in row.ents:
+                start = int(ent["start"])
+                end = ent.get("end")
+                if end is None or end != end:
+                    end = start + 1
+                # first token whose span covers `start`; last token
+                # beginning before `end`
+                cf = bisect_right(tok_starts, start) - 1
+                if cf < 0 or spans[cf][1] <= start:
+                    continue
+                cl = bisect_right(tok_starts, int(end) - 1) - 1
+                cl = max(cf, cl)
+                lo = max(0, cf - model.cntx_left)
+                hi = min(len(ids), cl + 1 + model.cntx_right)
+                rows_meta.append((str(row.doc_id), start, ent["cui"]))
+                id_windows.append(ids[lo:hi])
+                centers.append((cf - lo, cl - lo))
+        if not rows_meta:
+            continue
+        preds = model.predict_batch_ids(id_windows, centers)
+        yield pd.DataFrame({
+            "doc_id": [r[0] for r in rows_meta],
+            "start": [r[1] for r in rows_meta],
+            "cui": [r[2] for r in rows_meta],
+            "meta_name": meta_name,
+            "value": [p[0] for p in preds],
+            "confidence": [p[1] for p in preds]})
 
 
 def meta_annotations_lstm(ann: DataFrame, docs: DataFrame, bc,

@@ -348,22 +348,34 @@ def _load_meta_component(sub: str):
     model_cfg = mc.get("model", {}) or {}
     val2id = g.get("category_value2id") or {}
     labels = [v for v, _ in sorted(val2id.items(), key=lambda kv: kv[1])]
+    tokenizer = None
     token2id: Dict[str, int] = {}
-    for cand in ("bbpe-vocab.json", "vocab.json", "bert-tokenizer-vocab.json"):
-        vp = os.path.join(sub, cand)
-        if os.path.exists(vp):
-            with open(vp) as f:
-                token2id = {str(k): int(v) for k, v in json.load(f).items()}
-            break
+    if os.path.exists(os.path.join(sub, "bbpe-merges.txt")):
+        # full byte-level BPE: real subword segmentation of unseen text
+        from medcat_spark.core.bbpe import BbpeTokenizer
+        tokenizer = BbpeTokenizer.load(
+            sub, "bbpe", lowercase=bool(g.get("lowercase", True)))
+        token2id = tokenizer.vocab
+    else:
+        for cand in ("bbpe-vocab.json", "vocab.json",
+                     "bert-tokenizer-vocab.json"):
+            vp = os.path.join(sub, cand)
+            if os.path.exists(vp):
+                with open(vp) as f:
+                    token2id = {str(k): int(v)
+                                for k, v in json.load(f).items()}
+                break
     sd = read_state_dict(os.path.join(sub, "model.dat"))
     pad = model_cfg.get("padding_idx", 0)
     if pad in (None, -1):
         pad = 0
     unk = token2id.get("<unk>", token2id.get("[UNK]", pad))
-    return LstmMetaModel.from_state_dict(
+    m = LstmMetaModel.from_state_dict(
         sd, labels or ["0", "1"], token2id, pad_id=int(pad), unk_id=int(unk),
         cntx_left=int(g.get("cntx_left", 15)),
         cntx_right=int(g.get("cntx_right", 10)))
+    m.tokenizer = tokenizer
+    return m
 
 
 # ---------------------------------------------------------------------------
@@ -536,8 +548,12 @@ def write_reference_meta_component(path: str, model, category_name: str,
     }
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(mc, f)
-    with open(os.path.join(path, f"{tokenizer_name}-vocab.json"), "w") as f:
-        json.dump(model.token2id, f)
+    if getattr(model, "tokenizer", None) is not None:
+        model.tokenizer.save(path, tokenizer_name)
+    else:
+        with open(os.path.join(path, f"{tokenizer_name}-vocab.json"),
+                  "w") as f:
+            json.dump(model.token2id, f)
     write_state_dict(os.path.join(path, "model.dat"),
                      model.export_state_dict())
     return path
