@@ -556,6 +556,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return meta_annotations_lstm(ann, docs, bc)
     q["meta_lstm_torch"] = _meta_lstm
 
+    # --- REAL BERT relation extraction (reference rel_cat
+    #     BertModel_RelationExtraction, models.py:84-223): HF-layout
+    #     checkpoint through the numpy torch reader, marked sequences
+    #     [s1]ent1[e1]..[s2]ent2[e2] via BBPE, multi-head attention
+    #     forward, CLS+e1+e2 pooled head.  Rows-only (a transformer
+    #     forward is not SQL-expressible; parity is pytest-proven
+    #     against an independent per-head implementation).
+    def _kg_rel_bert(s, d):
+        from medcat_spark.functions.bert_np import (
+            relcat_bert_fixture_model, relations_bert)
+        bc = s.sparkContext.broadcast(relcat_bert_fixture_model())
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        rel = relations_bert(_uni_ann(s, d), docs, bc)
+        return (rel.groupBy("relation")
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.round(F.avg("confidence"), 4).alias("avg_conf")))
+    q["kg_relations_bert"] = _kg_rel_bert
+
     # --- RelCAT analogue: trained entity-pair relation classifier →
     #     (subj, pred, obj) relation triples (reference rel_cat.py:551-613;
     #     dict shape rel_cat.py:596-609)

@@ -1,0 +1,432 @@
+"""Pure-numpy BERT encoder consuming HuggingFace-layout state dicts —
+upgrades the RelCAT / TransformersNER analogues from "torch-shaped
+plumbing" to the REAL architecture, env-limited only by where the
+weights come from.
+
+The reference's RelCAT wraps ``transformers.BertModel`` and pools
+entity-marker hidden states through three dense layers
+(/root/reference/medcat/utils/relation_extraction/models.py:84-223,
+ml_utils.py:233-240); TransformersNER is a token-classification head on
+the same encoder.  This module implements the BERT forward pass from
+the published architecture (Devlin et al. 2018; HF parameter naming)
+in numpy, loading weights through sources/torch_pickle.py — so a real
+``model.dat`` / ``pytorch_model.bin`` runs with no torch installed.
+
+Implemented exactly as BERT-base defines them:
+  * embeddings = word + position + token_type, then LayerNorm
+  * per layer: multi-head self-attention (additive -1e4 mask like HF),
+    residual + LayerNorm, GELU (erf-exact) intermediate, output
+    projection, residual + LayerNorm
+  * pooler = tanh(dense(CLS))
+
+Numerics: float64 throughout (torch runs float32); parity asserted
+against an independently-written per-example implementation in tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_erf = np.frompyfunc(math.erf, 1, 1)
+
+
+def gelu(x: np.ndarray) -> np.ndarray:
+    """Exact (erf) GELU — the HF 'gelu' act BERT defaults to."""
+    return 0.5 * x * (1.0 + _erf(x / math.sqrt(2.0)).astype(np.float64))
+
+
+def layer_norm(x: np.ndarray, w: np.ndarray, b: np.ndarray,
+               eps: float = 1e-12) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+class BertLayer:
+    def __init__(self, p: Dict[str, np.ndarray], n_heads: int) -> None:
+        self.q_w, self.q_b = p["attention.self.query.weight"], \
+            p["attention.self.query.bias"]
+        self.k_w, self.k_b = p["attention.self.key.weight"], \
+            p["attention.self.key.bias"]
+        self.v_w, self.v_b = p["attention.self.value.weight"], \
+            p["attention.self.value.bias"]
+        self.ao_w, self.ao_b = p["attention.output.dense.weight"], \
+            p["attention.output.dense.bias"]
+        self.aln_w, self.aln_b = p["attention.output.LayerNorm.weight"], \
+            p["attention.output.LayerNorm.bias"]
+        self.i_w, self.i_b = p["intermediate.dense.weight"], \
+            p["intermediate.dense.bias"]
+        self.o_w, self.o_b = p["output.dense.weight"], p["output.dense.bias"]
+        self.oln_w, self.oln_b = p["output.LayerNorm.weight"], \
+            p["output.LayerNorm.bias"]
+        self.n_heads = n_heads
+
+    def forward(self, x: np.ndarray, ext_mask: np.ndarray) -> np.ndarray:
+        B, L, H = x.shape
+        nh = self.n_heads
+        dh = H // nh
+
+        def split(t):  # (B, L, H) -> (B, nh, L, dh)
+            return t.reshape(B, L, nh, dh).transpose(0, 2, 1, 3)
+
+        q = split(x @ self.q_w.T + self.q_b)
+        k = split(x @ self.k_w.T + self.k_b)
+        v = split(x @ self.v_w.T + self.v_b)
+        scores = q @ k.transpose(0, 1, 3, 2) / math.sqrt(dh)
+        scores = scores + ext_mask          # (B, 1, 1, L) additive
+        ctx = softmax(scores) @ v           # (B, nh, L, dh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
+        attn_out = layer_norm(ctx @ self.ao_w.T + self.ao_b + x,
+                              self.aln_w, self.aln_b)
+        inter = gelu(attn_out @ self.i_w.T + self.i_b)
+        return layer_norm(inter @ self.o_w.T + self.o_b + attn_out,
+                          self.oln_w, self.oln_b)
+
+
+class BertEncoder:
+    """HF ``BertModel`` forward in numpy (embeddings + N layers +
+    pooler).  ``from_state_dict`` accepts the standard HF key layout,
+    optionally under a prefix (RelCAT saves it under ``hf_model.``)."""
+
+    def __init__(self, emb: Dict[str, np.ndarray],
+                 layers: List[BertLayer],
+                 pooler_w: Optional[np.ndarray],
+                 pooler_b: Optional[np.ndarray],
+                 n_heads: int) -> None:
+        self.word = emb["word_embeddings.weight"]
+        self.pos = emb["position_embeddings.weight"]
+        self.ttype = emb["token_type_embeddings.weight"]
+        self.eln_w = emb["LayerNorm.weight"]
+        self.eln_b = emb["LayerNorm.bias"]
+        self.layers = layers
+        self.pooler_w = pooler_w
+        self.pooler_b = pooler_b
+        self.n_heads = n_heads
+
+    @classmethod
+    def from_state_dict(cls, sd: Dict[str, np.ndarray], n_heads: int,
+                        prefix: str = "") -> "BertEncoder":
+        f64 = {k[len(prefix):]: np.asarray(v, dtype=np.float64)
+               for k, v in sd.items() if k.startswith(prefix)}
+        # tolerate the optional "bert." nesting (BertForTokenClassification)
+        if not any(k.startswith("embeddings.") for k in f64) and \
+                any(k.startswith("bert.") for k in f64):
+            f64 = {k[len("bert."):]: v for k, v in f64.items()
+                   if k.startswith("bert.")}
+        emb = {k[len("embeddings."):]: v for k, v in f64.items()
+               if k.startswith("embeddings.")}
+        if "word_embeddings.weight" not in emb:
+            raise ValueError("state dict has no embeddings.word_embeddings"
+                             ".weight under prefix %r" % prefix)
+        layers: List[BertLayer] = []
+        i = 0
+        while f"encoder.layer.{i}.attention.self.query.weight" in f64:
+            p = {k[len(f"encoder.layer.{i}."):]: v for k, v in f64.items()
+                 if k.startswith(f"encoder.layer.{i}.")}
+            layers.append(BertLayer(p, n_heads))
+            i += 1
+        if not layers:
+            raise ValueError("state dict has no encoder.layer.0.*")
+        return cls(emb, layers, f64.get("pooler.dense.weight"),
+                   f64.get("pooler.dense.bias"), n_heads)
+
+    def forward(self, input_ids: np.ndarray,
+                attention_mask: Optional[np.ndarray] = None,
+                token_type_ids: Optional[np.ndarray] = None
+                ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """→ (sequence_output (B, L, H), pooled_output (B, H) or None)."""
+        ids = np.asarray(input_ids, dtype=np.int64)
+        B, L = ids.shape
+        if attention_mask is None:
+            attention_mask = np.ones((B, L))
+        if token_type_ids is None:
+            token_type_ids = np.zeros((B, L), dtype=np.int64)
+        x = (self.word[ids] + self.pos[np.arange(L)][None, :, :]
+             + self.ttype[np.asarray(token_type_ids, dtype=np.int64)])
+        x = layer_norm(x, self.eln_w, self.eln_b)
+        # HF extended mask: (1 - m) * -1e4 (not -inf), broadcast over heads
+        ext = (1.0 - np.asarray(attention_mask, dtype=np.float64)
+               )[:, None, None, :] * -10000.0
+        for layer in self.layers:
+            x = layer.forward(x, ext)
+        pooled = None
+        if self.pooler_w is not None:
+            pooled = np.tanh(x[:, 0] @ self.pooler_w.T + self.pooler_b)
+        return x, pooled
+
+
+class RelCatBertModel:
+    """BertModel_RelationExtraction forward (models.py:84-223): encoder →
+    concat(pooled CLS, hidden at e1 marker, hidden at e2 marker) →
+    fc1 → fc2 → fc3 logits (dropout is inference no-op)."""
+
+    def __init__(self, encoder: BertEncoder, fc: Dict[str, np.ndarray],
+                 labels: List[str]) -> None:
+        self.encoder = encoder
+        self.fc1_w, self.fc1_b = fc["fc1.weight"], fc["fc1.bias"]
+        self.fc2_w, self.fc2_b = fc["fc2.weight"], fc["fc2.bias"]
+        self.fc3_w, self.fc3_b = fc["fc3.weight"], fc["fc3.bias"]
+        self.labels = labels
+
+    @classmethod
+    def from_state_dict(cls, sd: Dict[str, np.ndarray], labels: List[str],
+                        n_heads: int) -> "RelCatBertModel":
+        prefix = "hf_model." if any(k.startswith("hf_model.") for k in sd) \
+            else ""
+        enc = BertEncoder.from_state_dict(sd, n_heads, prefix=prefix)
+        fc = {k: np.asarray(sd[k], dtype=np.float64)
+              for k in ("fc1.weight", "fc1.bias", "fc2.weight", "fc2.bias",
+                        "fc3.weight", "fc3.bias")}
+        return cls(enc, fc, labels)
+
+    def logits(self, input_ids: np.ndarray, e1_e2_start: np.ndarray,
+               attention_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        seq, pooled = self.encoder.forward(input_ids, attention_mask)
+        B = seq.shape[0]
+        e1 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 0]]
+        e2 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 1]]
+        x = np.concatenate([pooled, e1, e2], axis=1)
+        x = x @ self.fc1_w.T + self.fc1_b
+        x = x @ self.fc2_w.T + self.fc2_b
+        return x @ self.fc3_w.T + self.fc3_b
+
+    def predict(self, input_ids, e1_e2_start, attention_mask=None):
+        lg = self.logits(input_ids, e1_e2_start, attention_mask)
+        best = lg.argmax(axis=1)
+        e = np.exp(lg - lg.max(axis=1, keepdims=True))
+        conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
+        return [(self.labels[i], round(float(c), 4))
+                for i, c in zip(best, conf)]
+
+
+class BertTokenClassifier:
+    """BertForTokenClassification (TransformersNER/DeID): encoder →
+    per-token linear ``classifier`` head."""
+
+    def __init__(self, encoder: BertEncoder, cls_w: np.ndarray,
+                 cls_b: np.ndarray, labels: List[str]) -> None:
+        self.encoder = encoder
+        self.cls_w = cls_w
+        self.cls_b = cls_b
+        self.labels = labels
+
+    @classmethod
+    def from_state_dict(cls, sd: Dict[str, np.ndarray], labels: List[str],
+                        n_heads: int) -> "BertTokenClassifier":
+        enc = BertEncoder.from_state_dict(sd, n_heads)
+        return cls(enc, np.asarray(sd["classifier.weight"], np.float64),
+                   np.asarray(sd["classifier.bias"], np.float64), labels)
+
+    def predict_tokens(self, input_ids: np.ndarray,
+                       attention_mask: Optional[np.ndarray] = None):
+        seq, _ = self.encoder.forward(input_ids, attention_mask)
+        lg = seq @ self.cls_w.T + self.cls_b
+        best = lg.argmax(axis=2)
+        e = np.exp(lg - lg.max(axis=2, keepdims=True))
+        conf = np.take_along_axis(
+            e, best[:, :, None], axis=2)[:, :, 0] / e.sum(axis=2)
+        return best, np.round(conf, 4)
+
+
+# ---------------------------------------------------------------------------
+# Spark scorer: relation classification over candidate entity pairs
+# (reference rel_dataset.py:73-75 marked-sequence format
+# "..[s1] ent1 [e1]..[s2] ent2 [e2].."; e1_e2_start = positions of the
+# [s1]/[s2] marker tokens, config_rel_cat.py:54)
+
+
+def _score_pairs_bert(bc):
+    import pandas as pd
+
+    def fn(batches):
+        from bisect import bisect_right
+        model: "RelCatBertModel" = bc.value
+        tok = model.tokenizer
+        s1, e1m, s2, e2m = model.tag_ids
+        for pdf in batches:
+            meta: List[tuple] = []
+            seqs: List[List[int]] = []
+            starts: List[Tuple[int, int]] = []
+            for row in pdf.itertuples(index=False):
+                ids, spans = tok.encode_with_offsets(row.text or "")
+                if not ids:
+                    continue
+                tok_starts = [s for s, _e in spans]
+
+                def tok_range(start: int, end: int):
+                    cf = bisect_right(tok_starts, start) - 1
+                    if cf < 0 or spans[cf][1] <= start:
+                        return None
+                    cl = max(cf, bisect_right(tok_starts, end - 1) - 1)
+                    return cf, cl
+                ents = sorted(
+                    ({"start": int(x["start"]),
+                      "end": int(x.get("end") or x["start"] + 1),
+                      "cui": x["cui"]} for x in row.ents),
+                    key=lambda x: (x["start"], x["cui"]))
+                for i, a in enumerate(ents):
+                    for b in ents[i + 1:]:
+                        ra = tok_range(a["start"], a["end"])
+                        rb = tok_range(b["start"], b["end"])
+                        if ra is None or rb is None:
+                            continue
+                        if rb[0] - ra[1] > model.max_distance or \
+                                rb[0] <= ra[1]:
+                            continue
+                        lo = max(0, ra[0] - model.cntx)
+                        hi = min(len(ids), rb[1] + 1 + model.cntx)
+                        # splice markers around both entities
+                        seq = (ids[lo:ra[0]] + [s1] + ids[ra[0]:ra[1] + 1]
+                               + [e1m] + ids[ra[1] + 1:rb[0]] + [s2]
+                               + ids[rb[0]:rb[1] + 1] + [e2m]
+                               + ids[rb[1] + 1:hi])
+                        p1 = ra[0] - lo
+                        p2 = rb[0] - lo + 2   # after [s1] and [e1]
+                        meta.append((str(row.doc_id), a["start"], b["start"],
+                                     a["cui"], b["cui"]))
+                        seqs.append(seq)
+                        starts.append((p1, p2))
+            if not meta:
+                continue
+            B = len(seqs)
+            L = max(len(s) for s in seqs)
+            ids_arr = np.zeros((B, L), dtype=np.int64)
+            mask = np.zeros((B, L))
+            for r, s in enumerate(seqs):
+                ids_arr[r, :len(s)] = s
+                mask[r, :len(s)] = 1.0
+            preds = model.predict(ids_arr, np.asarray(starts), mask)
+            yield pd.DataFrame({
+                "doc_id": [m[0] for m in meta],
+                "start1": [m[1] for m in meta],
+                "start2": [m[2] for m in meta],
+                "ent1_cui": [m[3] for m in meta],
+                "ent2_cui": [m[4] for m in meta],
+                "relation": [p[0] for p in preds],
+                "confidence": [p[1] for p in preds]})
+    return fn
+
+
+def relations_bert(ann, docs, bc, text_col: str = "text"):
+    """Relation rows from the REAL BERT pair classifier (broadcast
+    weights, one tokenize per doc, Arrow-batched padded forward)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("start1", IntegerType()),
+        StructField("start2", IntegerType()),
+        StructField("ent1_cui", StringType()),
+        StructField("ent2_cui", StringType()),
+        StructField("relation", StringType()),
+        StructField("confidence", DoubleType()),
+    ])
+    end_col = (F.col("end").cast("int") if "end" in ann.columns
+               else F.lit(None).cast("int")).alias("end")
+    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       "start", end_col, F.col("cui"))
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("start", "end", "cui"))
+                 .alias("ents")))
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    return (ents.join(src, "doc_id")
+            .mapInPandas(_score_pairs_bert(bc), schema=schema))
+
+
+def relcat_bert_fixture_model():
+    """Deterministic RelCAT-BERT: BBPE trained on the testdata lexicon
+    with the four [s1]/[e1]/[s2]/[e2] markers appended, tiny BERT in the
+    HF key layout written+read through the torch zip format."""
+    from medcat_spark.core.bbpe import train_bbpe
+    tok = train_bbpe(
+        ["spark merge window vector stream filter fast slow small",
+         "hash join sort join table scan the key query"] * 4,
+        vocab_size=120)
+    tag_ids = []
+    for t in ("[s1]", "[e1]", "[s2]", "[e2]"):
+        tok.vocab[t] = len(tok.vocab)
+        tok.id2tok[tok.vocab[t]] = t
+        tag_ids.append(tok.vocab[t])
+    import os
+    import tempfile
+    from medcat_spark.sources.torch_pickle import (read_state_dict,
+                                                   write_state_dict)
+    sd = bert_fixture_state_dict(vocab_size=tok.get_size(), max_pos=64,
+                                 nclasses=3)
+    path = os.path.join(tempfile.mkdtemp(prefix="relcat_bert_"),
+                        "model.dat")
+    write_state_dict(path, sd)
+    m = RelCatBertModel.from_state_dict(
+        read_state_dict(path), ["Spatial", "Causal", "None"], n_heads=2)
+    m.tokenizer = tok
+    m.tag_ids = tag_ids
+    m.cntx = 4
+    m.max_distance = 12
+    return m
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture checkpoint (HF key layout, tiny dims)
+
+
+def bert_fixture_state_dict(vocab_size: int = 64, hidden: int = 8,
+                            n_layers: int = 2, n_heads: int = 2,
+                            inter: int = 16, max_pos: int = 32,
+                            seed: int = 91, relcat: bool = True,
+                            nclasses: int = 3) -> Dict[str, np.ndarray]:
+    rs = np.random.RandomState(seed)
+
+    def r(*shape):
+        return np.round(rs.uniform(-0.5, 0.5, size=shape),
+                        4).astype(np.float32)
+
+    sd: Dict[str, np.ndarray] = {}
+    pre = "hf_model." if relcat else ""
+    sd[pre + "embeddings.word_embeddings.weight"] = r(vocab_size, hidden)
+    sd[pre + "embeddings.position_embeddings.weight"] = r(max_pos, hidden)
+    sd[pre + "embeddings.token_type_embeddings.weight"] = r(2, hidden)
+    sd[pre + "embeddings.LayerNorm.weight"] = \
+        np.ones(hidden, dtype=np.float32)
+    sd[pre + "embeddings.LayerNorm.bias"] = np.zeros(hidden, dtype=np.float32)
+    for i in range(n_layers):
+        lp = f"{pre}encoder.layer.{i}."
+        for nm in ("attention.self.query", "attention.self.key",
+                   "attention.self.value", "attention.output.dense"):
+            sd[lp + nm + ".weight"] = r(hidden, hidden)
+            sd[lp + nm + ".bias"] = r(hidden)
+        sd[lp + "attention.output.LayerNorm.weight"] = \
+            np.ones(hidden, dtype=np.float32)
+        sd[lp + "attention.output.LayerNorm.bias"] = \
+            np.zeros(hidden, dtype=np.float32)
+        sd[lp + "intermediate.dense.weight"] = r(inter, hidden)
+        sd[lp + "intermediate.dense.bias"] = r(inter)
+        sd[lp + "output.dense.weight"] = r(hidden, inter)
+        sd[lp + "output.dense.bias"] = r(hidden)
+        sd[lp + "output.LayerNorm.weight"] = np.ones(hidden, dtype=np.float32)
+        sd[lp + "output.LayerNorm.bias"] = np.zeros(hidden, dtype=np.float32)
+    sd[pre + "pooler.dense.weight"] = r(hidden, hidden)
+    sd[pre + "pooler.dense.bias"] = r(hidden)
+    if relcat:
+        # create_dense_layers shapes: model_size -> hidden2 -> hidden2/2
+        # -> nclasses, where model_size = 3*hidden (CLS + e1 + e2)
+        h2 = 12
+        sd["fc1.weight"] = r(h2, 3 * hidden)
+        sd["fc1.bias"] = r(h2)
+        sd["fc2.weight"] = r(h2 // 2, h2)
+        sd["fc2.bias"] = r(h2 // 2)
+        sd["fc3.weight"] = r(nclasses, h2 // 2)
+        sd["fc3.bias"] = r(nclasses)
+    else:
+        sd["classifier.weight"] = r(nclasses, hidden)
+        sd["classifier.bias"] = r(nclasses)
+    return sd
