@@ -35,6 +35,10 @@ def main(argv=None):
                         "cluster keepers (functions/dedup.dedup_clusters)")
     p.add_argument("--dedup-min-jaccard", type=float, default=0.2)
     p.add_argument("--master", default=None)
+    p.add_argument("--meta", action="store_true",
+                   help="run the pack's meta_* components (LSTM heads "
+                        "from torch-format checkpoints) over the "
+                        "committed annotations -> out/meta_annotations")
     args = p.parse_args(argv)
 
     from medcat_spark.checkpoint import read_annotations, resumable_annotate
@@ -103,7 +107,51 @@ def main(argv=None):
             cooccurrence_triples(ann, materialize=False) \
                 .write.mode("overwrite") \
                 .parquet(f"{args.out}/triples/cooccurrence")
-    print(json.dumps({**manifest, **dedup_stats}))
+    meta_stats = {}
+    if args.meta and ann is not None:
+        # meta components live only in reference-layout packs
+        import os
+
+        from pyspark.sql import functions as F
+        from medcat_spark.functions.lstm_meta import meta_annotations_lstm
+        from medcat_spark.sources.reference_pack import load_reference_pack
+        comps = {}
+        if os.path.isdir(args.model_pack) and os.path.exists(
+                os.path.join(args.model_pack, "cdb.dat")):
+            _c, _v, _cf, comps = load_reference_pack(args.model_pack)
+        src = docs
+        if "spans" in src.columns and "text" not in src.columns:
+            # JVM twin of core/docs.reconstruct_text: each text span
+            # PLACED at its offset, gaps space-filled — annotation char
+            # offsets only align against this exact reconstruction
+            src = src.select(
+                "doc_id",
+                F.aggregate(
+                    F.filter("spans", lambda s: (s["kind"] == "text")
+                             & s["text"].isNotNull()),
+                    F.lit(""),
+                    lambda acc, s: F.concat(
+                        F.rpad(acc, F.greatest(F.length(acc), s["offset"]),
+                               " "),
+                        s["text"])).alias("text"))
+        metas = None
+        for name, model in comps.items():
+            if name == "_skipped":
+                continue
+            cur = meta_annotations_lstm(
+                ann, src, spark.sparkContext.broadcast(model),
+                meta_name=name)
+            metas = cur if metas is None else metas.unionByName(cur)
+        if metas is not None:
+            metas.write.mode("overwrite") \
+                .parquet(f"{args.out}/meta_annotations")
+            meta_stats["n_meta_annotations"] = \
+                spark.read.parquet(f"{args.out}/meta_annotations").count()
+            meta_stats["meta_components"] = sorted(
+                k for k in comps if k != "_skipped")
+        meta_stats["meta_skipped"] = [c[0] for c in
+                                      comps.get("_skipped", [])]
+    print(json.dumps({**manifest, **dedup_stats, **meta_stats}))
     spark.stop()
 
 
