@@ -64,6 +64,15 @@ SPECIALITY_NAMES = (
     "name2cuis", "name2cuis2status", "name_isupper",
     "snames", "addl_info")
 
+# memory_optimiser.py:8-17 combines these (in this order) into one
+# cui2many dict {cui: [v0..v7]}; the original attrs become delegating
+# markers.  The importer reconstructs the plain dicts.
+_CUI_COMBINE = ("cui2names", "cui2snames", "cui2context_vectors",
+                "cui2count_train", "cui2tags", "cui2type_ids",
+                "cui2preferred_name", "cui2average_confidence")
+_DELEGATING_DICT = "==DELEGATING_DICT=="
+_DELEGATING_SET = "==DELEGATING_SET=="
+
 _SET_ID = "==SET=="
 _PATTERN_ID = "==PATTERN=="
 
@@ -209,6 +218,50 @@ def _extract_waf_factor(waf) -> Optional[float]:
 # load
 
 
+def _is_delegating(v) -> bool:
+    return (isinstance(v, dict) and
+            (_DELEGATING_DICT in v or _DELEGATING_SET in v)) or is_inert(v)
+
+
+def _undo_memory_optimisation(path: str, json_split: bool,
+                              spec: Dict[str, object],
+                              cdb_main: dict) -> None:
+    """Reconstruct the plain per-attribute dicts of a memory-optimised
+    pack (utils/memory_optimiser.py): ``cui2many[cui][nr]`` holds the
+    value the nr-th combined dict (``_CUI_COMBINE`` order,
+    map_to_many:355-366) had for that cui; the original attributes are
+    saved as delegating markers.  snames becomes a DelegatingValueSet
+    over cui2snames — rebuilt as the union."""
+    cui2many = None
+    jp = os.path.join(path, "cui2many.json")
+    if json_split and os.path.exists(jp):
+        cui2many = _read_json(jp)
+    elif isinstance(cdb_main.get("cui2many"), dict):
+        cui2many = _clean(cdb_main["cui2many"])
+    if cui2many:
+        for nr, name in enumerate(_CUI_COMBINE):
+            holder = spec if name in spec else cdb_main
+            cur = holder.get(name)
+            # honour an explicit marker's own index when present
+            use_nr = nr
+            if isinstance(cur, dict) and _DELEGATING_DICT in cur:
+                use_nr = int(cur[_DELEGATING_DICT].get("nr", nr))
+            if cur is not None and not _is_delegating(cur) and cur != {}:
+                continue   # attribute was saved unoptimised
+            rebuilt = {}
+            for cui, tup in cui2many.items():
+                if isinstance(tup, (list, tuple)) and use_nr < len(tup) \
+                        and tup[use_nr] is not None \
+                        and not is_inert(tup[use_nr]):
+                    rebuilt[cui] = tup[use_nr]
+            holder[name] = rebuilt
+    sn = spec.get("snames")
+    if _is_delegating(sn) or not sn:
+        c2s = spec.get("cui2snames") or {}
+        spec["snames"] = set().union(
+            *(set(v) for v in c2s.values())) if c2s else set()
+
+
 def _clean(obj):
     """Drop inert stubs recursively; keep plain data."""
     if is_inert(obj):
@@ -268,6 +321,8 @@ def load_reference_pack(path: str, load_components: bool = True
             spec[name] = _clean(cdb_main[name])
         else:
             spec[name] = {} if name != "snames" else set()
+
+    _undo_memory_optimisation(path, json_split, spec, cdb_main)
 
     cdb = CdbModel()
     cdb.name2cuis = {k: list(v) for k, v in (spec["name2cuis"] or {}).items()}

@@ -210,6 +210,72 @@ def test_load_any_pack_dispatch(models, ref_pack, tmp_path):
     assert c3.name2cuis == cdb.name2cuis
 
 
+def test_memory_optimised_pack_loads(models, tmp_path):
+    """A memory-optimised pack (utils/memory_optimiser.py): cui2names/
+    cui2snames/cui2type_ids... collapsed into cui2many, the originals
+    saved as ==DELEGATING_DICT== markers, snames as a DelegatingValueSet
+    marker.  The importer must reconstruct the plain dicts."""
+    cdb, vocab = models
+    path = str(tmp_path / "optpack")
+    write_reference_layout_pack(path, cdb, vocab, EngineConfig())
+
+    combine = ("cui2names", "cui2snames", "cui2context_vectors",
+               "cui2count_train", "cui2tags", "cui2type_ids",
+               "cui2preferred_name", "cui2average_confidence")
+    sources = {
+        "cui2names": cdb.cui2names, "cui2snames": cdb.cui2snames,
+        "cui2count_train": cdb.cui2count_train, "cui2tags": {},
+        "cui2type_ids": cdb.cui2type_ids,
+        "cui2preferred_name": cdb.cui2preferred_name,
+        "cui2average_confidence": cdb.cui2average_confidence,
+        # context vectors as per-type float lists (the JSON shape)
+        "cui2context_vectors": {
+            c: {ct: list(map(float, v)) for ct, v in per.items()}
+            for c, per in cdb.cui2context_vectors.items()}}
+    cui2many = {}
+    for nr, name in enumerate(combine):
+        for cui, val in sources[name].items():
+            cui2many.setdefault(cui, [None] * len(combine))[nr] = \
+                {"==SET==": sorted(val)} if isinstance(val, set) else val
+    with open(os.path.join(path, "cui2many.json"), "w") as f:
+        json.dump(cui2many, f)
+    marker = {"==DELEGATING_DICT==": {
+        "delegate": None, "nr": 0, "nr_of_overall_items": len(combine)}}
+    for nr, name in enumerate(("cui2names", "cui2snames")):
+        m = dict(marker)
+        m["==DELEGATING_DICT=="] = {**marker["==DELEGATING_DICT=="],
+                                    "nr": combine.index(name)}
+        with open(os.path.join(path, f"{name}.json"), "w") as f:
+            json.dump(m, f)
+    with open(os.path.join(path, "cui2type_ids.json"), "w") as f:
+        json.dump({"==DELEGATING_DICT==": {
+            "delegate": None, "nr": combine.index("cui2type_ids"),
+            "nr_of_overall_items": len(combine)}}, f)
+    with open(os.path.join(path, "snames.json"), "w") as f:
+        json.dump({"==DELEGATING_SET==": {"delegate": None}}, f)
+    # strip the combined attrs from cdb.dat like perform_optimisation
+    with open(os.path.join(path, "cdb.dat"), "rb") as f:
+        d = pickle.load(f)
+    for name in ("cui2context_vectors", "cui2count_train",
+                 "cui2preferred_name", "cui2average_confidence"):
+        d["cdb_main"].pop(name, None)
+    with open(os.path.join(path, "cdb.dat"), "wb") as f:
+        pickle.dump(d, f, protocol=4)
+
+    cdb2, _v, _c, _ = load_reference_pack(path)
+    assert cdb2.cui2names == cdb.cui2names
+    assert cdb2.cui2snames == cdb.cui2snames
+    assert cdb2.cui2type_ids == cdb.cui2type_ids
+    assert cdb2.snames == cdb.snames
+    assert cdb2.cui2preferred_name == cdb.cui2preferred_name
+    assert cdb2.cui2count_train == cdb.cui2count_train
+    assert set(cdb2.cui2context_vectors) == set(cdb.cui2context_vectors)
+    for c, per in cdb.cui2context_vectors.items():
+        for ct, v in per.items():
+            np.testing.assert_allclose(cdb2.cui2context_vectors[c][ct],
+                                       np.asarray(v, dtype=np.float64))
+
+
 def test_engine_config_mapping_round_trip():
     """reference_config_dict ∘ engine_config_from_reference == identity
     (via the reference's JSON set/pattern encoding)."""
