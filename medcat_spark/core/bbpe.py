@@ -183,6 +183,83 @@ class BbpeTokenizer:
         return len(self.vocab)
 
 
+class WordPieceTokenizer:
+    """BERT WordPiece (public algorithm: basic whitespace+punct split,
+    then greedy longest-prefix match with ``##`` continuations) —
+    RelCAT's BERT tokenizer saves ``vocab.txt``
+    (utils/relation_extraction/tokenizer.py save_pretrained).  Same
+    ``encode_with_offsets`` interface as :class:`BbpeTokenizer`."""
+
+    def __init__(self, vocab: Dict[str, int], lowercase: bool = True,
+                 unk_token: str = "[UNK]") -> None:
+        self.vocab = vocab
+        self.id2tok = {i: t for t, i in vocab.items()}
+        self.lowercase = lowercase
+        self.unk_id = vocab.get(unk_token, 0)
+
+    @classmethod
+    def load(cls, dir_path: str, lowercase: bool = True
+             ) -> "WordPieceTokenizer":
+        vocab: Dict[str, int] = {}
+        with open(os.path.join(dir_path, "vocab.txt"),
+                  encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\n")] = i
+        return cls(vocab, lowercase=lowercase)
+
+    def save(self, dir_path: str) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        inv = sorted(self.vocab.items(), key=lambda kv: kv[1])
+        with open(os.path.join(dir_path, "vocab.txt"), "w",
+                  encoding="utf-8") as f:
+            for t, _i in inv:
+                f.write(t + "\n")
+
+    def encode_with_offsets(self, text: str
+                            ) -> Tuple[List[int], List[Tuple[int, int]]]:
+        if self.lowercase:
+            text = text.lower()
+        ids: List[int] = []
+        spans: List[Tuple[int, int]] = []
+        # basic tokenization: words and single punctuation marks
+        for m in re.finditer(r"\w+|[^\w\s]", text):
+            word, base = m.group(0), m.start()
+            # greedy longest-prefix wordpiece
+            start = 0
+            pieces: List[Tuple[str, int, int]] = []
+            ok = True
+            while start < len(word):
+                end = len(word)
+                cur = None
+                while end > start:
+                    sub = word[start:end]
+                    if start > 0:
+                        sub = "##" + sub
+                    if sub in self.vocab:
+                        cur = (sub, start, end)
+                        break
+                    end -= 1
+                if cur is None:
+                    ok = False
+                    break
+                pieces.append(cur)
+                start = cur[2]
+            if not ok:
+                ids.append(self.unk_id)
+                spans.append((base, base + len(word)))
+                continue
+            for sub, s, e in pieces:
+                ids.append(self.vocab[sub])
+                spans.append((base + s, base + e))
+        return ids, spans
+
+    def encode(self, text: str) -> List[int]:
+        return self.encode_with_offsets(text)[0]
+
+    def get_size(self) -> int:
+        return len(self.vocab)
+
+
 def train_bbpe(texts: List[str], vocab_size: int = 500,
                lowercase: bool = True) -> BbpeTokenizer:
     """Minimal BPE trainer (for fixtures/tests — same greedy

@@ -385,11 +385,16 @@ def load_reference_pack(path: str, load_components: bool = True
                     components[entry[len("meta_"):]] = _load_meta_component(sub)
                 except Exception as exc:  # noqa: BLE001 — skip, report
                     components["_skipped"].append((entry, str(exc)))
-            elif entry.startswith(("trf_", "rel_")):
+            elif entry.startswith("rel_"):
+                try:
+                    components[entry] = _load_rel_component(sub)
+                except Exception as exc:  # noqa: BLE001 — skip, report
+                    components["_skipped"].append((entry, str(exc)))
+            elif entry.startswith("trf_"):
                 components["_skipped"].append(
-                    (entry, "transformer weights: load via torch_pickle."
-                            "read_state_dict; no numpy head for this "
-                            "architecture"))
+                    (entry, "TransformersNER dir: load weights via "
+                            "torch_pickle.read_state_dict into "
+                            "bert_np.BertTokenClassifier"))
     return cdb, vocab, cfg, components
 
 
@@ -430,6 +435,59 @@ def _load_meta_component(sub: str):
         cntx_left=int(g.get("cntx_left", 15)),
         cntx_right=int(g.get("cntx_right", 10)))
     m.tokenizer = tokenizer
+    return m
+
+
+def _load_rel_component(sub: str):
+    """rel_<name>/ (RelCAT component dir, utils/relation_extraction/
+    base_component.py:80-101): config.json (ConfigRelCAT) +
+    model_config.json (HF config) + model.dat (plain state dict) +
+    tokenizer files → RelCatBertModel or RelCatLlamaModel."""
+    with open(os.path.join(sub, "config.json")) as f:
+        rc = json.load(f, object_hook=_ref_hook)
+    g = rc.get("general", {}) or {}
+    model_cfg = rc.get("model", {}) or {}
+    hf = {}
+    mcp = os.path.join(sub, "model_config.json")
+    if os.path.exists(mcp):
+        with open(mcp) as f:
+            hf = json.load(f)
+    idx2labels = g.get("idx2labels") or rc.get("train", {}).get(
+        "idx2labels") or {}
+    if idx2labels:
+        labels = [v for _k, v in sorted(idx2labels.items(),
+                                        key=lambda kv: int(kv[0]))]
+    else:
+        l2i = g.get("labels2idx") or {}
+        labels = [k for k, _v in sorted(l2i.items(), key=lambda kv: kv[1])]
+    labels = labels or [str(i) for i in
+                        range(int(model_cfg.get("nclasses", 2)))]
+    n_heads = int(hf.get("num_attention_heads", 12))
+    sd = read_state_dict(os.path.join(sub, "model.dat"))
+    model_name = str(g.get("model_name", "bert")).lower()
+    if "llama" in model_name or any("rotary" in k or "gate_proj" in k
+                                    for k in sd):
+        from medcat_spark.functions.llama_np import RelCatLlamaModel
+        m = RelCatLlamaModel.from_state_dict(
+            sd, labels, n_heads, hf.get("num_key_value_heads"))
+    else:
+        from medcat_spark.functions.bert_np import RelCatBertModel
+        m = RelCatBertModel.from_state_dict(sd, labels, n_heads)
+    tokenizer = None
+    if os.path.exists(os.path.join(sub, "vocab.txt")):
+        from medcat_spark.core.bbpe import WordPieceTokenizer
+        tokenizer = WordPieceTokenizer.load(sub)
+    elif os.path.exists(os.path.join(sub, "bbpe-merges.txt")):
+        from medcat_spark.core.bbpe import BbpeTokenizer
+        tokenizer = BbpeTokenizer.load(sub, "bbpe")
+    m.tokenizer = tokenizer
+    tag_ids = g.get("annotation_schema_tag_ids") or []
+    if not tag_ids and tokenizer is not None:
+        tag_ids = [tokenizer.vocab.get(t) for t in
+                   ("[s1]", "[e1]", "[s2]", "[e2]")]
+    m.tag_ids = [int(t) for t in tag_ids if t is not None]
+    m.cntx = int(rc.get("general", {}).get("cntx_left", 15))
+    m.max_distance = int(model_cfg.get("window_size", 300))
     return m
 
 
@@ -568,6 +626,105 @@ def write_reference_layout_pack(path: str, cdb: CdbModel, vocab: VocabModel,
                     full = os.path.join(root, fn)
                     zf.write(full, os.path.relpath(full, path))
         return zpath
+    return path
+
+
+def write_reference_rel_component(path: str, model, labels=None,
+                                  n_heads: int = 2) -> str:
+    """Write a RelCAT component dir in the reference layout (fixture +
+    exporter twin of :func:`_load_rel_component`)."""
+    from medcat_spark.sources.torch_pickle import write_state_dict
+    os.makedirs(path, exist_ok=True)
+    labels = labels or model.labels
+    is_llama = model.__class__.__name__ == "RelCatLlamaModel"
+    rc = {
+        "general": {
+            "model_name": "llama" if is_llama else "bert-base-uncased",
+            "tokenizer_name": "llama" if is_llama else "bert-tokenizer",
+            "labels2idx": {v: i for i, v in enumerate(labels)},
+            "idx2labels": {str(i): v for i, v in enumerate(labels)},
+            "annotation_schema_tag_ids": list(
+                getattr(model, "tag_ids", [])),
+            "cntx_left": getattr(model, "cntx", 15),
+        },
+        "model": {
+            "nclasses": len(labels),
+            "padding_idx": 0,
+            "window_size": getattr(model, "max_distance", 300),
+        },
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(rc, f)
+    with open(os.path.join(path, "model_config.json"), "w") as f:
+        json.dump({"num_attention_heads": n_heads}, f)
+    sd: Dict[str, np.ndarray] = {}
+    if is_llama:
+        enc = model.encoder
+        sd["hf_model.model.embed_tokens.weight"] = \
+            enc.embed.astype(np.float32)
+        sd["hf_model.model.norm.weight"] = enc.final_norm.astype(np.float32)
+        for i, lay in enumerate(enc.layers):
+            lp = f"hf_model.model.layers.{i}."
+            sd[lp + "self_attn.q_proj.weight"] = lay.q.astype(np.float32)
+            sd[lp + "self_attn.k_proj.weight"] = lay.k.astype(np.float32)
+            sd[lp + "self_attn.v_proj.weight"] = lay.v.astype(np.float32)
+            sd[lp + "self_attn.o_proj.weight"] = lay.o.astype(np.float32)
+            sd[lp + "mlp.gate_proj.weight"] = lay.gate.astype(np.float32)
+            sd[lp + "mlp.up_proj.weight"] = lay.up.astype(np.float32)
+            sd[lp + "mlp.down_proj.weight"] = lay.down.astype(np.float32)
+            sd[lp + "input_layernorm.weight"] = lay.ln1.astype(np.float32)
+            sd[lp + "post_attention_layernorm.weight"] = \
+                lay.ln2.astype(np.float32)
+        sd["llama_pooler.dense.weight"] = model.pool_w.astype(np.float32)
+        sd["llama_pooler.dense.bias"] = model.pool_b.astype(np.float32)
+    else:
+        enc = model.encoder
+        pre = "hf_model."
+        sd[pre + "embeddings.word_embeddings.weight"] = \
+            enc.word.astype(np.float32)
+        sd[pre + "embeddings.position_embeddings.weight"] = \
+            enc.pos.astype(np.float32)
+        sd[pre + "embeddings.token_type_embeddings.weight"] = \
+            enc.ttype.astype(np.float32)
+        sd[pre + "embeddings.LayerNorm.weight"] = \
+            enc.eln_w.astype(np.float32)
+        sd[pre + "embeddings.LayerNorm.bias"] = enc.eln_b.astype(np.float32)
+        for i, lay in enumerate(enc.layers):
+            lp = f"{pre}encoder.layer.{i}."
+            sd[lp + "attention.self.query.weight"] = \
+                lay.q_w.astype(np.float32)
+            sd[lp + "attention.self.query.bias"] = lay.q_b.astype(np.float32)
+            sd[lp + "attention.self.key.weight"] = lay.k_w.astype(np.float32)
+            sd[lp + "attention.self.key.bias"] = lay.k_b.astype(np.float32)
+            sd[lp + "attention.self.value.weight"] = \
+                lay.v_w.astype(np.float32)
+            sd[lp + "attention.self.value.bias"] = lay.v_b.astype(np.float32)
+            sd[lp + "attention.output.dense.weight"] = \
+                lay.ao_w.astype(np.float32)
+            sd[lp + "attention.output.dense.bias"] = \
+                lay.ao_b.astype(np.float32)
+            sd[lp + "attention.output.LayerNorm.weight"] = \
+                lay.aln_w.astype(np.float32)
+            sd[lp + "attention.output.LayerNorm.bias"] = \
+                lay.aln_b.astype(np.float32)
+            sd[lp + "intermediate.dense.weight"] = \
+                lay.i_w.astype(np.float32)
+            sd[lp + "intermediate.dense.bias"] = lay.i_b.astype(np.float32)
+            sd[lp + "output.dense.weight"] = lay.o_w.astype(np.float32)
+            sd[lp + "output.dense.bias"] = lay.o_b.astype(np.float32)
+            sd[lp + "output.LayerNorm.weight"] = \
+                lay.oln_w.astype(np.float32)
+            sd[lp + "output.LayerNorm.bias"] = lay.oln_b.astype(np.float32)
+        sd[pre + "pooler.dense.weight"] = \
+            enc.pooler_w.astype(np.float32)
+        sd[pre + "pooler.dense.bias"] = enc.pooler_b.astype(np.float32)
+    for k in ("fc1", "fc2", "fc3"):
+        sd[f"{k}.weight"] = getattr(model, f"{k}_w").astype(np.float32)
+        sd[f"{k}.bias"] = getattr(model, f"{k}_b").astype(np.float32)
+    write_state_dict(os.path.join(path, "model.dat"), sd)
+    tok = getattr(model, "tokenizer", None)
+    if tok is not None:
+        tok.save(path)
     return path
 
 

@@ -1,0 +1,95 @@
+"""RelCAT component dirs (rel_*) import: WordPiece tokenizer + BERT /
+LLaMA heads loaded from the reference's on-disk layout
+(utils/relation_extraction/base_component.py:80-101)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from medcat_spark.core.bbpe import WordPieceTokenizer
+from medcat_spark.functions.bert_np import relcat_bert_fixture_model
+from medcat_spark.sources.reference_pack import (
+    _load_rel_component, write_reference_rel_component)
+
+
+def test_wordpiece_greedy_longest_match():
+    vocab = {t: i for i, t in enumerate(
+        ["[PAD]", "[UNK]", "un", "##aff", "##able", "##ord",
+         "heart", "attack", ",", "the"])}
+    tok = WordPieceTokenizer(vocab)
+    ids, spans = tok.encode_with_offsets("the unaffable heart attack,")
+    toks = [tok.id2tok[i] for i in ids]
+    assert toks == ["the", "un", "##aff", "##able", "heart", "attack", ","]
+    # offsets address the original characters
+    text = "the unaffable heart attack,"
+    assert text[spans[1][0]:spans[3][1]] == "unaffable"
+    assert text[spans[-1][0]:spans[-1][1]] == ","
+
+
+def test_wordpiece_unk_and_save_load(tmp_path):
+    vocab = {t: i for i, t in enumerate(["[PAD]", "[UNK]", "known"])}
+    tok = WordPieceTokenizer(vocab)
+    ids, spans = tok.encode_with_offsets("known zzz known")
+    assert [tok.id2tok[i] for i in ids] == ["known", "[UNK]", "known"]
+    tok.save(str(tmp_path))
+    tok2 = WordPieceTokenizer.load(str(tmp_path))
+    assert tok2.vocab == vocab
+    assert tok2.encode("known zzz") == tok.encode("known zzz")
+
+
+@pytest.fixture(scope="module")
+def bert_rel(tmp_path_factory):
+    m = relcat_bert_fixture_model()
+    d = str(tmp_path_factory.mktemp("rel") / "rel_Task")
+    write_reference_rel_component(d, m, n_heads=2)
+    return m, d
+
+
+def test_rel_component_round_trip_bert(bert_rel):
+    m, d = bert_rel
+    assert os.path.exists(os.path.join(d, "model.dat"))
+    assert os.path.exists(os.path.join(d, "config.json"))
+    m2 = _load_rel_component(d)
+    assert m2.labels == m.labels
+    assert m2.tag_ids == m.tag_ids
+    rs = np.random.RandomState(3)
+    ids = rs.randint(0, m.encoder.word.shape[0], size=(3, 9))
+    starts = np.array([[1, 5], [0, 4], [2, 7]])
+    # float32 round trip: predictions equal, logits close
+    assert np.abs(m.logits(ids, starts)
+                  - m2.logits(ids, starts)).max() < 1e-5
+    assert m.predict(ids, starts) == m2.predict(ids, starts)
+
+
+def test_rel_component_round_trip_llama(tmp_path):
+    from medcat_spark.functions.llama_np import (RelCatLlamaModel,
+                                                 llama_fixture_state_dict)
+    base = RelCatLlamaModel.from_state_dict(
+        llama_fixture_state_dict(), ["A", "B", "C"], 2, 1)
+    base.tag_ids = []
+    d = str(tmp_path / "rel_L")
+    write_reference_rel_component(d, base, n_heads=2)
+    m2 = _load_rel_component(d)
+    assert type(m2).__name__ == "RelCatLlamaModel"
+    rs = np.random.RandomState(5)
+    ids = rs.randint(0, 64, size=(2, 8))
+    starts = np.array([[1, 5], [2, 6]])
+    assert base.predict(ids, starts) == m2.predict(ids, starts)
+
+
+def test_rel_component_discovered_in_pack(tmp_path, bert_rel):
+    import shutil
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.fixtures import trained_fixture_models
+    from medcat_spark.sources.reference_pack import (
+        load_reference_pack, write_reference_layout_pack)
+    m, d = bert_rel
+    cdb, vocab = trained_fixture_models()
+    pack = str(tmp_path / "pack")
+    write_reference_layout_pack(pack, cdb, vocab, EngineConfig())
+    shutil.copytree(d, os.path.join(pack, "rel_Task"))
+    _c, _v, _cfg, comps = load_reference_pack(pack)
+    assert "rel_Task" in comps
+    assert comps["_skipped"] == []
+    assert comps["rel_Task"].labels == m.labels
