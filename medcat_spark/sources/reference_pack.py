@@ -465,8 +465,16 @@ def _load_rel_component(sub: str):
     n_heads = int(hf.get("num_attention_heads", 12))
     sd = read_state_dict(os.path.join(sub, "model.dat"))
     model_name = str(g.get("model_name", "bert")).lower()
-    if "llama" in model_name or any("rotary" in k or "gate_proj" in k
-                                    for k in sd):
+    if "modern" in model_name or any("tok_embeddings" in k for k in sd):
+        from medcat_spark.functions.modernbert_np import (
+            RelCatModernBertModel)
+        m = RelCatModernBertModel.from_state_dict(
+            sd, labels, n_heads,
+            local_window=int(hf.get("local_attention", 128)),
+            global_every=int(hf.get("global_attn_every_n_layers", 3)),
+            global_theta=float(hf.get("global_rope_theta", 160000.0)),
+            local_theta=float(hf.get("local_rope_theta", 10000.0)))
+    elif "llama" in model_name or any("gate_proj" in k for k in sd):
         from medcat_spark.functions.llama_np import RelCatLlamaModel
         m = RelCatLlamaModel.from_state_dict(
             sd, labels, n_heads, hf.get("num_key_value_heads"))

@@ -51,7 +51,7 @@ def _stat():
 
 
 def one(variant: str, master: str, replicate: int,
-        warmups: int = 1, n_runs: int = 3) -> dict:
+        warmups: int = 1, n_runs: int = 2) -> dict:
     from pyspark.sql import functions as F
 
     from medcat_spark import demo
@@ -133,14 +133,22 @@ def main():
         print("RESULT " + json.dumps(
             one(sys.argv[2], sys.argv[3], int(sys.argv[4]))), flush=True)
         return
-    replicate = int(os.environ.get("PROFILE_REPLICATE", "240"))
+    replicate = int(os.environ.get("PROFILE_REPLICATE", "96"))
     out = {"sf_dir": SF_DIR, "replicate": replicate, "legs": []}
     # interleave the 8-core reference leg between 32-core variants so a
     # host episode cannot land on only one side of the ratio
     plan = [("baseline", "local[8]")] + \
         [(v, "local[32]") for v in VARIANTS] + [("baseline", "local[8]")]
+    import importlib.util as _ilu
+    spec = _ilu.spec_from_file_location(
+        "host_health", os.path.join(os.path.dirname(__file__),
+                                    "host_health.py"))
+    hh = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(hh)
     for variant, master in plan:
+        before = hh.sample()
         leg = _sub(variant, master, replicate)
+        leg["host_before"] = before
         out["legs"].append(leg)
         print(json.dumps(leg), flush=True)
     with open(os.path.join(REPO, "BENCH", "profile32.json"), "w") as f:
