@@ -207,6 +207,81 @@ class RelCatBertModel:
                 for i, c in zip(best, conf)]
 
 
+class BertMetaModel:
+    """BertForMetaAnnotation (meta_cat/models.py:87-215): BERT encoder →
+    max over entity-center hidden states, concat with pooled CLS →
+    fc1(+relu) [→ fc2(+relu) [→ fc3(+relu)]] → fc4.  Same predict API
+    as LstmMetaModel's token-id path so the token-space Spark scorer
+    drives either head."""
+
+    MAX_FORWARD_BATCH = 4096
+
+    def __init__(self, encoder: BertEncoder, fc: Dict[str, np.ndarray],
+                 labels: List[str], use_fc2: bool = True,
+                 use_fc3: bool = True, pad_id: int = 0,
+                 cntx_left: int = 15, cntx_right: int = 10,
+                 tokenizer=None) -> None:
+        self.encoder = encoder
+        self.fc = fc
+        self.labels = labels
+        self.use_fc2 = use_fc2
+        self.use_fc3 = use_fc3
+        self.pad_id = pad_id
+        self.unk_id = pad_id
+        self.cntx_left = cntx_left
+        self.cntx_right = cntx_right
+        self.tokenizer = tokenizer
+
+    @classmethod
+    def from_state_dict(cls, sd: Dict[str, np.ndarray], labels: List[str],
+                        n_heads: int, use_fc2: bool = True,
+                        use_fc3: bool = True, **kw) -> "BertMetaModel":
+        enc = BertEncoder.from_state_dict(
+            {k: v for k, v in sd.items() if k.startswith("bert.")},
+            n_heads)
+        fc = {k: np.asarray(v, dtype=np.float64) for k, v in sd.items()
+              if k.startswith(("fc1.", "fc2.", "fc3.", "fc4."))}
+        return cls(enc, fc, labels, use_fc2=use_fc2, use_fc3=use_fc3, **kw)
+
+    def forward_id_windows(self, id_windows, centers) -> np.ndarray:
+        B = len(id_windows)
+        L = max((len(w) for w in id_windows), default=1) or 1
+        ids = np.full((B, L), self.pad_id, dtype=np.int64)
+        mask = np.zeros((B, L))
+        V = self.encoder.word.shape[0]
+        for r, w in enumerate(id_windows):
+            for c, tid in enumerate(w):
+                ids[r, c] = tid if 0 <= tid < V else self.pad_id
+                mask[r, c] = 1.0
+        seq, pooled = self.encoder.forward(ids, mask)
+        x = np.empty((B, seq.shape[2]))
+        for b, (cf, cl) in enumerate(centers):
+            x[b] = seq[b, cf:cl + 1].max(axis=0)
+        x = np.concatenate([x, pooled], axis=1)
+        x = np.maximum(0.0, x @ self.fc["fc1.weight"].T
+                       + self.fc["fc1.bias"])
+        if self.use_fc2:
+            x = np.maximum(0.0, x @ self.fc["fc2.weight"].T
+                           + self.fc["fc2.bias"])
+            if self.use_fc3:
+                x = np.maximum(0.0, x @ self.fc["fc3.weight"].T
+                               + self.fc["fc3.bias"])
+        return x @ self.fc["fc4.weight"].T + self.fc["fc4.bias"]
+
+    def predict_batch_ids(self, id_windows, centers):
+        out = []
+        for ofs in range(0, len(id_windows), self.MAX_FORWARD_BATCH):
+            lg = self.forward_id_windows(
+                id_windows[ofs:ofs + self.MAX_FORWARD_BATCH],
+                centers[ofs:ofs + self.MAX_FORWARD_BATCH])
+            best = lg.argmax(axis=1)
+            e = np.exp(lg - lg.max(axis=1, keepdims=True))
+            conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
+            out.extend((self.labels[i], round(float(c), 4))
+                       for i, c in zip(best, conf))
+        return out
+
+
 class BertTokenClassifier:
     """BertForTokenClassification (TransformersNER/DeID): encoder →
     per-token linear ``classifier`` head."""

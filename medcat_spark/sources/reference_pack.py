@@ -430,6 +430,25 @@ def _load_meta_component(sub: str):
     if pad in (None, -1):
         pad = 0
     unk = token2id.get("<unk>", token2id.get("[UNK]", pad))
+    if any(k.startswith("bert.") for k in sd):
+        # model_name='bert' variant (BertForMetaAnnotation)
+        from medcat_spark.functions.bert_np import BertMetaModel
+        arch = model_cfg.get("model_architecture_config") or {}
+        hf = {}
+        mcp = os.path.join(sub, "model_config.json")
+        if os.path.exists(mcp):
+            with open(mcp) as f:
+                hf = json.load(f)
+        m = BertMetaModel.from_state_dict(
+            sd, labels or ["0", "1"],
+            n_heads=int(hf.get("num_attention_heads", 12)),
+            use_fc2=bool(arch.get("fc2", True)),
+            use_fc3=bool(arch.get("fc3", True)),
+            pad_id=int(pad),
+            cntx_left=int(g.get("cntx_left", 15)),
+            cntx_right=int(g.get("cntx_right", 10)))
+        m.tokenizer = tokenizer
+        return m
     m = LstmMetaModel.from_state_dict(
         sd, labels or ["0", "1"], token2id, pad_id=int(pad), unk_id=int(unk),
         cntx_left=int(g.get("cntx_left", 15)),

@@ -196,6 +196,68 @@ def test_relations_bert_spark_and_partition_invariance(spark):
     assert out1 == out2
 
 
+def test_bert_meta_model_round_trip(tmp_path):
+    """BertForMetaAnnotation variant (meta_cat/models.py:87-215): bert.*
+    nesting + fc1-4 head with center-max + pooled concat, loaded from a
+    meta_* dir and scored in token space."""
+    import json
+    import os
+    from medcat_spark.core.bbpe import train_bbpe
+    from medcat_spark.functions.bert_np import BertMetaModel
+    from medcat_spark.sources.reference_pack import _load_meta_component
+    tok = train_bbpe(["the patient presented with heart attack"] * 3,
+                     vocab_size=300)
+    sd = {("bert." + k if not k.startswith("classifier") else k): v
+          for k, v in bert_fixture_state_dict(
+              vocab_size=tok.get_size(), relcat=False).items()
+          if not k.startswith("classifier")}
+    rs = np.random.RandomState(21)
+    hs, hs2, C = 10, 5, 2
+
+    def r(*shape):
+        return rs.uniform(-0.5, 0.5, size=shape).astype(np.float32)
+
+    sd["fc1.weight"] = r(hs, 2 * H)
+    sd["fc1.bias"] = r(hs)
+    sd["fc2.weight"] = r(hs2, hs)
+    sd["fc2.bias"] = r(hs2)
+    sd["fc3.weight"] = r(hs2, hs2)
+    sd["fc3.bias"] = r(hs2)
+    sd["fc4.weight"] = r(C, hs2)
+    sd["fc4.bias"] = r(C)
+    d = tmp_path / "meta_Status"
+    os.makedirs(d)
+    write_state_dict(str(d / "model.dat"), sd)
+    (d / "config.json").write_text(json.dumps({
+        "general": {"category_name": "Status",
+                    "category_value2id": {"Other": 0, "Confirmed": 1},
+                    "cntx_left": 4, "cntx_right": 3},
+        "model": {"model_name": "bert", "padding_idx": 0,
+                  "nclasses": C,
+                  "model_architecture_config": {"fc2": True,
+                                                "fc3": True}}}))
+    (d / "model_config.json").write_text(
+        json.dumps({"num_attention_heads": HEADS}))
+    tok.save(str(d))
+    m = _load_meta_component(str(d))
+    assert isinstance(m, BertMetaModel)
+    assert m.labels == ["Other", "Confirmed"]
+    assert m.tokenizer is not None
+    ids, _sp = m.tokenizer.encode_with_offsets(
+        "the patient presented with heart attack")
+    preds = m.predict_batch_ids([ids[:6], ids[2:8]], [(1, 2), (0, 0)])
+    assert preds == m.predict_batch_ids([ids[:6], ids[2:8]],
+                                        [(1, 2), (0, 0)])
+    assert all(p[0] in m.labels and 0 < p[1] <= 1 for p in preds)
+    # fc2/fc3 flags change the forward (head actually honours config)
+    m2 = BertMetaModel.from_state_dict(
+        sd, m.labels, HEADS, use_fc2=False, use_fc3=False)
+    # fc4 shapes differ when fc2 is off in the reference; here we just
+    # assert the flagged path raises on the mismatched head shape
+    with pytest.raises(ValueError):
+        m2.forward_id_windows([ids[:6]], [(1, 2)])
+
+
 def test_missing_layers_rejected():
     with pytest.raises(ValueError, match="encoder.layer.0"):
         BertEncoder.from_state_dict(
