@@ -391,10 +391,10 @@ def load_reference_pack(path: str, load_components: bool = True
                 except Exception as exc:  # noqa: BLE001 — skip, report
                     components["_skipped"].append((entry, str(exc)))
             elif entry.startswith("trf_"):
-                components["_skipped"].append(
-                    (entry, "TransformersNER dir: load weights via "
-                            "torch_pickle.read_state_dict into "
-                            "bert_np.BertTokenClassifier"))
+                try:
+                    components[entry] = _load_trf_component(sub)
+                except Exception as exc:  # noqa: BLE001 — skip, report
+                    components["_skipped"].append((entry, str(exc)))
     return cdb, vocab, cfg, components
 
 
@@ -515,6 +515,36 @@ def _load_rel_component(sub: str):
     m.tag_ids = [int(t) for t in tag_ids if t is not None]
     m.cntx = int(rc.get("general", {}).get("cntx_left", 15))
     m.max_distance = int(model_cfg.get("window_size", 300))
+    return m
+
+
+def _load_trf_component(sub: str):
+    """trf_<name>/ (TransformersNER, ner/transformers_ner.py:337-360):
+    HF ``save_pretrained`` output (config.json + model.safetensors or
+    pytorch_model.bin) + cat_config.json + tokenizer.  Loads
+    BertForTokenClassification weights into the numpy
+    BertTokenClassifier; labels from HF config id2label."""
+    from medcat_spark.functions.bert_np import BertTokenClassifier
+    from medcat_spark.sources.torch_pickle import read_safetensors
+    with open(os.path.join(sub, "config.json")) as f:
+        hf = json.load(f)
+    id2label = hf.get("id2label") or {}
+    labels = [v for _k, v in sorted(id2label.items(),
+                                    key=lambda kv: int(kv[0]))] \
+        or [str(i) for i in range(int(hf.get("num_labels", 2)))]
+    st = os.path.join(sub, "model.safetensors")
+    if os.path.exists(st):
+        sd = read_safetensors(st)
+    else:
+        sd = read_state_dict(os.path.join(sub, "pytorch_model.bin"))
+    m = BertTokenClassifier.from_state_dict(
+        sd, labels, int(hf.get("num_attention_heads", 12)))
+    tokenizer = None
+    if os.path.exists(os.path.join(sub, "vocab.txt")):
+        from medcat_spark.core.bbpe import WordPieceTokenizer
+        tokenizer = WordPieceTokenizer.load(
+            sub, lowercase=bool(hf.get("do_lower_case", True)))
+    m.tokenizer = tokenizer
     return m
 
 

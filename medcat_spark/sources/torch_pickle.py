@@ -280,6 +280,73 @@ def write_state_dict(path: str, state: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# safetensors reader (the other format HF save_pretrained emits)
+
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_, "BF16": None,
+}
+
+
+def read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Read a ``.safetensors`` file (published format: u64-LE header
+    length, JSON header mapping tensor name -> {dtype, shape,
+    data_offsets}, then the raw little-endian buffer)."""
+    import json
+    import struct
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        base = 8 + hlen
+        for name, meta in header.items():
+            if name == "__metadata__":
+                continue
+            dt = meta["dtype"]
+            if dt not in _SAFETENSORS_DTYPES:
+                raise ValueError(f"{path}: unsupported dtype {dt}")
+            b0, b1 = meta["data_offsets"]
+            f.seek(base + b0)
+            raw = f.read(b1 - b0)
+            if dt == "BF16":
+                u16 = np.frombuffer(raw, dtype="<u2")
+                arr = (u16.astype(np.uint32) << 16).view(np.float32).copy()
+            else:
+                dtype = np.dtype(_SAFETENSORS_DTYPES[dt]).newbyteorder("<")
+                arr = np.frombuffer(raw, dtype=dtype).copy()
+            out[name] = arr.reshape(meta["shape"])
+    return out
+
+
+def write_safetensors(path: str, state: Dict[str, np.ndarray]) -> None:
+    """Inverse of :func:`read_safetensors` (fixtures/export)."""
+    import json
+    import struct
+    inv = {np.dtype(v): k for k, v in _SAFETENSORS_DTYPES.items() if v}
+    header: Dict[str, dict] = {}
+    bufs = []
+    off = 0
+    for name, arr in state.items():
+        arr = np.ascontiguousarray(np.asarray(arr)).reshape(
+            np.asarray(arr).shape)
+        dt = inv.get(arr.dtype)
+        if dt is None:
+            raise TypeError(f"unsupported dtype {arr.dtype} for {name}")
+        raw = arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
+        header[name] = {"dtype": dt, "shape": list(arr.shape),
+                        "data_offsets": [off, off + len(raw)]}
+        bufs.append(raw)
+        off += len(raw)
+    hjson = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for raw in bufs:
+            f.write(raw)
+
+
+# ---------------------------------------------------------------------------
 # tolerant plain-pickle reader (for cdb.dat / vocab.dat in reference packs)
 
 
