@@ -44,11 +44,22 @@ def main(argv=None):
     from medcat_spark.checkpoint import read_annotations, resumable_annotate
     from medcat_spark.pipeline import broadcast_model
     from medcat_spark.session import get_spark
-    from medcat_spark.sources.model_pack import load_any_pack
+    from medcat_spark.sources.model_pack import (is_reference_pack,
+                                                 load_model_pack)
     from medcat_spark.triples import cooccurrence_triples, mention_triples
 
     spark = get_spark("medcat-spark-kg", master=args.master)
-    cdb, vocab, cfg = load_any_pack(args.model_pack)
+    # ONE pack load: components come along when --meta asks for them
+    comps: dict = {}
+    if is_reference_pack(args.model_pack):
+        from medcat_spark.sources.reference_pack import load_reference_pack
+        cdb, vocab, cfg, comps = load_reference_pack(
+            args.model_pack, load_components=args.meta)
+    else:
+        cdb, vocab, cfg = load_model_pack(args.model_pack)
+        if args.meta:
+            comps = {"_skipped": [(args.model_pack,
+                                   "columnar pack: no meta_* components")]}
     bc = broadcast_model(spark, cdb, vocab, cfg)
     docs = spark.read.parquet(args.docs)
 
@@ -109,16 +120,8 @@ def main(argv=None):
                 .parquet(f"{args.out}/triples/cooccurrence")
     meta_stats = {}
     if args.meta and ann is not None:
-        # meta components live only in reference-layout packs
-        import os
-
         from pyspark.sql import functions as F
         from medcat_spark.functions.lstm_meta import meta_annotations_lstm
-        from medcat_spark.sources.reference_pack import load_reference_pack
-        comps = {}
-        if os.path.isdir(args.model_pack) and os.path.exists(
-                os.path.join(args.model_pack, "cdb.dat")):
-            _c, _v, _cf, comps = load_reference_pack(args.model_pack)
         src = docs
         if "spans" in src.columns and "text" not in src.columns:
             # JVM twin of core/docs.reconstruct_text: each text span
@@ -134,10 +137,13 @@ def main(argv=None):
                         F.rpad(acc, F.greatest(F.length(acc), s["offset"]),
                                " "),
                         s["text"])).alias("text"))
+        # meta heads only: rel_*/trf_* components load under their
+        # prefixed names and are NOT meta-annotation scorers
+        meta_comps = {k: v for k, v in comps.items()
+                      if k != "_skipped"
+                      and not k.startswith(("rel_", "trf_"))}
         metas = None
-        for name, model in comps.items():
-            if name == "_skipped":
-                continue
+        for name, model in sorted(meta_comps.items()):
             cur = meta_annotations_lstm(
                 ann, src, spark.sparkContext.broadcast(model),
                 meta_name=name)
@@ -147,8 +153,7 @@ def main(argv=None):
                 .parquet(f"{args.out}/meta_annotations")
             meta_stats["n_meta_annotations"] = \
                 spark.read.parquet(f"{args.out}/meta_annotations").count()
-            meta_stats["meta_components"] = sorted(
-                k for k in comps if k != "_skipped")
+            meta_stats["meta_components"] = sorted(meta_comps)
         meta_stats["meta_skipped"] = [c[0] for c in
                                       comps.get("_skipped", [])]
     print(json.dumps({**manifest, **dedup_stats, **meta_stats}))

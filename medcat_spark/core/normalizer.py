@@ -144,8 +144,10 @@ _DOUBLED = frozenset("bdgmnprt")  # runn→run; 'll'/'ss' are natural endings
 # NOT undouble them (add+ed='added', not 'ad'+ded; grown from the r4
 # open-vocab divergence run — spaCy resolves this class via its lemma
 # index, we enumerate the common bases)
+# NOT in the list: 'putt' ('putting'/'putted' are overwhelmingly forms
+# of 'put' — spacy-lookups en_lemma_exc maps them to 'put')
 _DOUBLE_FINAL_BASES = frozenset({
-    "add", "odd", "err", "ebb", "egg", "inn", "putt", "butt", "purr",
+    "add", "odd", "err", "ebb", "egg", "inn", "butt", "purr",
     "burr", "whirr"})
 
 

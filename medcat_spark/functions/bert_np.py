@@ -347,17 +347,27 @@ def _score_pairs_bert(bc):
                       "end": int(x.get("end") or x["start"] + 1),
                       "cui": x["cui"]} for x in row.ents),
                     key=lambda x: (x["start"], x["cui"]))
+                cntx_l = getattr(model, "cntx_left",
+                                 getattr(model, "cntx", 15))
+                cntx_r = getattr(model, "cntx_right", cntx_l)
+                win_chars = getattr(model, "window_size_chars", 300)
+                max_len = getattr(model, "max_seq_length", 512)
+                pos_tab = getattr(getattr(model, "encoder", None),
+                                  "pos", None)
+                if pos_tab is not None:   # BERT position-table bound
+                    max_len = min(max_len, pos_tab.shape[0])
                 for i, a in enumerate(ents):
                     for b in ents[i + 1:]:
+                        # reference bound: CHAR distance between entity
+                        # start positions (rel_dataset.py:216)
+                        if b["start"] - a["start"] > win_chars:
+                            continue
                         ra = tok_range(a["start"], a["end"])
                         rb = tok_range(b["start"], b["end"])
-                        if ra is None or rb is None:
+                        if ra is None or rb is None or rb[0] <= ra[1]:
                             continue
-                        if rb[0] - ra[1] > model.max_distance or \
-                                rb[0] <= ra[1]:
-                            continue
-                        lo = max(0, ra[0] - model.cntx)
-                        hi = min(len(ids), rb[1] + 1 + model.cntx)
+                        lo = max(0, ra[0] - cntx_l)
+                        hi = min(len(ids), rb[1] + 1 + cntx_r)
                         # splice markers around both entities
                         seq = (ids[lo:ra[0]] + [s1] + ids[ra[0]:ra[1] + 1]
                                + [e1m] + ids[ra[1] + 1:rb[0]] + [s2]
@@ -365,6 +375,13 @@ def _score_pairs_bert(bc):
                                + ids[rb[1] + 1:hi])
                         p1 = ra[0] - lo
                         p2 = rb[0] - lo + 2   # after [s1] and [e1]
+                        # truncate to the encoder's sequence budget
+                        # (reference general.max_seq_length); a pair
+                        # whose second marker falls outside it cannot
+                        # be scored faithfully -> skip
+                        if p2 >= max_len:
+                            continue
+                        seq = seq[:max_len]
                         meta.append((str(row.doc_id), a["start"], b["start"],
                                      a["cui"], b["cui"]))
                         seqs.append(seq)
@@ -445,8 +462,10 @@ def relcat_bert_fixture_model():
         read_state_dict(path), ["Spatial", "Causal", "None"], n_heads=2)
     m.tokenizer = tok
     m.tag_ids = tag_ids
-    m.cntx = 4
-    m.max_distance = 12
+    m.cntx_left = 4
+    m.cntx_right = 4
+    m.window_size_chars = 80
+    m.max_seq_length = 64   # == the fixture position table
     return m
 
 

@@ -257,11 +257,21 @@ def _score_batches_lstm(bc, meta_name: str):
         model: LstmMetaModel = _META_CACHE.get(key)
         if model is None:
             model = bc.value
+            # one-entry bound like meta_model._score_batches: without
+            # the clear, every broadcast component leaks a full model
+            # per long-lived executor (and a reused id() could alias)
+            _META_CACHE.clear()
             _META_CACHE[key] = model
         from bisect import bisect_right
         if model.tokenizer is not None:
             yield from _score_token_space(model, meta_name, batches)
             return
+        if not hasattr(model, "predict_batch"):
+            raise ValueError(
+                f"{type(model).__name__} has no tokenizer and no "
+                "whitespace-token scorer — meta components that work in "
+                "token-id space (BertMetaModel) need their tokenizer "
+                "files (bbpe-*/vocab.txt) present in the pack")
         for pdf in batches:
             rows_meta: List[Tuple[str, int, str]] = []
             windows: List[List[str]] = []

@@ -119,21 +119,25 @@ def load_pack_config(path: str) -> EngineConfig:
     return EngineConfig(**d)
 
 
+def is_reference_pack(path: str) -> bool:
+    """True when ``path`` is a MedCAT-layout pack (zip or dir with
+    cdb.dat) rather than the native columnar layout."""
+    import zipfile
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            return any(n.endswith("cdb.dat") for n in zf.namelist())
+    return os.path.exists(os.path.join(path, "cdb.dat"))
+
+
 def load_any_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
     """Dispatch on pack layout: a MedCAT-format pack (zip, or a dir
     containing ``cdb.dat``) loads through sources/reference_pack.py; the
     native columnar layout loads through :func:`load_model_pack`.  This
     is the job-surface entry point (jobs/run_kg.py --model-pack) so a
     MedCAT user can point spark-submit at their existing model pack."""
-    import zipfile
-    if path.endswith(".zip"):
-        with zipfile.ZipFile(path) as zf:
-            is_ref = any(n.endswith("cdb.dat") for n in zf.namelist())
-        if not is_ref:
-            raise ValueError(f"{path}: zip does not contain cdb.dat")
-    else:
-        is_ref = os.path.exists(os.path.join(path, "cdb.dat"))
-    if is_ref:
+    if path.endswith(".zip") and not is_reference_pack(path):
+        raise ValueError(f"{path}: zip does not contain cdb.dat")
+    if is_reference_pack(path):
         from medcat_spark.sources.reference_pack import load_reference_pack
         cdb, vocab, cfg, _comps = load_reference_pack(
             path, load_components=False)

@@ -70,6 +70,9 @@ SPECIALITY_NAMES = (
 _CUI_COMBINE = ("cui2names", "cui2snames", "cui2context_vectors",
                 "cui2count_train", "cui2tags", "cui2type_ids",
                 "cui2preferred_name", "cui2average_confidence")
+# optimise_names=True combines these into name2many
+# (memory_optimiser.py:15-18; keys are disjoint cui/name spaces)
+_NAME_COMBINE = ("cui2names", "name2cuis2status", "cui2preferred_name")
 _DELEGATING_DICT = "==DELEGATING_DICT=="
 _DELEGATING_SET = "==DELEGATING_SET=="
 
@@ -232,14 +235,16 @@ def _undo_memory_optimisation(path: str, json_split: bool,
     map_to_many:355-366) had for that cui; the original attributes are
     saved as delegating markers.  snames becomes a DelegatingValueSet
     over cui2snames — rebuilt as the union."""
-    cui2many = None
-    jp = os.path.join(path, "cui2many.json")
-    if json_split and os.path.exists(jp):
-        cui2many = _read_json(jp)
-    elif isinstance(cdb_main.get("cui2many"), dict):
-        cui2many = _clean(cdb_main["cui2many"])
-    if cui2many:
-        for nr, name in enumerate(_CUI_COMBINE):
+    def _many(fname: str):
+        jp = os.path.join(path, f"{fname}.json")
+        if json_split and os.path.exists(jp):
+            return _read_json(jp)
+        if isinstance(cdb_main.get(fname), dict):
+            return _clean(cdb_main[fname])
+        return None
+
+    def _rebuild(many: dict, combine) -> None:
+        for nr, name in enumerate(combine):
             holder = spec if name in spec else cdb_main
             cur = holder.get(name)
             # honour an explicit marker's own index when present
@@ -249,12 +254,19 @@ def _undo_memory_optimisation(path: str, json_split: bool,
             if cur is not None and not _is_delegating(cur) and cur != {}:
                 continue   # attribute was saved unoptimised
             rebuilt = {}
-            for cui, tup in cui2many.items():
+            for key, tup in many.items():
                 if isinstance(tup, (list, tuple)) and use_nr < len(tup) \
                         and tup[use_nr] is not None \
                         and not is_inert(tup[use_nr]):
-                    rebuilt[cui] = tup[use_nr]
+                    rebuilt[key] = tup[use_nr]
             holder[name] = rebuilt
+
+    cui2many = _many("cui2many")
+    if cui2many:
+        _rebuild(cui2many, _CUI_COMBINE)
+    name2many = _many("name2many")
+    if name2many:
+        _rebuild(name2many, _NAME_COMBINE)
     sn = spec.get("snames")
     if _is_delegating(sn) or not sn:
         c2s = spec.get("cui2snames") or {}
@@ -513,8 +525,18 @@ def _load_rel_component(sub: str):
         tag_ids = [tokenizer.vocab.get(t) for t in
                    ("[s1]", "[e1]", "[s2]", "[e2]")]
     m.tag_ids = [int(t) for t in tag_ids if t is not None]
-    m.cntx = int(rc.get("general", {}).get("cntx_left", 15))
-    m.max_distance = int(model_cfg.get("window_size", 300))
+    if len(m.tag_ids) != 4:
+        # fail at LOAD time (component lands in _skipped with this
+        # message) instead of a ValueError inside mapInPandas later
+        raise ValueError(
+            f"annotation schema needs 4 tag ids ([s1]/[e1]/[s2]/[e2]); "
+            f"got {m.tag_ids} from config/tokenizer")
+    m.cntx_left = int(g.get("cntx_left", 15))
+    m.cntx_right = int(g.get("cntx_right", 10))
+    # reference window_size lives in config.general and bounds the CHAR
+    # distance between entity start positions (rel_dataset.py:216)
+    m.window_size_chars = int(g.get("window_size", 300))
+    m.max_seq_length = int(g.get("max_seq_length", 512))
     return m
 
 

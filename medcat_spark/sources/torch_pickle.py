@@ -358,12 +358,29 @@ class _TolerantUnpickler(pickle.Unpickler):
     medcat class instance — to an inert stub instead of failing the load.
     """
 
-    _ALLOW = {"builtins", "collections", "numpy", "numpy.core.multiarray",
-              "numpy._core.multiarray", "numpy.core.numeric", "functools"}
+    _ALLOW_MODULES = {"collections", "functools"}
+    # builtins is NOT allowlisted wholesale: that would hand a crafted
+    # pack eval/exec/__import__.  Only inert data constructors pass.
+    _SAFE_BUILTINS = {"set", "frozenset", "list", "tuple", "dict", "str",
+                      "bytes", "bytearray", "int", "float", "complex",
+                      "bool", "slice", "range", "object"}
+    _SAFE_COLLECTIONS = {"OrderedDict", "defaultdict", "Counter", "deque"}
 
     def find_class(self, module: str, name: str):
         root = module.split(".")[0]
-        if module in self._ALLOW or root == "numpy":
+        if root == "numpy":
+            return super().find_class(module, name)
+        if module == "builtins":
+            if name in self._SAFE_BUILTINS:
+                return super().find_class(module, name)
+            return _Inert
+        if module == "collections":
+            if name in self._SAFE_COLLECTIONS:
+                return super().find_class(module, name)
+            return _Inert
+        if module == "functools" and name == "partial":
+            return super().find_class(module, name)
+        if module == "copyreg" and name == "_reconstructor":
             return super().find_class(module, name)
         return _Inert
 

@@ -67,7 +67,7 @@ def test_rel_component_round_trip_llama(tmp_path):
                                                  llama_fixture_state_dict)
     base = RelCatLlamaModel.from_state_dict(
         llama_fixture_state_dict(), ["A", "B", "C"], 2, 1)
-    base.tag_ids = []
+    base.tag_ids = [60, 61, 62, 63]
     d = str(tmp_path / "rel_L")
     write_reference_rel_component(d, base, n_heads=2)
     m2 = _load_rel_component(d)
