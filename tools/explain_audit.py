@@ -78,6 +78,13 @@ def main():
         docs, ddp.lsh_candidate_pairs(docs, sh=sh), sh=sh)
     plans["mct_consolidation"] = __import__("__spark_entry__") \
         .queries()["mct_consolidation"](spark, SF_DIR)
+    # round-4 operators: torch-ingested LSTM meta head, BERT relation
+    # pairs, patient concept streams (pure-JVM fold)
+    entry_q = __import__("__spark_entry__").queries()
+    plans["meta_lstm_torch"] = entry_q["meta_lstm_torch"](spark, SF_DIR)
+    plans["kg_relations_bert"] = entry_q["kg_relations_bert"](spark, SF_DIR)
+    plans["patient_concept_stream"] = entry_q["patient_concept_stream"](
+        spark, SF_DIR)
     plans["mc_train_test_split"] = __import__("__spark_entry__") \
         .queries()["mc_train_test_split"](spark, SF_DIR)
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
