@@ -114,6 +114,25 @@ def test_reader_rejects_non_checkpoint(tmp_path):
         read_state_dict(p)
 
 
+def test_tolerant_pickle_never_resolves_dangerous_builtins(tmp_path):
+    """Security regression (r4 review finding): a crafted cdb.dat must
+    NOT reach eval/exec/__import__ — only inert data constructors."""
+    evil = (b"cbuiltins\neval\n(S'open(\"/tmp/pwned_by_pickle\",\"w\")'\n"
+            b"tR.")
+    p = tmp_path / "cdb.dat"
+    p.write_bytes(evil)
+    out = tolerant_pickle_load(str(p))
+    assert is_inert(out)
+    import os
+    assert not os.path.exists("/tmp/pwned_by_pickle")
+    # safe constructors still resolve
+    import pickle as pkl
+    good = tmp_path / "ok.dat"
+    good.write_bytes(pkl.dumps({"s": {1, 2}, "d": {"a": 1}}))
+    out2 = tolerant_pickle_load(str(good))
+    assert out2 == {"s": {1, 2}, "d": {"a": 1}}
+
+
 def test_tolerant_pickle_load_stubs_foreign_globals(tmp_path):
     """A dict containing an unimportable global (the shape of a dill-pickled
     weighted_average_function inside cdb.dat) loads with the bad entry
