@@ -376,10 +376,12 @@ def _score_pairs_bert(bc):
                         p1 = ra[0] - lo
                         p2 = rb[0] - lo + 2   # after [s1] and [e1]
                         # truncate to the encoder's sequence budget
-                        # (reference general.max_seq_length); a pair
-                        # whose second marker falls outside it cannot
-                        # be scored faithfully -> skip
-                        if p2 >= max_len:
+                        # (reference general.max_seq_length).  The
+                        # reference drops relations whose annotation
+                        # tags don't survive truncation — require the
+                        # FULL marked entity-2 span incl. [e2]
+                        # (position rb[1]-lo+3) inside the budget.
+                        if rb[1] - lo + 3 >= max_len:
                             continue
                         seq = seq[:max_len]
                         meta.append((str(row.doc_id), a["start"], b["start"],

@@ -135,9 +135,10 @@ def load_any_pack(path: str) -> Tuple[CdbModel, VocabModel, EngineConfig]:
     native columnar layout loads through :func:`load_model_pack`.  This
     is the job-surface entry point (jobs/run_kg.py --model-pack) so a
     MedCAT user can point spark-submit at their existing model pack."""
-    if path.endswith(".zip") and not is_reference_pack(path):
+    is_ref = is_reference_pack(path)
+    if path.endswith(".zip") and not is_ref:
         raise ValueError(f"{path}: zip does not contain cdb.dat")
-    if is_reference_pack(path):
+    if is_ref:
         from medcat_spark.sources.reference_pack import load_reference_pack
         cdb, vocab, cfg, _comps = load_reference_pack(
             path, load_components=False)

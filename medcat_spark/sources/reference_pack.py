@@ -512,13 +512,7 @@ def _load_rel_component(sub: str):
     else:
         from medcat_spark.functions.bert_np import RelCatBertModel
         m = RelCatBertModel.from_state_dict(sd, labels, n_heads)
-    tokenizer = None
-    if os.path.exists(os.path.join(sub, "vocab.txt")):
-        from medcat_spark.core.bbpe import WordPieceTokenizer
-        tokenizer = WordPieceTokenizer.load(sub)
-    elif os.path.exists(os.path.join(sub, "bbpe-merges.txt")):
-        from medcat_spark.core.bbpe import BbpeTokenizer
-        tokenizer = BbpeTokenizer.load(sub, "bbpe")
+    tokenizer = _tokenizer_from_dir(sub)
     m.tokenizer = tokenizer
     tag_ids = g.get("annotation_schema_tag_ids") or []
     if not tag_ids and tokenizer is not None:
@@ -532,12 +526,116 @@ def _load_rel_component(sub: str):
             f"annotation schema needs 4 tag ids ([s1]/[e1]/[s2]/[e2]); "
             f"got {m.tag_ids} from config/tokenizer")
     m.cntx_left = int(g.get("cntx_left", 15))
-    m.cntx_right = int(g.get("cntx_right", 10))
+    m.cntx_right = int(g.get("cntx_right", 15))  # config_rel_cat.py:20
     # reference window_size lives in config.general and bounds the CHAR
     # distance between entity start positions (rel_dataset.py:216)
     m.window_size_chars = int(g.get("window_size", 300))
     m.max_seq_length = int(g.get("max_seq_length", 512))
     return m
+
+
+def _tokenizer_from_dir(sub: str, lowercase_default: bool = True):
+    """Best-effort tokenizer recovery from a component dir, trying every
+    artifact real packs ship: ``vocab.txt`` (WordPiece), ``bbpe-*``
+    (byte BPE), ``tokenizer.json`` (HF fast-tokenizer serialization),
+    and ``tokenizer.dat`` (a dill of the wrapper whose pickled HF
+    tokenizer STATE embeds the vocab — recovered through the tolerant
+    unpickler's state capture).  Returns None when nothing usable."""
+    from medcat_spark.core.bbpe import BbpeTokenizer, WordPieceTokenizer
+
+    lower = lowercase_default
+    tcp = os.path.join(sub, "tokenizer_config.json")
+    if os.path.exists(tcp):
+        try:
+            with open(tcp) as f:
+                tc = json.load(f)
+            if isinstance(tc.get("do_lower_case"), bool):
+                lower = tc["do_lower_case"]
+        except (OSError, ValueError):
+            pass
+
+    if os.path.exists(os.path.join(sub, "vocab.txt")):
+        return WordPieceTokenizer.load(sub, lowercase=lower)
+    if os.path.exists(os.path.join(sub, "bbpe-merges.txt")):
+        return BbpeTokenizer.load(sub, "bbpe", lowercase=lower)
+
+    def _from_tok_json(j: dict):
+        model = j.get("model") or {}
+        vocab = model.get("vocab")
+        if not isinstance(vocab, dict) or not vocab:
+            return None
+        if model.get("type") == "BPE":
+            merges = [tuple(m.split(" ", 1)) if isinstance(m, str)
+                      else tuple(m) for m in model.get("merges", [])]
+            return BbpeTokenizer({str(k): int(v) for k, v in vocab.items()},
+                                 merges, lowercase=lower)
+        return WordPieceTokenizer({str(k): int(v)
+                                   for k, v in vocab.items()},
+                                  lowercase=lower)
+
+    tj = os.path.join(sub, "tokenizer.json")
+    if os.path.exists(tj):
+        try:
+            with open(tj, encoding="utf-8") as f:
+                tok = _from_tok_json(json.load(f))
+            if tok is not None:
+                return tok
+        except (OSError, ValueError):
+            pass
+
+    td = os.path.join(sub, "tokenizer.dat")
+    if os.path.exists(td):
+        obj = tolerant_pickle_load(td)
+        found = {"vocab": None, "json": None, "lower": None}
+        seen = set()
+
+        def walk(o, depth=0):
+            if depth > 8 or id(o) in seen:
+                return
+            seen.add(id(o))
+            if is_inert(o):
+                walk(o.state, depth + 1)
+                walk(getattr(o, "args", None), depth + 1)
+                return
+            if isinstance(o, str):
+                s = o.lstrip()
+                if len(s) > 50 and s.startswith("{") and \
+                        found["json"] is None:
+                    try:
+                        j = json.loads(o)
+                    except ValueError:
+                        return
+                    if isinstance(j, dict) and isinstance(
+                            j.get("model"), dict):
+                        found["json"] = j
+                return
+            if isinstance(o, dict):
+                v = o.get("vocab")
+                if found["vocab"] is None and isinstance(v, dict) and v:
+                    items = list(v.items())[:5]
+                    if all(isinstance(k, str) and isinstance(x, int)
+                           for k, x in items):
+                        found["vocab"] = v
+                if isinstance(o.get("do_lower_case"), bool):
+                    found["lower"] = o["do_lower_case"]
+                for val in o.values():
+                    walk(val, depth + 1)
+            elif isinstance(o, (list, tuple)):
+                for val in o:
+                    walk(val, depth + 1)
+
+        walk(obj)
+        if found["lower"] is not None:
+            lower = found["lower"]
+        if found["json"] is not None:
+            tok = _from_tok_json(found["json"])
+            if tok is not None:
+                return tok
+        if found["vocab"] is not None:
+            return WordPieceTokenizer(
+                {str(k): int(v) for k, v in found["vocab"].items()},
+                lowercase=lower)
+    return None
 
 
 def _load_trf_component(sub: str):
@@ -561,12 +659,13 @@ def _load_trf_component(sub: str):
         sd = read_state_dict(os.path.join(sub, "pytorch_model.bin"))
     m = BertTokenClassifier.from_state_dict(
         sd, labels, int(hf.get("num_attention_heads", 12)))
-    tokenizer = None
-    if os.path.exists(os.path.join(sub, "vocab.txt")):
-        from medcat_spark.core.bbpe import WordPieceTokenizer
-        tokenizer = WordPieceTokenizer.load(
-            sub, lowercase=bool(hf.get("do_lower_case", True)))
-    m.tokenizer = tokenizer
+    m.tokenizer = _tokenizer_from_dir(sub)
+    # real packs ship tokenizer.dat (transformers_ner.py:118-120);
+    # recovery can fail for exotic formats — record why instead of
+    # crashing later
+    m.tokenizer_note = None if m.tokenizer is not None else \
+        "no recoverable tokenizer artifact (vocab.txt / tokenizer.json " \
+        "/ tokenizer.dat state); provide token ids directly"
     return m
 
 
@@ -724,12 +823,15 @@ def write_reference_rel_component(path: str, model, labels=None,
             "idx2labels": {str(i): v for i, v in enumerate(labels)},
             "annotation_schema_tag_ids": list(
                 getattr(model, "tag_ids", [])),
-            "cntx_left": getattr(model, "cntx", 15),
+            "cntx_left": getattr(model, "cntx_left",
+                                 getattr(model, "cntx", 15)),
+            "cntx_right": getattr(model, "cntx_right", 15),
+            "window_size": getattr(model, "window_size_chars", 300),
+            "max_seq_length": getattr(model, "max_seq_length", 512),
         },
         "model": {
             "nclasses": len(labels),
             "padding_idx": 0,
-            "window_size": getattr(model, "max_distance", 300),
         },
     }
     with open(os.path.join(path, "config.json"), "w") as f:

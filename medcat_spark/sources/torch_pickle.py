@@ -105,16 +105,20 @@ def _rebuild_parameter(data, *_rest):
 
 class _Inert:
     """Catch-all for globals outside the allowlist (e.g. dtype objects,
-    ``torch.device``): constructible, reducible, truthy, inert."""
+    ``torch.device``): constructible, reducible, truthy, inert.  The
+    pickled STATE (plain data after tolerant decoding) is kept on
+    ``.state`` so callers can recover embedded data — e.g. the vocab
+    inside a pickled HF tokenizer (reference_pack._load_trf_component)."""
 
     def __init__(self, *a, **k):
         self.args = a
+        self.state = None
 
     def __call__(self, *a, **k):
         return _Inert(*a)
 
     def __setstate__(self, state):
-        pass
+        self.state = state
 
 
 class _StateDictUnpickler(pickle.Unpickler):
@@ -358,18 +362,23 @@ class _TolerantUnpickler(pickle.Unpickler):
     medcat class instance — to an inert stub instead of failing the load.
     """
 
-    _ALLOW_MODULES = {"collections", "functools"}
-    # builtins is NOT allowlisted wholesale: that would hand a crafted
-    # pack eval/exec/__import__.  Only inert data constructors pass.
+    # NOTHING is allowlisted wholesale: builtins holds eval/exec, and
+    # numpy holds runnable gadgets (numpy.testing...runstring,
+    # numpy.f2py.compile, numpy.ctypeslib.load_library — PoC-confirmed).
+    # Only the data (re)constructors these files actually need pass.
     _SAFE_BUILTINS = {"set", "frozenset", "list", "tuple", "dict", "str",
                       "bytes", "bytearray", "int", "float", "complex",
                       "bool", "slice", "range", "object"}
     _SAFE_COLLECTIONS = {"OrderedDict", "defaultdict", "Counter", "deque"}
+    _SAFE_NUMPY = {"ndarray", "dtype", "_reconstruct", "scalar",
+                   "_frombuffer"}
 
     def find_class(self, module: str, name: str):
         root = module.split(".")[0]
         if root == "numpy":
-            return super().find_class(module, name)
+            if name in self._SAFE_NUMPY:
+                return super().find_class(module, name)
+            return _Inert
         if module == "builtins":
             if name in self._SAFE_BUILTINS:
                 return super().find_class(module, name)

@@ -53,6 +53,11 @@ def test_rel_component_round_trip_bert(bert_rel):
     m2 = _load_rel_component(d)
     assert m2.labels == m.labels
     assert m2.tag_ids == m.tag_ids
+    # window/context fields survive the round trip (r4 review finding)
+    assert m2.cntx_left == m.cntx_left
+    assert m2.cntx_right == m.cntx_right
+    assert m2.window_size_chars == m.window_size_chars
+    assert m2.max_seq_length == m.max_seq_length
     rs = np.random.RandomState(3)
     ids = rs.randint(0, m.encoder.word.shape[0], size=(3, 9))
     starts = np.array([[1, 5], [0, 4], [2, 7]])

@@ -85,6 +85,77 @@ def test_trf_component_bin_equals_safetensors(tmp_path):
     np.testing.assert_array_equal(c1, c2)
 
 
+def test_trf_tokenizer_recovered_from_tokenizer_dat(tmp_path):
+    """Real packs ship tokenizer.dat (a dill of the wrapper holding the
+    HF tokenizer) and NO vocab.txt — the vocab must be recovered from
+    the pickled tokenizer STATE (r4 review finding)."""
+    import pickle
+    import sys
+    import types
+    d = str(tmp_path / "trf_real")
+    os.makedirs(d)
+    sd = bert_fixture_state_dict(relcat=False, nclasses=2)
+    nested = {("bert." + k if not k.startswith("classifier") else k): v
+              for k, v in sd.items()}
+    write_safetensors(os.path.join(d, "model.safetensors"), nested)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"num_attention_heads": 2,
+                   "id2label": {"0": "O", "1": "NAME"}}, f)
+
+    # a class that pickles like transformers.BertTokenizer: instance
+    # state carries vocab + do_lower_case
+    cls = type("BertTokenizer", (), {"__module__":
+                                     "transformers.models.bert"})
+    fake_root = types.ModuleType("transformers")
+    fake_mod = types.ModuleType("transformers.models.bert")
+    fake_mod.BertTokenizer = cls
+    sys.modules["transformers"] = fake_root
+    sys.modules["transformers.models"] = types.ModuleType(
+        "transformers.models")
+    sys.modules["transformers.models.bert"] = fake_mod
+    try:
+        hf = cls()
+        hf.__dict__ = {"vocab": {"[PAD]": 0, "[UNK]": 1, "heart": 2,
+                                 "attack": 3, "##s": 4},
+                       "do_lower_case": True}
+        with open(os.path.join(d, "tokenizer.dat"), "wb") as f:
+            pickle.dump({"hf_tokenizer": hf, "max_len": 512}, f)
+    finally:
+        for mname in ("transformers", "transformers.models",
+                      "transformers.models.bert"):
+            del sys.modules[mname]
+
+    m = _load_trf_component(d)
+    assert m.tokenizer is not None, m.tokenizer_note
+    ids, spans = m.tokenizer.encode_with_offsets("heart attacks zzz")
+    toks = [m.tokenizer.id2tok[i] for i in ids]
+    assert toks == ["heart", "attack", "##s", "[UNK]"]
+
+
+def test_trf_tokenizer_recovered_from_tokenizer_json(tmp_path):
+    """Fast tokenizers serialize as tokenizer.json (model.type +
+    vocab); recovery must parse it."""
+    d = str(tmp_path / "trf_fast")
+    os.makedirs(d)
+    sd = bert_fixture_state_dict(relcat=False, nclasses=2)
+    nested = {("bert." + k if not k.startswith("classifier") else k): v
+              for k, v in sd.items()}
+    write_safetensors(os.path.join(d, "model.safetensors"), nested)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"num_attention_heads": 2,
+                   "id2label": {"0": "O", "1": "X"}}, f)
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        json.dump({"version": "1.0",
+                   "model": {"type": "WordPiece",
+                             "vocab": {"[PAD]": 0, "[UNK]": 1,
+                                       "fever": 2, "##ish": 3},
+                             "unk_token": "[UNK]"}}, f)
+    m = _load_trf_component(d)
+    assert m.tokenizer is not None
+    ids = m.tokenizer.encode("feverish")
+    assert [m.tokenizer.id2tok[i] for i in ids] == ["fever", "##ish"]
+
+
 def test_trf_discovered_in_pack(tmp_path):
     from medcat_spark.config import EngineConfig
     from medcat_spark.fixtures import trained_fixture_models
