@@ -39,6 +39,10 @@ def main(argv=None):
                    help="run the pack's meta_* components (LSTM heads "
                         "from torch-format checkpoints) over the "
                         "committed annotations -> out/meta_annotations")
+    p.add_argument("--relations", action="store_true",
+                   help="run the pack's rel_* component (BERT/LLaMA/"
+                        "ModernBERT pair classifier) over the committed "
+                        "annotations -> out/triples/relations")
     args = p.parse_args(argv)
 
     from medcat_spark.checkpoint import read_annotations, resumable_annotate
@@ -54,12 +58,13 @@ def main(argv=None):
     if is_reference_pack(args.model_pack):
         from medcat_spark.sources.reference_pack import load_reference_pack
         cdb, vocab, cfg, comps = load_reference_pack(
-            args.model_pack, load_components=args.meta)
+            args.model_pack,
+            load_components=args.meta or args.relations)
     else:
         cdb, vocab, cfg = load_model_pack(args.model_pack)
-        if args.meta:
+        if args.meta or args.relations:
             comps = {"_skipped": [(args.model_pack,
-                                   "columnar pack: no meta_* components")]}
+                                   "columnar pack: no component dirs")]}
     bc = broadcast_model(spark, cdb, vocab, cfg)
     docs = spark.read.parquet(args.docs)
 
@@ -156,6 +161,34 @@ def main(argv=None):
             meta_stats["meta_components"] = sorted(meta_comps)
         meta_stats["meta_skipped"] = [c[0] for c in
                                       comps.get("_skipped", [])]
+    if args.relations and ann is not None:
+        from pyspark.sql import functions as F
+        from medcat_spark.functions.bert_np import relations_bert
+        rel_comps = {k: v for k, v in comps.items()
+                     if k.startswith("rel_")}
+        if not rel_comps:
+            meta_stats["relations_skipped"] = "no rel_* component in pack"
+        else:
+            name, model = sorted(rel_comps.items())[0]
+            src_r = docs
+            if "spans" in src_r.columns and "text" not in src_r.columns:
+                src_r = src_r.select(
+                    "doc_id",
+                    F.aggregate(
+                        F.filter("spans", lambda s: (s["kind"] == "text")
+                                 & s["text"].isNotNull()),
+                        F.lit(""),
+                        lambda acc, s: F.concat(
+                            F.rpad(acc, F.greatest(F.length(acc),
+                                                   s["offset"]), " "),
+                            s["text"])).alias("text"))
+            rel = relations_bert(
+                ann, src_r, spark.sparkContext.broadcast(model))
+            rel.write.mode("overwrite") \
+                .parquet(f"{args.out}/triples/relations")
+            meta_stats["n_relation_triples"] = spark.read.parquet(
+                f"{args.out}/triples/relations").count()
+            meta_stats["relation_component"] = name
     print(json.dumps({**manifest, **dedup_stats, **meta_stats}))
     spark.stop()
 
