@@ -55,7 +55,10 @@ def main(argv=None):
     spark = get_spark("medcat-spark-kg", master=args.master)
     # ONE pack load: components come along when --meta asks for them
     comps: dict = {}
-    if is_reference_pack(args.model_pack):
+    is_ref = is_reference_pack(args.model_pack)
+    if args.model_pack.endswith(".zip") and not is_ref:
+        raise ValueError(f"{args.model_pack}: zip does not contain cdb.dat")
+    if is_ref:
         from medcat_spark.sources.reference_pack import load_reference_pack
         cdb, vocab, cfg, comps = load_reference_pack(
             args.model_pack,
@@ -124,24 +127,33 @@ def main(argv=None):
                 .write.mode("overwrite") \
                 .parquet(f"{args.out}/triples/cooccurrence")
     meta_stats = {}
-    if args.meta and ann is not None:
+
+    def _docs_with_text():
+        # JVM twin of core/docs.reconstruct_text: each text span PLACED
+        # at its offset, gaps space-filled — annotation char offsets
+        # only align against this exact reconstruction (shared by the
+        # --meta and --relations scorers)
         from pyspark.sql import functions as F
+        if "spans" not in docs.columns or "text" in docs.columns:
+            return docs
+        return docs.select(
+            "doc_id",
+            F.aggregate(
+                F.filter("spans", lambda s: (s["kind"] == "text")
+                         & s["text"].isNotNull()),
+                F.lit(""),
+                lambda acc, s: F.concat(
+                    F.rpad(acc, F.greatest(F.length(acc), s["offset"]),
+                           " "),
+                    s["text"])).alias("text"))
+
+    if (args.meta or args.relations) and comps.get("_skipped"):
+        meta_stats["meta_skipped"] = [c[0] for c in comps["_skipped"]]
+        meta_stats["skip_reasons"] = {c[0]: c[1]
+                                      for c in comps["_skipped"]}
+    if args.meta and ann is not None:
         from medcat_spark.functions.lstm_meta import meta_annotations_lstm
-        src = docs
-        if "spans" in src.columns and "text" not in src.columns:
-            # JVM twin of core/docs.reconstruct_text: each text span
-            # PLACED at its offset, gaps space-filled — annotation char
-            # offsets only align against this exact reconstruction
-            src = src.select(
-                "doc_id",
-                F.aggregate(
-                    F.filter("spans", lambda s: (s["kind"] == "text")
-                             & s["text"].isNotNull()),
-                    F.lit(""),
-                    lambda acc, s: F.concat(
-                        F.rpad(acc, F.greatest(F.length(acc), s["offset"]),
-                               " "),
-                        s["text"])).alias("text"))
+        src = _docs_with_text()
         # meta heads only: rel_*/trf_* components load under their
         # prefixed names and are NOT meta-annotation scorers
         meta_comps = {k: v for k, v in comps.items()
@@ -159,31 +171,22 @@ def main(argv=None):
             meta_stats["n_meta_annotations"] = \
                 spark.read.parquet(f"{args.out}/meta_annotations").count()
             meta_stats["meta_components"] = sorted(meta_comps)
-        meta_stats["meta_skipped"] = [c[0] for c in
-                                      comps.get("_skipped", [])]
     if args.relations and ann is not None:
-        from pyspark.sql import functions as F
         from medcat_spark.functions.bert_np import relations_bert
         rel_comps = {k: v for k, v in comps.items()
                      if k.startswith("rel_")}
         if not rel_comps:
-            meta_stats["relations_skipped"] = "no rel_* component in pack"
+            meta_stats["relations_skipped"] = (
+                "no loadable rel_* component in pack"
+                + (" (see skip_reasons)" if comps.get("_skipped") else ""))
         else:
             name, model = sorted(rel_comps.items())[0]
-            src_r = docs
-            if "spans" in src_r.columns and "text" not in src_r.columns:
-                src_r = src_r.select(
-                    "doc_id",
-                    F.aggregate(
-                        F.filter("spans", lambda s: (s["kind"] == "text")
-                                 & s["text"].isNotNull()),
-                        F.lit(""),
-                        lambda acc, s: F.concat(
-                            F.rpad(acc, F.greatest(F.length(acc),
-                                                   s["offset"]), " "),
-                            s["text"])).alias("text"))
+            if len(rel_comps) > 1:
+                meta_stats["relation_components_unused"] = sorted(
+                    rel_comps)[1:]
             rel = relations_bert(
-                ann, src_r, spark.sparkContext.broadcast(model))
+                ann, _docs_with_text(),
+                spark.sparkContext.broadcast(model))
             rel.write.mode("overwrite") \
                 .parquet(f"{args.out}/triples/relations")
             meta_stats["n_relation_triples"] = spark.read.parquet(

@@ -326,6 +326,14 @@ def _score_pairs_bert(bc):
         model: "RelCatBertModel" = bc.value
         tok = model.tokenizer
         s1, e1m, s2, e2m = model.tag_ids
+        # loop-invariant model parameters (hoisted out of the pair loop)
+        cntx_l = getattr(model, "cntx_left", getattr(model, "cntx", 15))
+        cntx_r = getattr(model, "cntx_right", cntx_l)
+        win_chars = getattr(model, "window_size_chars", 300)
+        max_len = getattr(model, "max_seq_length", 512)
+        pos_tab = getattr(getattr(model, "encoder", None), "pos", None)
+        if pos_tab is not None:   # BERT position-table bound
+            max_len = min(max_len, pos_tab.shape[0])
         for pdf in batches:
             meta: List[tuple] = []
             seqs: List[List[int]] = []
@@ -347,20 +355,18 @@ def _score_pairs_bert(bc):
                       "end": int(x.get("end") or x["start"] + 1),
                       "cui": x["cui"]} for x in row.ents),
                     key=lambda x: (x["start"], x["cui"]))
-                cntx_l = getattr(model, "cntx_left",
-                                 getattr(model, "cntx", 15))
-                cntx_r = getattr(model, "cntx_right", cntx_l)
-                win_chars = getattr(model, "window_size_chars", 300)
-                max_len = getattr(model, "max_seq_length", 512)
-                pos_tab = getattr(getattr(model, "encoder", None),
-                                  "pos", None)
-                if pos_tab is not None:   # BERT position-table bound
-                    max_len = min(max_len, pos_tab.shape[0])
+                doc_text = row.text or ""
                 for i, a in enumerate(ents):
                     for b in ents[i + 1:]:
                         # reference bound: CHAR distance between entity
-                        # start positions (rel_dataset.py:216)
+                        # start positions (rel_dataset.py:216); ents are
+                        # start-sorted so later b's only get farther
                         if b["start"] - a["start"] > win_chars:
+                            break
+                        # reference also requires DIFFERENT surface text
+                        # (rel_dataset.py:217 ent1_token != ent2_token)
+                        if doc_text[a["start"]:a["end"]] == \
+                                doc_text[b["start"]:b["end"]]:
                             continue
                         ra = tok_range(a["start"], a["end"])
                         rb = tok_range(b["start"], b["end"])
@@ -378,10 +384,11 @@ def _score_pairs_bert(bc):
                         # truncate to the encoder's sequence budget
                         # (reference general.max_seq_length).  The
                         # reference drops relations whose annotation
-                        # tags don't survive truncation — require the
-                        # FULL marked entity-2 span incl. [e2]
-                        # (position rb[1]-lo+3) inside the budget.
-                        if rb[1] - lo + 3 >= max_len:
+                        # tags don't survive truncation — the [e2]
+                        # marker sits at index rb[1]-lo+4 (three
+                        # markers + both entity spans precede it) and
+                        # must stay inside the budget.
+                        if rb[1] - lo + 4 >= max_len:
                             continue
                         seq = seq[:max_len]
                         meta.append((str(row.doc_id), a["start"], b["start"],

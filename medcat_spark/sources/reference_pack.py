@@ -513,6 +513,11 @@ def _load_rel_component(sub: str):
         from medcat_spark.functions.bert_np import RelCatBertModel
         m = RelCatBertModel.from_state_dict(sd, labels, n_heads)
     tokenizer = _tokenizer_from_dir(sub)
+    if tokenizer is None:
+        # fail at load time into _skipped (like the tag-id check) —
+        # relations_bert would otherwise AttributeError in an executor
+        raise ValueError("no recoverable tokenizer artifact (vocab.txt / "
+                         "bbpe-* / tokenizer.json / tokenizer.dat state)")
     m.tokenizer = tokenizer
     tag_ids = g.get("annotation_schema_tag_ids") or []
     if not tag_ids and tokenizer is not None:
@@ -594,7 +599,7 @@ def _tokenizer_from_dir(sub: str, lowercase_default: bool = True):
                 return
             seen.add(id(o))
             if is_inert(o):
-                walk(o.state, depth + 1)
+                walk(getattr(o, "state", None), depth + 1)
                 walk(getattr(o, "args", None), depth + 1)
                 return
             if isinstance(o, str):
@@ -659,7 +664,10 @@ def _load_trf_component(sub: str):
         sd = read_state_dict(os.path.join(sub, "pytorch_model.bin"))
     m = BertTokenClassifier.from_state_dict(
         sd, labels, int(hf.get("num_attention_heads", 12)))
-    m.tokenizer = _tokenizer_from_dir(sub)
+    # honour a do_lower_case carried in the HF config (some exports put
+    # it there instead of tokenizer_config.json)
+    m.tokenizer = _tokenizer_from_dir(
+        sub, lowercase_default=bool(hf.get("do_lower_case", True)))
     # real packs ship tokenizer.dat (transformers_ner.py:118-120);
     # recovery can fail for exotic formats — record why instead of
     # crashing later

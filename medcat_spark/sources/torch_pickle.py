@@ -108,11 +108,15 @@ class _Inert:
     ``torch.device``): constructible, reducible, truthy, inert.  The
     pickled STATE (plain data after tolerant decoding) is kept on
     ``.state`` so callers can recover embedded data — e.g. the vocab
-    inside a pickled HF tokenizer (reference_pack._load_trf_component)."""
+    inside a pickled HF tokenizer (reference_pack._load_trf_component).
+    Class-level defaults matter: protocol-2 NEWOBJ bypasses __init__
+    and pickle skips BUILD for falsy state."""
+
+    args: tuple = ()
+    state = None
 
     def __init__(self, *a, **k):
         self.args = a
-        self.state = None
 
     def __call__(self, *a, **k):
         return _Inert(*a)

@@ -73,6 +73,10 @@ def test_rel_component_round_trip_llama(tmp_path):
     base = RelCatLlamaModel.from_state_dict(
         llama_fixture_state_dict(), ["A", "B", "C"], 2, 1)
     base.tag_ids = [60, 61, 62, 63]
+    base.tokenizer = WordPieceTokenizer(
+        {t: i for i, t in enumerate(
+            ["[PAD]", "[UNK]", "spark", "merge", "[s1]", "[e1]",
+             "[s2]", "[e2]"])})
     d = str(tmp_path / "rel_L")
     write_reference_rel_component(d, base, n_heads=2)
     m2 = _load_rel_component(d)

@@ -117,14 +117,22 @@ def test_reader_rejects_non_checkpoint(tmp_path):
 def test_tolerant_pickle_never_resolves_dangerous_builtins(tmp_path):
     """Security regression (r4 review finding): a crafted cdb.dat must
     NOT reach eval/exec/__import__ — only inert data constructors."""
-    evil = (b"cbuiltins\neval\n(S'open(\"/tmp/pwned_by_pickle\",\"w\")'\n"
+    target = str(tmp_path / "pwned_by_pickle").encode()
+    evil = (b"cbuiltins\neval\n(S'open(\"" + target + b"\",\"w\")'\n"
             b"tR.")
     p = tmp_path / "cdb.dat"
     p.write_bytes(evil)
     out = tolerant_pickle_load(str(p))
     assert is_inert(out)
     import os
-    assert not os.path.exists("/tmp/pwned_by_pickle")
+    assert not os.path.exists(target.decode())
+    # numpy gadget (PoC from the r4 review): runstring must not resolve
+    evil2 = (b"cnumpy.testing._private.utils\nrunstring\n(S'open(\""
+             + target + b"\",\"w\")'\n(dtR.")
+    p.write_bytes(evil2)
+    out2 = tolerant_pickle_load(str(p))
+    assert is_inert(out2)
+    assert not os.path.exists(target.decode())
     # safe constructors still resolve
     import pickle as pkl
     good = tmp_path / "ok.dat"
