@@ -63,6 +63,19 @@ def _get_pairs(word: List[str]) -> set:
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
+def _lower_preserving_length(text: str) -> str:
+    """Lowercase without changing the string length, so token char
+    offsets computed on the lowered text align with the ORIGINAL text.
+    ``str.lower`` can expand some code points ('İ' → 'i̇'), shifting
+    every subsequent offset; keep such chars unlowered instead (their
+    byte tokens differ, but annotation spans stay correct).  Unicode
+    lowercasing never contracts, so equal total length ⟹ 1:1 mapping."""
+    lo = text.lower()
+    if len(lo) == len(text):
+        return lo
+    return "".join(c if len(c.lower()) != 1 else c.lower() for c in text)
+
+
 class BbpeTokenizer:
     """Loads ``<name>-vocab.json`` + ``<name>-merges.txt`` and encodes
     text to ids with character offsets.  Lossless: ``decode(encode(x))
@@ -142,7 +155,7 @@ class BbpeTokenizer:
         every byte to the vocab at train time, so misses only happen with
         truncated vocab files)."""
         if self.lowercase:
-            text = text.lower()
+            text = _lower_preserving_length(text)
         ids: List[int] = []
         spans: List[Tuple[int, int]] = []
         for m in _PRETOK.finditer(text):
@@ -218,7 +231,7 @@ class WordPieceTokenizer:
     def encode_with_offsets(self, text: str
                             ) -> Tuple[List[int], List[Tuple[int, int]]]:
         if self.lowercase:
-            text = text.lower()
+            text = _lower_preserving_length(text)
         ids: List[int] = []
         spans: List[Tuple[int, int]] = []
         # basic tokenization: words and single punctuation marks

@@ -163,10 +163,93 @@ class BertEncoder:
         return x, pooled
 
 
+def annotation_tag_pool(seq: np.ndarray, input_ids: np.ndarray,
+                        start_tag: int, end_tag: int) -> np.ndarray:
+    """numpy ``get_annotation_schema_tag`` (reference
+    utils/relation_extraction/ml_utils.py:243-304): per row, take the
+    FIRST occurrence of the start/end marker ids and max-pool the hidden
+    states of the tokens strictly between them (the entity tokens).
+
+    The reference asserts every row contains both markers (and errors on
+    an empty between-slice via ``torch.max``); this mirrors that with a
+    ValueError so a malformed batch fails loudly instead of silently
+    diverging.
+    """
+    ids = np.asarray(input_ids)
+    B = seq.shape[0]
+    out = np.empty((B, seq.shape[2]), dtype=seq.dtype)
+    for b in range(B):
+        s_pos = np.flatnonzero(ids[b] == start_tag)
+        e_pos = np.flatnonzero(ids[b] == end_tag)
+        if s_pos.size == 0 or e_pos.size == 0:
+            raise ValueError(
+                f"annotation schema tags {start_tag}/{end_tag} missing "
+                f"from row {b} — every marked sequence must contain both")
+        s, e = int(s_pos[0]), int(e_pos[0])
+        if e <= s + 1:
+            raise ValueError(
+                f"no entity tokens between markers {start_tag}..{end_tag} "
+                f"in row {b} (positions {s}..{e})")
+        out[b] = seq[b, s + 1:e].max(axis=0)
+    return out
+
+
+# Per-chunk byte budget for the (rows, heads, L, L) attention temporary.
+# Fresh large temporaries are first-touch page-faulted on this VM at up
+# to ~30x the reuse cost (measured: 2000x40 pair forward 34.7 s cold vs
+# 1.4 s warm); chunking keeps every temporary small enough that the
+# allocator reuses the same arena pages from the second chunk on.  Same
+# family as the MAX_FORWARD_BATCH fix on the meta heads.
+_PAIR_TEMP_BYTES = 8 << 20
+
+
+def chunked_pair_predict(model, input_ids, e1_e2_start,
+                         attention_mask=None):
+    """Shared relation-pair prediction: chunk rows so attention
+    temporaries stay inside ``_PAIR_TEMP_BYTES``, trim each chunk's
+    columns to its real max length (padding is mask-invariant —
+    pytest ``test_padded_batch_equals_individual``), then softmax →
+    ``[(label, conf4dp), ...]``."""
+    ids = np.asarray(input_ids)
+    B, L = ids.shape
+    starts = np.asarray(e1_e2_start)
+    mask = (np.ones((B, L)) if attention_mask is None
+            else np.asarray(attention_mask, dtype=np.float64))
+    heads = getattr(model.encoder, "n_heads", 8)
+    out: List[Tuple[str, float]] = []
+    ofs = 0
+    while ofs < B:
+        # row budget from the CURRENT padded width; refine with the
+        # chunk's own trimmed width for the step actually taken
+        step = max(32, _PAIR_TEMP_BYTES // (heads * L * L * 8))
+        end = min(B, ofs + step)
+        m = mask[ofs:end]
+        real = np.flatnonzero(m.max(axis=0) > 0)
+        Lc = int(real[-1]) + 1 if real.size else 1
+        lg = model.logits(ids[ofs:end, :Lc], starts[ofs:end], m[:, :Lc])
+        best = lg.argmax(axis=1)
+        e = np.exp(lg - lg.max(axis=1, keepdims=True))
+        conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
+        out.extend((model.labels[i], round(float(c), 4))
+                   for i, c in zip(best, conf))
+        ofs = end
+    return out
+
+
 class RelCatBertModel:
     """BertModel_RelationExtraction forward (models.py:84-223): encoder →
-    concat(pooled CLS, hidden at e1 marker, hidden at e2 marker) →
-    fc1 → fc2 → fc3 logits (dropout is inference no-op)."""
+    pooled head → fc1 → fc2 → fc3 logits (dropout is inference no-op).
+
+    Pooling follows the reference's two branches (models.py:170-225):
+    when ``annotation_schema_tag_ids`` are configured (the reference
+    default, and a hard load requirement for imported rel_* components)
+    the entity representations are max-pools over the tokens BETWEEN
+    each [s1]../[e1] and [s2]../[e2] marker pair
+    (``get_annotation_schema_tag``); without tag ids it falls back to
+    the hidden states AT the e1_e2_start marker positions.  Both concat
+    with the pooler CLS output."""
+
+    tag_ids: Optional[List[int]] = None
 
     def __init__(self, encoder: BertEncoder, fc: Dict[str, np.ndarray],
                  labels: List[str]) -> None:
@@ -187,24 +270,30 @@ class RelCatBertModel:
                         "fc3.weight", "fc3.bias")}
         return cls(enc, fc, labels)
 
-    def logits(self, input_ids: np.ndarray, e1_e2_start: np.ndarray,
-               attention_mask: Optional[np.ndarray] = None) -> np.ndarray:
-        seq, pooled = self.encoder.forward(input_ids, attention_mask)
+    def _pooled_concat(self, seq: np.ndarray, pooled: np.ndarray,
+                       input_ids: np.ndarray,
+                       e1_e2_start: np.ndarray) -> np.ndarray:
+        tags = getattr(self, "tag_ids", None)
+        if tags and len(tags) >= 4:
+            t1 = annotation_tag_pool(seq, input_ids, tags[0], tags[1])
+            t2 = annotation_tag_pool(seq, input_ids, tags[2], tags[3])
+            return np.concatenate([pooled, t1, t2], axis=1)
         B = seq.shape[0]
         e1 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 0]]
         e2 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 1]]
-        x = np.concatenate([pooled, e1, e2], axis=1)
+        return np.concatenate([pooled, e1, e2], axis=1)
+
+    def logits(self, input_ids: np.ndarray, e1_e2_start: np.ndarray,
+               attention_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        seq, pooled = self.encoder.forward(input_ids, attention_mask)
+        x = self._pooled_concat(seq, pooled, input_ids, e1_e2_start)
         x = x @ self.fc1_w.T + self.fc1_b
         x = x @ self.fc2_w.T + self.fc2_b
         return x @ self.fc3_w.T + self.fc3_b
 
     def predict(self, input_ids, e1_e2_start, attention_mask=None):
-        lg = self.logits(input_ids, e1_e2_start, attention_mask)
-        best = lg.argmax(axis=1)
-        e = np.exp(lg - lg.max(axis=1, keepdims=True))
-        conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
-        return [(self.labels[i], round(float(c), 4))
-                for i, c in zip(best, conf)]
+        return chunked_pair_predict(self, input_ids, e1_e2_start,
+                                    attention_mask)
 
 
 class BertMetaModel:
@@ -334,6 +423,19 @@ def _score_pairs_bert(bc):
         pos_tab = getattr(getattr(model, "encoder", None), "pos", None)
         if pos_tab is not None:   # BERT position-table bound
             max_len = min(max_len, pos_tab.shape[0])
+        # the reference rel tokenizer wrapper is built with
+        # add_special_tokens=True (utils/relation_extraction/
+        # tokenizer.py:89): [CLS] ... [SEP] framing when the vocab
+        # defines them (RoBERTa-style <s>/</s> accepted too); packs
+        # whose vocab lacks special tokens keep the bare sequence
+        vocab = getattr(tok, "vocab", None) or {}
+        cls_id = sep_id = None
+        for c_t, s_t in (("[CLS]", "[SEP]"), ("<s>", "</s>")):
+            if c_t in vocab and s_t in vocab:
+                cls_id, sep_id = vocab[c_t], vocab[s_t]
+                break
+        off = 1 if cls_id is not None else 0
+        body_budget = max_len - 2 * off
         for pdf in batches:
             meta: List[tuple] = []
             seqs: List[List[int]] = []
@@ -379,18 +481,21 @@ def _score_pairs_bert(bc):
                                + [e1m] + ids[ra[1] + 1:rb[0]] + [s2]
                                + ids[rb[0]:rb[1] + 1] + [e2m]
                                + ids[rb[1] + 1:hi])
-                        p1 = ra[0] - lo
-                        p2 = rb[0] - lo + 2   # after [s1] and [e1]
+                        p1 = ra[0] - lo + off
+                        p2 = rb[0] - lo + 2 + off   # after [s1] and [e1]
                         # truncate to the encoder's sequence budget
                         # (reference general.max_seq_length).  The
                         # reference drops relations whose annotation
                         # tags don't survive truncation — the [e2]
-                        # marker sits at index rb[1]-lo+4 (three
+                        # marker sits at body index rb[1]-lo+4 (three
                         # markers + both entity spans precede it) and
-                        # must stay inside the budget.
-                        if rb[1] - lo + 4 >= max_len:
+                        # must stay inside the budget net of the
+                        # [CLS]/[SEP] frame.
+                        if rb[1] - lo + 4 >= body_budget:
                             continue
-                        seq = seq[:max_len]
+                        seq = seq[:body_budget]
+                        if cls_id is not None:
+                            seq = [cls_id] + seq + [sep_id]
                         meta.append((str(row.doc_id), a["start"], b["start"],
                                      a["cui"], b["cui"]))
                         seqs.append(seq)
@@ -458,6 +563,9 @@ def relcat_bert_fixture_model():
         tok.vocab[t] = len(tok.vocab)
         tok.id2tok[tok.vocab[t]] = t
         tag_ids.append(tok.vocab[t])
+    for t in ("[CLS]", "[SEP]"):   # exercise the special-token framing
+        tok.vocab[t] = len(tok.vocab)
+        tok.id2tok[tok.vocab[t]] = t
     import os
     import tempfile
     from medcat_spark.sources.torch_pickle import (read_state_dict,

@@ -143,9 +143,15 @@ class ModernBertEncoder:
 
 
 class RelCatModernBertModel:
-    """ModernBertModel_RelationExtraction: encoder → concat(first-token
-    state, e1, e2) → fc1/fc2/fc3 (see module docstring for the pooled-
-    output note)."""
+    """ModernBertModel_RelationExtraction (inherits the base
+    output2logits, models.py:170-225): encoder → concat(first-token
+    state, t1, t2) → fc1/fc2/fc3, where t1/t2 are max-pools over the
+    tokens between each annotation marker pair when
+    ``annotation_schema_tag_ids`` are set (the reference default) and
+    the e1_e2_start marker read-outs otherwise (see module docstring
+    for the pooled-output note)."""
+
+    tag_ids = None
 
     def __init__(self, encoder: ModernBertEncoder,
                  fc: Dict[str, np.ndarray], labels: List[str]) -> None:
@@ -168,22 +174,26 @@ class RelCatModernBertModel:
 
     def logits(self, input_ids: np.ndarray, e1_e2_start: np.ndarray,
                attention_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        from medcat_spark.functions.bert_np import annotation_tag_pool
         seq = self.encoder.forward(input_ids, attention_mask)
-        B = seq.shape[0]
-        e1 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 0]]
-        e2 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 1]]
-        x = np.concatenate([seq[:, 0], e1, e2], axis=1)
+        tags = getattr(self, "tag_ids", None)
+        if tags and len(tags) >= 4:
+            t1 = annotation_tag_pool(seq, input_ids, tags[0], tags[1])
+            t2 = annotation_tag_pool(seq, input_ids, tags[2], tags[3])
+            x = np.concatenate([seq[:, 0], t1, t2], axis=1)
+        else:
+            B = seq.shape[0]
+            e1 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 0]]
+            e2 = seq[np.arange(B), np.asarray(e1_e2_start)[:, 1]]
+            x = np.concatenate([seq[:, 0], e1, e2], axis=1)
         x = x @ self.fc1_w.T + self.fc1_b
         x = x @ self.fc2_w.T + self.fc2_b
         return x @ self.fc3_w.T + self.fc3_b
 
     def predict(self, input_ids, e1_e2_start, attention_mask=None):
-        lg = self.logits(input_ids, e1_e2_start, attention_mask)
-        best = lg.argmax(axis=1)
-        e = np.exp(lg - lg.max(axis=1, keepdims=True))
-        conf = e[np.arange(len(lg)), best] / e.sum(axis=1)
-        return [(self.labels[i], round(float(c), 4))
-                for i, c in zip(best, conf)]
+        from medcat_spark.functions.bert_np import chunked_pair_predict
+        return chunked_pair_predict(self, input_ids, e1_e2_start,
+                                    attention_mask)
 
 
 def modernbert_fixture_state_dict(vocab_size: int = 64, hidden: int = 8,

@@ -459,6 +459,15 @@ def _load_meta_component(sub: str):
             pad_id=int(pad),
             cntx_left=int(g.get("cntx_left", 15)),
             cntx_right=int(g.get("cntx_right", 10)))
+        if tokenizer is None:
+            # fail at LOAD time (component lands in _skipped) — the
+            # BERT meta scorer needs a subword tokenizer and would
+            # otherwise ValueError inside mapInPandas at executor time
+            # (same policy as the rel_* tokenizer/tag-id validation)
+            raise ValueError(
+                "BERT meta component has no recoverable tokenizer "
+                "(need bbpe-merges.txt alongside bbpe-vocab.json, or "
+                "vocab.txt / tokenizer.json)")
         m.tokenizer = tokenizer
         return m
     m = LstmMetaModel.from_state_dict(
@@ -509,6 +518,9 @@ def _load_rel_component(sub: str):
         from medcat_spark.functions.llama_np import RelCatLlamaModel
         m = RelCatLlamaModel.from_state_dict(
             sd, labels, n_heads, hf.get("num_key_value_heads"))
+        if "llama_use_pooled_output" in model_cfg:
+            # config wins over the fc1-shape inference
+            m.use_pooled_output = bool(model_cfg["llama_use_pooled_output"])
     else:
         from medcat_spark.functions.bert_np import RelCatBertModel
         m = RelCatBertModel.from_state_dict(sd, labels, n_heads)
@@ -840,6 +852,8 @@ def write_reference_rel_component(path: str, model, labels=None,
         "model": {
             "nclasses": len(labels),
             "padding_idx": 0,
+            "llama_use_pooled_output": bool(
+                getattr(model, "use_pooled_output", False)),
         },
     }
     with open(os.path.join(path, "config.json"), "w") as f:

@@ -86,13 +86,44 @@ class _Storage:
 
 
 def _rebuild_tensor_v2(storage, storage_offset, size, stride, *_rest):
-    """numpy analogue of ``torch._utils._rebuild_tensor_v2``."""
+    """numpy analogue of ``torch._utils._rebuild_tensor_v2``.
+
+    size/stride/offset come from the (untrusted) pickle stream, so they
+    are bounds-checked against the actual storage before the
+    ``as_strided`` view is built — otherwise a crafted checkpoint could
+    make ``.copy()`` read arbitrary process memory or segfault, which
+    would defeat the restricted ``find_class`` hardening."""
     arr = storage.array
-    size = tuple(size)
+    size = tuple(int(s) for s in size)
+    storage_offset = int(storage_offset)
+    if storage_offset < 0 or storage_offset > arr.size:
+        raise ValueError(
+            f"tensor storage_offset {storage_offset} outside storage "
+            f"of {arr.size} elements")
     if not size:
+        if storage_offset >= arr.size:
+            raise ValueError("scalar tensor offset beyond storage end")
         return arr[storage_offset:storage_offset + 1].copy().reshape(())
+    stride = tuple(int(s) for s in stride)
+    if len(stride) != len(size):
+        raise ValueError(f"stride rank {len(stride)} != size rank "
+                         f"{len(size)}")
+    if any(d < 0 for d in size) or any(s < 0 for s in stride):
+        raise ValueError(
+            f"negative size/stride in tensor header: size={size} "
+            f"stride={stride}")
+    if 0 in size:
+        return np.empty(size, dtype=arr.dtype)
+    # max reachable flat index (all strides non-negative)
+    reach = storage_offset + sum((d - 1) * s
+                                 for d, s in zip(size, stride)) + 1
+    if reach > arr.size:
+        raise ValueError(
+            f"tensor view reaches element {reach} of a storage with "
+            f"only {arr.size} elements (size={size}, stride={stride}, "
+            f"offset={storage_offset})")
     itemsize = arr.dtype.itemsize
-    strides = tuple(int(s) * itemsize for s in stride)
+    strides = tuple(s * itemsize for s in stride)
     view = np.lib.stride_tricks.as_strided(
         arr[storage_offset:], shape=size, strides=strides)
     return view.copy()

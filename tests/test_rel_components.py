@@ -13,6 +13,22 @@ from medcat_spark.sources.reference_pack import (
     _load_rel_component, write_reference_rel_component)
 
 
+def _marked_batch(rs, tag_ids, vocab_hi, rows):
+    """Batch of sequences shaped ..[s1] tok tok [e1].. ..[s2] tok [e2]..
+    — the marked-sequence format every loaded rel component consumes."""
+    s1, e1, s2, e2 = tag_ids
+    ids = []
+    for _ in range(rows):
+        ids.append([int(rs.randint(0, vocab_hi)), s1,
+                    int(rs.randint(0, vocab_hi)),
+                    int(rs.randint(0, vocab_hi)), e1,
+                    int(rs.randint(0, vocab_hi)), s2,
+                    int(rs.randint(0, vocab_hi)), e2,
+                    int(rs.randint(0, vocab_hi))])
+    starts = np.array([[1, 6]] * rows)
+    return np.asarray(ids, dtype=np.int64), starts
+
+
 def test_wordpiece_greedy_longest_match():
     vocab = {t: i for i, t in enumerate(
         ["[PAD]", "[UNK]", "un", "##aff", "##able", "##ord",
@@ -59,8 +75,9 @@ def test_rel_component_round_trip_bert(bert_rel):
     assert m2.window_size_chars == m.window_size_chars
     assert m2.max_seq_length == m.max_seq_length
     rs = np.random.RandomState(3)
-    ids = rs.randint(0, m.encoder.word.shape[0], size=(3, 9))
-    starts = np.array([[1, 5], [0, 4], [2, 7]])
+    # marked sequences (the tag-pooling path requires every row to
+    # contain all four [s1]/[e1]/[s2]/[e2] markers, like the reference)
+    ids, starts = _marked_batch(rs, m.tag_ids, vocab_hi=50, rows=3)
     # float32 round trip: predictions equal, logits close
     assert np.abs(m.logits(ids, starts)
                   - m2.logits(ids, starts)).max() < 1e-5
@@ -81,9 +98,9 @@ def test_rel_component_round_trip_llama(tmp_path):
     write_reference_rel_component(d, base, n_heads=2)
     m2 = _load_rel_component(d)
     assert type(m2).__name__ == "RelCatLlamaModel"
+    assert m2.use_pooled_output == base.use_pooled_output
     rs = np.random.RandomState(5)
-    ids = rs.randint(0, 64, size=(2, 8))
-    starts = np.array([[1, 5], [2, 6]])
+    ids, starts = _marked_batch(rs, base.tag_ids, vocab_hi=60, rows=2)
     assert base.predict(ids, starts) == m2.predict(ids, starts)
 
 
