@@ -560,9 +560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     BertModel_RelationExtraction, models.py:84-223): HF-layout
     #     checkpoint through the numpy torch reader, marked sequences
     #     [s1]ent1[e1]..[s2]ent2[e2] via BBPE, multi-head attention
-    #     forward, CLS+e1+e2 pooled head.  Rows-only (a transformer
-    #     forward is not SQL-expressible; parity is pytest-proven
-    #     against an independent per-head implementation).
+    #     forward, annotation-tag max-pool head.  Oracle: independent
+    #     golden recompute (DuckDB mention SQL + per-head brute-force
+    #     forward) emitted as fingerprint-dispatched VALUES literals —
+    #     see medcat_spark/functions/rel_bert_oracle.py.
     def _kg_rel_bert(s, d):
         from medcat_spark.functions.bert_np import (
             relcat_bert_fixture_model, relations_bert)
@@ -1764,6 +1765,15 @@ FROM r WHERE rank <= 3
         return oracle_sql_for_lstm(lstm_fixture_model(), _TOKS_CTE,
                                    _UNI_DICT_SQL, bi_dict_sql=_BI_DICT_SQL)
     o["meta_lstm_torch"] = _meta_lstm_oracle()
+
+    # kg_relations_bert: the transformer forward is not SQL-expressible,
+    # so the oracle is an independently-recomputed golden (DuckDB
+    # word-split mention SQL + standalone pair windowing + per-example
+    # per-head brute-force forward), emitted as VALUES literals keyed on
+    # a fingerprint of the documents table so one SQL string is correct
+    # at every checked sf (rel_bert_oracle.py has the derivation).
+    from medcat_spark.functions.rel_bert_oracle import rel_bert_oracle_sql
+    o["kg_relations_bert"] = rel_bert_oracle_sql()
 
     def _kg_relations_oracle():
         from medcat_spark.functions import rel_model

