@@ -529,7 +529,8 @@ def _load_rel_component(sub: str):
         # fail at load time into _skipped (like the tag-id check) —
         # relations_bert would otherwise AttributeError in an executor
         raise ValueError("no recoverable tokenizer artifact (vocab.txt / "
-                         "bbpe-* / tokenizer.json / tokenizer.dat state)")
+                         "bbpe-* / tokenizer.json / tokenizer.model / "
+                         "tokenizer.dat state)")
     m.tokenizer = tokenizer
     tag_ids = g.get("annotation_schema_tag_ids") or []
     if not tag_ids and tokenizer is not None:
@@ -555,6 +556,7 @@ def _tokenizer_from_dir(sub: str, lowercase_default: bool = True):
     """Best-effort tokenizer recovery from a component dir, trying every
     artifact real packs ship: ``vocab.txt`` (WordPiece), ``bbpe-*``
     (byte BPE), ``tokenizer.json`` (HF fast-tokenizer serialization),
+    ``tokenizer.model`` (sentencepiece protobuf — LLaMA packs),
     and ``tokenizer.dat`` (a dill of the wrapper whose pickled HF
     tokenizer STATE embeds the vocab — recovered through the tolerant
     unpickler's state capture).  Returns None when nothing usable."""
@@ -598,6 +600,19 @@ def _tokenizer_from_dir(sub: str, lowercase_default: bool = True):
             if tok is not None:
                 return tok
         except (OSError, ValueError):
+            pass
+
+    tm = os.path.join(sub, "tokenizer.model")
+    if os.path.exists(tm):
+        # sentencepiece protobuf — the only tokenizer artifact real
+        # LLaMA rel_* components ship (HF LlamaTokenizer loads it;
+        # reference: utils/relation_extraction/tokenizer.py,
+        # TokenizerWrapperLlama)
+        from medcat_spark.core.sentencepiece import SentencePieceTokenizer
+        try:
+            with open(tm, "rb") as f:
+                return SentencePieceTokenizer.from_bytes(f.read())
+        except (ValueError, UnicodeDecodeError):
             pass
 
     td = os.path.join(sub, "tokenizer.dat")
