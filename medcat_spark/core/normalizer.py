@@ -62,6 +62,11 @@ _IRREGULAR = {
     # unambiguous -ves plurals (spacy-lookups-data en_lemma_exc noun;
     # grown from the r4 open-vocab divergence run — the suffix rule
     # alone would emit 'wive'/'knive'/...)
+    # 'lives' is POS-ambiguous (noun plural of 'life' vs verb 'live');
+    # spacy-lookups en_lemma_exc noun maps it to 'life' and the verb
+    # rule's 'live' is never produced for the noun reading — follow the
+    # exception table (r4 divergence run: the one rule-incompatible word)
+    "lives": "life",
     "wives": "wife", "knives": "knife", "shelves": "shelf",
     "calves": "calf", "halves": "half", "selves": "self",
     "thieves": "thief", "wolves": "wolf", "scarves": "scarf",

@@ -46,7 +46,7 @@ def compare(name, sdf, osql, con):
     return None
 
 
-def main(only=None):
+def main(only=None, json_out=None):
     from medcat_spark.session import get_spark
     import __spark_entry__ as entry
 
@@ -60,15 +60,18 @@ def main(only=None):
     qs = entry.queries()
     os_ = entry.oracle_sql()
     fails = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        mode = "oracle"
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
             if name in os_:
                 err = compare(name, sdf, os_[name], con)
             else:
+                mode = "rows-only"
                 n = sdf.count()
                 err = None if n >= 0 else "NEGATIVE"
                 err = None
@@ -76,15 +79,30 @@ def main(only=None):
         except Exception as e:
             err = f"EXCEPTION {type(e).__name__}: {e}"
         dt = time.time() - t0
+        results[name] = {"status": "fail" if err else "ok", "mode": mode,
+                         "sec": round(dt, 2), "err": err}
         if err:
             fails += 1
             print(f"FAIL {name} ({dt:.1f}s): {err}", flush=True)
         else:
             print(f"ok   {name} ({dt:.1f}s)", flush=True)
     print(f"\n{fails} failures / {len(qs)} queries")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "ts_unix": round(time.time(), 1),
+                       "n_queries": len(results), "n_failures": fails,
+                       "queries": results}, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     return fails
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(set(sys.argv[1:]) or None) else 0)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(1 if main(set(argv) or None, json_out=json_out) else 0)
