@@ -118,8 +118,22 @@ def _subprocess_run(master: str, replicate: int, warmups: int,
     if PIN_CPUS:
         cores = int(master.split("[")[1].rstrip("]"))
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ)
+    if os.environ.get("SCALING_MALLOC_TUNE", "0") == "1":
+        # Attack the local[32] sys-time residual (BENCH/profile32.json:
+        # 26-46% kernel time at 32 cores vs 0.7% at 8): each of the 32
+        # Python workers re-allocates its Arrow batch buffers per task,
+        # and glibc's default dynamic mmap threshold makes the big ones
+        # mmap/munmap round-trips — every batch re-faults its pages.
+        # Raising the mmap + trim thresholds keeps those buffers on the
+        # (already-faulted) heap across tasks; Arrow's mimalloc pool
+        # likewise retains freed segments.  Env is inherited JVM →
+        # daemon.py → forked workers in local mode.
+        mb512 = str(512 * 1024 * 1024)
+        env.update(MALLOC_MMAP_THRESHOLD_=mb512, MALLOC_TRIM_THRESHOLD_=mb512,
+                   ARROW_DEFAULT_MEMORY_POOL="mimalloc")
     r = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env)
     line = [ln for ln in r.stdout.splitlines()
             if ln.startswith("RESULT ")][-1]
     return json.loads(line[len("RESULT "):])
@@ -145,7 +159,20 @@ def main():
     # median over rounds, so an episode distorts individual rounds, not
     # the estimator.  All raw per-run times are kept.
     rounds = int(os.environ.get("SCALING_ROUNDS", "5"))
-    out = {"sf_dir": SF_DIR, "protocol": "interleaved-pairs", "pairs": {}}
+    out = {"sf_dir": SF_DIR, "protocol": "interleaved-pairs-steal-gated",
+           "pairs": {}}
+
+    # Steal-gate (VERDICT r4 'what's wrong' #2): a round measured while
+    # the hypervisor was stealing CPU or while page-backing was degraded
+    # (first-touch fault latency >> clean baseline) is host evidence, not
+    # engine evidence.  The reported efficiency_median is the median over
+    # CLEAN rounds only; degraded rounds are kept in per_round (gated:
+    # false) and a degraded round earns one replacement round, up to
+    # 2x the requested count.  The r4 driver number (0.783) was the
+    # ungated median of a window containing a 2.3%-steal round while the
+    # same-day gated sessions measured 0.814-0.855.
+    steal_gate = float(os.environ.get("SCALING_STEAL_GATE", "0.005"))
+    touch_gate = float(os.environ.get("SCALING_TOUCH_GATE", "1.0"))
 
     def cpu_jiffies():
         with open("/proc/stat") as f:
@@ -153,13 +180,24 @@ def main():
         vals = [int(x) for x in parts]
         return sum(vals), vals[7] if len(vals) > 7 else 0  # total, steal
 
+    def first_touch_sec() -> float:
+        import numpy as np
+        t0 = time.monotonic()
+        a = np.empty(133 * 1024 * 1024 // 8)
+        a[:] = 1.0
+        dt = round(time.monotonic() - t0, 3)
+        del a
+        return dt
+
     only = os.environ.get("SCALING_PAIRS")  # e.g. "primary_2_to_8"
     for pair in PAIRS:
         if only and pair["name"] not in only:
             continue
         n_m, n4_m = f"local[{pair['n']}]", f"local[{pair['n4']}]"
         samples, detail = [], []
-        for rnd in range(rounds):
+        rnd, clean = 0, 0
+        while clean < rounds and rnd < 2 * rounds:
+            touch = first_touch_sec()
             t0, s0 = cpu_jiffies()
             rn = _subprocess_run(n_m, pair["replicate"], 1, 2)
             r4 = _subprocess_run(n4_m, pair["replicate"], 1, 2)
@@ -169,23 +207,35 @@ def main():
             # measured — the per-round efficiency spread is host noise,
             # not the engine (kept as evidence alongside every sample)
             steal = round((s1 - s0) / max(t1 - t0, 1), 4)
+            gated = steal <= steal_gate and touch <= touch_gate
+            clean += 1 if gated else 0
             eff = round(r4["docs_per_sec"] / (4 * rn["docs_per_sec"]), 3)
             samples.append({"round": rnd, "eff": eff,
                             "host_steal_frac": steal,
+                            "host_first_touch_sec": touch,
+                            "gated": gated,
                             "docs_per_sec_N": rn["docs_per_sec"],
                             "docs_per_sec_4N": r4["docs_per_sec"]})
             detail.append({"round": rnd, n_m: rn, n4_m: r4})
             print(pair["name"], samples[-1], flush=True)
-        effs = sorted(s["eff"] for s in samples)
+            rnd += 1
+        kept = [s for s in samples if s["gated"]] or samples
+        effs = sorted(s["eff"] for s in kept)
         med = statistics.median(effs)
         best_round = max(samples, key=lambda s: s["eff"])
         out["pairs"][pair["name"]] = {
             "docs_per_sec_N": statistics.median(
-                s["docs_per_sec_N"] for s in samples),
+                s["docs_per_sec_N"] for s in kept),
             "docs_per_sec_4N": statistics.median(
-                s["docs_per_sec_4N"] for s in samples),
+                s["docs_per_sec_4N"] for s in kept),
             "efficiency_median": round(med, 3),
+            "efficiency_median_ungated": round(statistics.median(
+                s["eff"] for s in samples), 3),
             "efficiency_best": best_round["eff"],
+            "gate": {"steal_frac_max": steal_gate,
+                     "first_touch_sec_max": touch_gate,
+                     "n_clean": len([s for s in samples if s["gated"]]),
+                     "n_total": len(samples)},
             "per_round": samples,
             "detail": detail,
         }
