@@ -66,8 +66,14 @@ def main(argv=None):
     else:
         cdb, vocab, cfg = load_model_pack(args.model_pack)
         if args.meta or args.relations:
-            comps = {"_skipped": [(args.model_pack,
-                                   "columnar pack: no component dirs")]}
+            # columnar packs can carry component dirs too (written by
+            # jobs/train_model.py --train-meta); scan the same way
+            from medcat_spark.sources.reference_pack import (
+                load_component_dirs)
+            comps = load_component_dirs(args.model_pack)
+            if len(comps) == 1:  # only _skipped, nothing found
+                comps["_skipped"].append(
+                    (args.model_pack, "columnar pack: no component dirs"))
     bc = broadcast_model(spark, cdb, vocab, cfg)
     docs = spark.read.parquet(args.docs)
 

@@ -17,6 +17,80 @@ import json
 import sys
 
 
+def _train_meta_head(spark, args, cfg):
+    """--train-meta: distributed window prep over the MCT export, numpy
+    BPTT on the driver (reference meta_cat.py:200-358 semantics), the
+    trained head written as meta_<CATEGORY>/ inside the out pack (both
+    MedCAT-layout and columnar packs load it back — run_kg --meta)."""
+    import os
+
+    from medcat_spark.functions.lstm_train import (
+        collect_samples, init_lstm_meta, mct_meta_samples, train_lstm_meta,
+        train_lstm_meta_two_phase)
+    from medcat_spark.sources.model_pack import is_reference_pack
+    from medcat_spark.sources.reference_pack import (
+        load_component_dirs, write_reference_meta_component)
+
+    from medcat_spark.functions.lstm_meta import LstmMetaModel
+
+    category = args.train_meta
+    model = None
+    if os.path.isdir(args.model_pack):
+        comps = load_component_dirs(args.model_pack)
+        model = comps.get(category)
+    if model is not None and not isinstance(model, LstmMetaModel):
+        raise ValueError(
+            f"meta_{category} is a {type(model).__name__}; in-engine "
+            "training supports the LSTM head (reference model_name="
+            "'lstm') — BERT meta heads still need torch to fine-tune")
+    if model is not None and getattr(model, "tokenizer", None) is None:
+        raise ValueError(
+            f"meta_{category} loaded without a tokenizer — cannot rebuild "
+            "training windows; add the component's bbpe-*/vocab files")
+    if model is None:
+        # fresh head: BBPE tokenizer trained on the export's documents
+        from pyspark.sql import functions as F
+
+        from medcat_spark.core.bbpe import train_bbpe
+        raw = spark.read.option("multiLine", "true").json(args.mct)
+        texts = [r[0] for r in
+                 (raw.select(F.explode("projects").alias("p"))
+                  .select(F.explode("p.documents").alias("d"))
+                  .select(F.col("d.text")).collect())]
+        tokenizer = train_bbpe(texts, vocab_size=5000)
+        labels = None      # discovered from the data below
+    else:
+        tokenizer = model.tokenizer
+        labels = model.labels
+    samples_df = mct_meta_samples(
+        spark, args.mct, category, tokenizer,
+        cntx_left=model.cntx_left if model else 15,
+        cntx_right=model.cntx_right if model else 10)
+    label2id = ({v: i for i, v in enumerate(labels)} if labels else None)
+    data, label2id = collect_samples(samples_df, label2id)
+    if not data:
+        raise ValueError(f"no training windows for meta task {category!r} "
+                         "in the export")
+    if model is None:
+        labels = [v for v, _ in sorted(label2id.items(),
+                                       key=lambda kv: kv[1])]
+        model = init_lstm_meta(labels, tokenizer.vocab,
+                               input_size=300, hidden_size=300,
+                               tokenizer=tokenizer)
+    if args.meta_two_phase:
+        report = train_lstm_meta_two_phase(
+            model, data, nepochs=args.meta_epochs, lr=args.meta_lr)
+    else:
+        report = train_lstm_meta(model, data, nepochs=args.meta_epochs,
+                                 lr=args.meta_lr)
+    out_dir = os.path.join(args.out_pack, f"meta_{category}")
+    write_reference_meta_component(out_dir, model, category)
+    return {"category": category, "n_samples": len(data),
+            "out": out_dir, "report": report,
+            "pack_layout": ("reference" if is_reference_pack(args.out_pack)
+                            else "columnar")}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mct", required=True)
@@ -32,6 +106,18 @@ def main(argv=None):
     p.add_argument("--train-from-fp", action="store_true",
                    help="negative-train predicted annotations absent from "
                         "the gold set (reference cat.py:1061-1070)")
+    p.add_argument("--train-meta", metavar="CATEGORY", default=None,
+                   help="also train the meta head for this MCT meta-"
+                        "annotation task (e.g. Negation): fine-tunes the "
+                        "pack's meta_<CATEGORY> component if present, "
+                        "else initializes one (BBPE tokenizer trained on "
+                        "the export's documents); reference "
+                        "meta_cat.py:200-358 train loop in numpy")
+    p.add_argument("--meta-epochs", type=int, default=50)
+    p.add_argument("--meta-lr", type=float, default=1e-3)
+    p.add_argument("--meta-two-phase", action="store_true",
+                   help="phase 1 on the class-undersampled set, phase 2 "
+                        "on the full set (meta_cat.py:274-301)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -81,10 +167,15 @@ def main(argv=None):
                                      negative_gold=neg_gold)
     manifest = save_trained_pack(spark, args.out_pack, cdb, vocab,
                                  trained, cfg)
+    meta_report = None
+    if args.train_meta:
+        meta_report = _train_meta_head(spark, args, cfg)
     print(json.dumps({"examples": int(gold.count()),
                       "negative_examples": int(neg_gold.count()),
                       "killed_unlinked": len(killed),
-                      "gold_names_added": names_added, **manifest}))
+                      "gold_names_added": names_added,
+                      **({"meta": meta_report} if meta_report else {}),
+                      **manifest}))
     spark.stop()
 
 

@@ -386,28 +386,38 @@ def load_reference_pack(path: str, load_components: bool = True
             vocab.add(word, int(info.get("cnt", 1)), vec)
         vocab.make_unigram_table()
 
-    components: dict = {"_skipped": []}
-    if load_components:
-        for entry in sorted(os.listdir(path)):
-            sub = os.path.join(path, entry)
-            if not os.path.isdir(sub):
-                continue
-            if entry.startswith("meta_"):
-                try:
-                    components[entry[len("meta_"):]] = _load_meta_component(sub)
-                except Exception as exc:  # noqa: BLE001 — skip, report
-                    components["_skipped"].append((entry, str(exc)))
-            elif entry.startswith("rel_"):
-                try:
-                    components[entry] = _load_rel_component(sub)
-                except Exception as exc:  # noqa: BLE001 — skip, report
-                    components["_skipped"].append((entry, str(exc)))
-            elif entry.startswith("trf_"):
-                try:
-                    components[entry] = _load_trf_component(sub)
-                except Exception as exc:  # noqa: BLE001 — skip, report
-                    components["_skipped"].append((entry, str(exc)))
+    components = (load_component_dirs(path) if load_components
+                  else {"_skipped": []})
     return cdb, vocab, cfg, components
+
+
+def load_component_dirs(path: str) -> dict:
+    """Scan a pack dir for ``meta_*``/``rel_*``/``trf_*`` component
+    subdirs and load each (failures land in ``_skipped`` with the
+    reason).  Shared by MedCAT-layout pack loading and by columnar
+    packs that carry component dirs (jobs/train_model.py --train-meta
+    writes them there)."""
+    components: dict = {"_skipped": []}
+    for entry in sorted(os.listdir(path)):
+        sub = os.path.join(path, entry)
+        if not os.path.isdir(sub):
+            continue
+        if entry.startswith("meta_"):
+            try:
+                components[entry[len("meta_"):]] = _load_meta_component(sub)
+            except Exception as exc:  # noqa: BLE001 — skip, report
+                components["_skipped"].append((entry, str(exc)))
+        elif entry.startswith("rel_"):
+            try:
+                components[entry] = _load_rel_component(sub)
+            except Exception as exc:  # noqa: BLE001 — skip, report
+                components["_skipped"].append((entry, str(exc)))
+        elif entry.startswith("trf_"):
+            try:
+                components[entry] = _load_trf_component(sub)
+            except Exception as exc:  # noqa: BLE001 — skip, report
+                components["_skipped"].append((entry, str(exc)))
+    return components
 
 
 def _load_meta_component(sub: str):
