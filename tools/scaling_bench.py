@@ -57,8 +57,17 @@ def one_master(master: str, cores: int, replicate: int,
     from medcat_spark.session import get_spark
     from medcat_spark.triples import cooccurrence_triples, mention_triples
 
+    extra = None
+    if os.environ.get("SCALING_MALLOC_TUNE", "0") == "1":
+        # pre-touch a fixed JVM heap at startup (outside the timed
+        # region) so executor-side page faults cannot land inside the
+        # measured runs; the glibc/Arrow knobs come via _subprocess_run
+        heap = os.environ.get("SCALING_HEAP", "12g")
+        extra = {"spark.driver.memory": heap,
+                 "spark.driver.extraJavaOptions":
+                     f"-Xms{heap} -XX:+AlwaysPreTouch"}
     spark = get_spark("scaling-bench", master=master,
-                      shuffle_partitions=cores)
+                      shuffle_partitions=cores, extra_conf=extra)
     # Replicate the sf corpus with doc_id suffixes (FIXTURES.md F3) and
     # pre-partition the cached input BEFORE timing: the replicated source
     # is one parquet partition, and feeding the timed job from a
