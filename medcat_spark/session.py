@@ -8,11 +8,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tune_allocator() -> bool:
+    """Apply the glibc arena tuning to the CURRENT process via mallopt.
+
+    The MALLOC_* env vars below only affect processes launched after
+    they are set (the JVM and its Python workers) — the driver's own
+    numpy workloads (golden-oracle recomputes, fixture training, the
+    BPTT meta trainer) otherwise keep glibc defaults, where every large
+    temporary is a fresh mmap that re-faults its pages on each batch
+    (measured 8x on the RelCAT pair forward during degraded-host
+    windows).  M_TRIM_THRESHOLD=-1 never returns heap to the kernel;
+    M_MMAP_THRESHOLD=256MB keeps batch-sized buffers on the heap."""
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None, use_errno=True)
+        ok1 = libc.mallopt(-1, -1)                    # M_TRIM_THRESHOLD
+        ok2 = libc.mallopt(-3, 256 * 1024 * 1024)     # M_MMAP_THRESHOLD
+        return bool(ok1 and ok2)
+    except (OSError, AttributeError):
+        return False       # non-glibc platform: nothing to tune
+
+
 def get_spark(app_name: str = "medcat-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER",
                                       f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    tune_allocator()
     # glibc arena tuning inherited by the Python UDF workers: large
     # numpy buffers (Arrow batches, pooled MLP tensors, annotate
     # intermediates) default to mmap'd allocations that are unmapped on
