@@ -91,6 +91,46 @@ def _train_meta_head(spark, args, cfg):
                             else "columnar")}
 
 
+def _train_rel_head(spark, args):
+    """--train-relations: fine-tune the pack's rel_<NAME> BERT component
+    on the MCT export's relations records (numpy backprop, reference
+    RelCAT.train loop), written back as rel_<NAME>/ in the out pack."""
+    import os
+
+    from medcat_spark.functions.bert_np import RelCatBertModel
+    from medcat_spark.functions.bert_train import (
+        collect_relation_samples, mct_relation_samples, train_relcat)
+    from medcat_spark.sources.reference_pack import (
+        load_component_dirs, write_reference_rel_component)
+
+    name = args.train_relations
+    comps = (load_component_dirs(args.model_pack)
+             if os.path.isdir(args.model_pack) else {"_skipped": []})
+    model = comps.get(f"rel_{name}")
+    if model is None:
+        raise ValueError(
+            f"model pack has no loadable rel_{name} component — relation "
+            "fine-tuning starts from an existing RelCAT checkpoint "
+            "(skipped: %s)" % comps.get("_skipped"))
+    if not isinstance(model, RelCatBertModel):
+        raise ValueError(
+            f"rel_{name} is a {type(model).__name__}; in-engine training "
+            "supports the BERT backbone (LLaMA/ModernBERT rel heads "
+            "still need torch to fine-tune)")
+    df = mct_relation_samples(spark, args.mct, model,
+                              other_sample_per_doc=args.rel_other_per_doc)
+    data, labels = collect_relation_samples(df, labels=model.labels)
+    if not data:
+        raise ValueError("no relation training samples in the export")
+    report = train_relcat(model, data, nepochs=args.rel_epochs,
+                          lr=args.rel_lr)
+    out_dir = os.path.join(args.out_pack, f"rel_{name}")
+    n_heads = getattr(model.encoder, "n_heads", 8)
+    write_reference_rel_component(out_dir, model, n_heads=n_heads)
+    return {"name": name, "n_samples": len(data), "labels": labels,
+            "out": out_dir, "report": report}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mct", required=True)
@@ -118,6 +158,16 @@ def main(argv=None):
     p.add_argument("--meta-two-phase", action="store_true",
                    help="phase 1 on the class-undersampled set, phase 2 "
                         "on the full set (meta_cat.py:274-301)")
+    p.add_argument("--train-relations", metavar="NAME", default=None,
+                   help="fine-tune the pack's rel_<NAME> RelCAT BERT "
+                        "component on the export's relations records "
+                        "(full numpy backprop; reference "
+                        "rel_cat.py:174-420 loop)")
+    p.add_argument("--rel-epochs", type=int, default=10)
+    p.add_argument("--rel-lr", type=float, default=1e-4)
+    p.add_argument("--rel-other-per-doc", type=int, default=0,
+                   help="sample up to N 'Other' pairs per document from "
+                        "validated annotations (rel_dataset.py:516-559)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -170,11 +220,15 @@ def main(argv=None):
     meta_report = None
     if args.train_meta:
         meta_report = _train_meta_head(spark, args, cfg)
+    rel_report = None
+    if args.train_relations:
+        rel_report = _train_rel_head(spark, args)
     print(json.dumps({"examples": int(gold.count()),
                       "negative_examples": int(neg_gold.count()),
                       "killed_unlinked": len(killed),
                       "gold_names_added": names_added,
                       **({"meta": meta_report} if meta_report else {}),
+                      **({"relations": rel_report} if rel_report else {}),
                       **manifest}))
     spark.stop()
 

@@ -407,6 +407,34 @@ class BertTokenClassifier:
 # [s1]/[s2] marker tokens, config_rel_cat.py:54)
 
 
+def mark_pair_sequence(ids, ra, rb, tag_ids, cntx_l: int, cntx_r: int,
+                       max_len: int, cls_id=None, sep_id=None):
+    """Marked relation sequence for one entity pair → (seq, p1, p2) or
+    None when the [e2] marker would not survive truncation (the
+    reference drops those relations).  ``ra``/``rb`` are the entities'
+    (first, last) token indices; markers [s1]..[e1]/[s2]..[e2] are
+    spliced around them, optional [CLS]/[SEP] framing.  Shared by the
+    inference scorer (:func:`_score_pairs_bert`) and the trainer
+    (:mod:`bert_train`) so both see byte-identical inputs."""
+    s1, e1m, s2, e2m = tag_ids
+    off = 1 if cls_id is not None else 0
+    body_budget = max_len - 2 * off
+    lo = max(0, ra[0] - cntx_l)
+    hi = min(len(ids), rb[1] + 1 + cntx_r)
+    # the [e2] marker sits at body index rb[1]-lo+4 (three markers +
+    # both entity spans precede it) and must stay inside the budget
+    if rb[1] - lo + 4 >= body_budget:
+        return None
+    seq = (list(ids[lo:ra[0]]) + [s1] + list(ids[ra[0]:ra[1] + 1])
+           + [e1m] + list(ids[ra[1] + 1:rb[0]]) + [s2]
+           + list(ids[rb[0]:rb[1] + 1]) + [e2m]
+           + list(ids[rb[1] + 1:hi]))
+    seq = seq[:body_budget]
+    if cls_id is not None:
+        seq = [cls_id] + seq + [sep_id]
+    return seq, ra[0] - lo + off, rb[0] - lo + 2 + off
+
+
 def _score_pairs_bert(bc):
     import pandas as pd
 
@@ -434,8 +462,6 @@ def _score_pairs_bert(bc):
             if c_t in vocab and s_t in vocab:
                 cls_id, sep_id = vocab[c_t], vocab[s_t]
                 break
-        off = 1 if cls_id is not None else 0
-        body_budget = max_len - 2 * off
         for pdf in batches:
             meta: List[tuple] = []
             seqs: List[List[int]] = []
@@ -474,28 +500,12 @@ def _score_pairs_bert(bc):
                         rb = tok_range(b["start"], b["end"])
                         if ra is None or rb is None or rb[0] <= ra[1]:
                             continue
-                        lo = max(0, ra[0] - cntx_l)
-                        hi = min(len(ids), rb[1] + 1 + cntx_r)
-                        # splice markers around both entities
-                        seq = (ids[lo:ra[0]] + [s1] + ids[ra[0]:ra[1] + 1]
-                               + [e1m] + ids[ra[1] + 1:rb[0]] + [s2]
-                               + ids[rb[0]:rb[1] + 1] + [e2m]
-                               + ids[rb[1] + 1:hi])
-                        p1 = ra[0] - lo + off
-                        p2 = rb[0] - lo + 2 + off   # after [s1] and [e1]
-                        # truncate to the encoder's sequence budget
-                        # (reference general.max_seq_length).  The
-                        # reference drops relations whose annotation
-                        # tags don't survive truncation — the [e2]
-                        # marker sits at body index rb[1]-lo+4 (three
-                        # markers + both entity spans precede it) and
-                        # must stay inside the budget net of the
-                        # [CLS]/[SEP] frame.
-                        if rb[1] - lo + 4 >= body_budget:
+                        res = mark_pair_sequence(
+                            ids, ra, rb, (s1, e1m, s2, e2m), cntx_l,
+                            cntx_r, max_len, cls_id, sep_id)
+                        if res is None:
                             continue
-                        seq = seq[:body_budget]
-                        if cls_id is not None:
-                            seq = [cls_id] + seq + [sep_id]
+                        seq, p1, p2 = res
                         meta.append((str(row.doc_id), a["start"], b["start"],
                                      a["cui"], b["cui"]))
                         seqs.append(seq)
