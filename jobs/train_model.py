@@ -38,11 +38,12 @@ def _train_meta_head(spark, args, cfg):
     if os.path.isdir(args.model_pack):
         comps = load_component_dirs(args.model_pack)
         model = comps.get(category)
-    if model is not None and not isinstance(model, LstmMetaModel):
+    from medcat_spark.functions.bert_np import BertMetaModel
+    if model is not None and not isinstance(model, (LstmMetaModel,
+                                                    BertMetaModel)):
         raise ValueError(
             f"meta_{category} is a {type(model).__name__}; in-engine "
-            "training supports the LSTM head (reference model_name="
-            "'lstm') — BERT meta heads still need torch to fine-tune")
+            "training supports the LSTM and BERT meta heads")
     if model is not None and getattr(model, "tokenizer", None) is None:
         raise ValueError(
             f"meta_{category} loaded without a tokenizer — cannot rebuild "
@@ -77,7 +78,11 @@ def _train_meta_head(spark, args, cfg):
         model = init_lstm_meta(labels, tokenizer.vocab,
                                input_size=300, hidden_size=300,
                                tokenizer=tokenizer)
-    if args.meta_two_phase:
+    if isinstance(model, BertMetaModel):
+        from medcat_spark.functions.bert_train import train_bert_meta
+        report = train_bert_meta(model, data, nepochs=args.meta_epochs,
+                                 lr=args.meta_lr)
+    elif args.meta_two_phase:
         report = train_lstm_meta_two_phase(
             model, data, nepochs=args.meta_epochs, lr=args.meta_lr)
     else:

@@ -299,19 +299,16 @@ def relcat_forward_backward(model: RelCatBertModel, batch: Sequence[Sample],
     return loss, grads, logits
 
 
-def relcat_params(model: RelCatBertModel) -> Dict[str, np.ndarray]:
-    """name → the live array (in-place optimizer updates mutate the
-    model).  Keys match relcat_forward_backward's grad keys."""
-    enc = model.encoder
+def encoder_params(enc: BertEncoder) -> Dict[str, np.ndarray]:
+    """name → the live array for every encoder parameter (in-place
+    optimizer updates mutate the model).  Keys match
+    encoder_backward's grad keys."""
     ps: Dict[str, np.ndarray] = {
         "embeddings.word_embeddings.weight": enc.word,
         "embeddings.position_embeddings.weight": enc.pos,
         "embeddings.token_type_embeddings.weight": enc.ttype,
         "embeddings.LayerNorm.weight": enc.eln_w,
         "embeddings.LayerNorm.bias": enc.eln_b,
-        "fc1.weight": model.fc1_w, "fc1.bias": model.fc1_b,
-        "fc2.weight": model.fc2_w, "fc2.bias": model.fc2_b,
-        "fc3.weight": model.fc3_w, "fc3.bias": model.fc3_b,
     }
     if enc.pooler_w is not None:
         ps["pooler.dense.weight"] = enc.pooler_w
@@ -334,6 +331,14 @@ def relcat_params(model: RelCatBertModel) -> Dict[str, np.ndarray]:
         ps[pre + "output.dense.bias"] = lay.o_b
         ps[pre + "output.LayerNorm.weight"] = lay.oln_w
         ps[pre + "output.LayerNorm.bias"] = lay.oln_b
+    return ps
+
+
+def relcat_params(model: RelCatBertModel) -> Dict[str, np.ndarray]:
+    ps = encoder_params(model.encoder)
+    ps.update({"fc1.weight": model.fc1_w, "fc1.bias": model.fc1_b,
+               "fc2.weight": model.fc2_w, "fc2.bias": model.fc2_b,
+               "fc3.weight": model.fc3_w, "fc3.bias": model.fc3_b})
     return ps
 
 
@@ -568,3 +573,156 @@ def collect_relation_samples(df, labels: Optional[List[str]] = None
     data = [(list(r["ids"]), (int(r["p1"]), int(r["p2"])), l2i[r["label"]])
             for r in rows if r["label"] in l2i]
     return data, labels
+
+
+# ---------------------------------------------------------------------------
+# BertForMetaAnnotation head (meta_cat/models.py:87-215) — same sample
+# shape as lstm_train (window ids, (center_first, center_last), label),
+# so mct_meta_samples feeds either head.
+
+
+def bert_meta_forward_backward(model, batch, class_weights):
+    """Loss + gradients for the full BertMetaModel: encoder → center
+    max-pool ⊕ pooled CLS → fc1(+relu)[→fc2(+relu)[→fc3(+relu)]] → fc4.
+    Returns (loss, grads, logits); grad keys = bert_meta_params keys."""
+    B = len(batch)
+    L = max(len(s[0]) for s in batch)
+    ids = np.full((B, L), model.pad_id, dtype=np.int64)
+    mask = np.zeros((B, L))
+    V = model.encoder.word.shape[0]
+    centers = []
+    y = np.empty(B, dtype=np.int64)
+    for r, (w, (cf, cl), lbl) in enumerate(batch):
+        for c, tid in enumerate(w):
+            ids[r, c] = tid if 0 <= tid < V else model.pad_id
+            mask[r, c] = 1.0
+        centers.append((cf, min(cl, len(w) - 1)))
+        y[r] = lbl
+    seq, pooled, cache = encoder_forward_cache(model.encoder, ids, mask)
+    H = seq.shape[2]
+    pool = np.empty((B, H))
+    argmx = np.empty((B, H), dtype=np.int64)
+    for b, (cf, cl) in enumerate(centers):
+        span = seq[b, cf:cl + 1]
+        argmx[b] = span.argmax(axis=0) + cf
+        pool[b] = span.max(axis=0)
+    x = np.concatenate([pool, pooled], axis=1)
+    # fc chain with relu caches
+    acts = [x]
+    chain = ["fc1"]
+    if model.use_fc2:
+        chain.append("fc2")
+        if model.use_fc3:
+            chain.append("fc3")
+    h = x
+    for name in chain:
+        h = np.maximum(0.0, h @ model.fc[f"{name}.weight"].T
+                       + model.fc[f"{name}.bias"])
+        acts.append(h)
+    logits = h @ model.fc["fc4.weight"].T + model.fc["fc4.bias"]
+
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    p = e / e.sum(axis=1, keepdims=True)
+    w = class_weights[y] if class_weights is not None else np.ones(B)
+    wsum = w.sum()
+    loss = float(-(w * np.log(np.maximum(p[np.arange(B), y], 1e-12))).sum()
+                 / wsum)
+    dlogits = p * w[:, None]
+    dlogits[np.arange(B), y] -= w
+    dlogits /= wsum
+
+    grads: Dict[str, np.ndarray] = {}
+    dh, grads["fc4.weight"], grads["fc4.bias"] = _linear_bwd(
+        dlogits, acts[-1], model.fc["fc4.weight"])
+    for i in range(len(chain) - 1, -1, -1):
+        name = chain[i]
+        dh = dh * (acts[i + 1] > 0)            # relu
+        dh, grads[f"{name}.weight"], grads[f"{name}.bias"] = _linear_bwd(
+            dh, acts[i], model.fc[f"{name}.weight"])
+    dpool, dpooled = dh[:, :H], dh[:, H:]
+    dseq = np.zeros_like(seq)
+    rows = np.repeat(np.arange(B), H)
+    cols = np.tile(np.arange(H), B)
+    np.add.at(dseq, (rows, argmx.ravel(), cols), dpool.ravel())
+    grads.update(encoder_backward(model.encoder, cache, dseq, dpooled))
+    return loss, grads, logits
+
+
+def bert_meta_params(model) -> Dict[str, np.ndarray]:
+    ps = encoder_params(model.encoder)
+    names = ["fc1", "fc4"]
+    if model.use_fc2:
+        names.append("fc2")
+        if model.use_fc3:
+            names.append("fc3")
+    for n in names:
+        ps[f"{n}.weight"] = model.fc[f"{n}.weight"]
+        ps[f"{n}.bias"] = model.fc[f"{n}.bias"]
+    return ps
+
+
+def train_bert_meta(model, data, *, nepochs: int = 50, lr: float = 1e-4,
+                    batch_size: int = 32, test_size: float = 0.1,
+                    class_weights=None, compute_class_weights: bool = True,
+                    metric: str = "weighted_f1", patience: int = 0,
+                    seed: int = 42, clip_norm: float = 0.15,
+                    shuffle_data: bool = True) -> Dict:
+    """ml_utils.train_model loop for the BERT meta head (the reference
+    trains LSTM and BERT heads through the same loop — meta_cat.py:302;
+    Adam, clip 0.15, winner by weighted-avg F1)."""
+    from medcat_spark.functions.lstm_train import _Adam
+
+    rng = np.random.RandomState(seed)
+    data = list(data)
+    if shuffle_data:
+        rng.shuffle(data)
+    if len(data) < 2:
+        raise ValueError("need at least 2 samples")
+    n_test = max(1, int(round(len(data) * test_size)))
+    test, train = data[:n_test], data[n_test:]
+    n_classes = len(model.labels)
+    y_train = np.array([y for _, _, y in train])
+    y_test = np.array([y for _, _, y in test])
+    if class_weights is not None:
+        cw = np.asarray(class_weights, dtype=np.float64)
+    elif compute_class_weights:
+        cw = class_weights_balanced(y_train, n_classes)
+    else:
+        cw = None
+    params = bert_meta_params(model)
+    opt = _Adam(params, lr=lr, weight_decay=1e-5)
+    winner: Dict = {}
+    winner_state: Dict[str, np.ndarray] = {}
+    since = 0
+    for epoch in range(nepochs):
+        order = rng.permutation(len(train))
+        losses = []
+        for ofs in range(0, len(train), batch_size):
+            batch = [train[i] for i in order[ofs:ofs + batch_size]]
+            loss, grads, _ = bert_meta_forward_backward(model, batch, cw)
+            _clip_total_norm(grads, clip_norm)
+            opt.step(grads)
+            losses.append(loss)
+        preds = []
+        for ofs in range(0, len(test), 256):
+            chunk = test[ofs:ofs + 256]
+            _, _, lg = bert_meta_forward_backward(model, chunk, None)
+            preds.extend(lg.argmax(axis=1).tolist())
+        rep = _f1_report(y_test, np.array(preds), n_classes)
+        rep["epoch"] = epoch
+        rep["train_loss"] = round(float(np.mean(losses)), 6)
+        if not winner or rep[metric] > winner[metric]:
+            winner = rep
+            winner_state = {k: v.copy() for k, v in params.items()}
+            since = 0
+        else:
+            since += 1
+            if patience > 0 and since >= patience:
+                break
+    for k, v in winner_state.items():
+        params[k][...] = v
+    winner["n_train"] = len(train)
+    winner["n_test"] = len(test)
+    winner["class_weights"] = (None if cw is None
+                               else [round(float(x), 4) for x in cw])
+    return winner

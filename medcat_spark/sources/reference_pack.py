@@ -958,10 +958,15 @@ def write_reference_rel_component(path: str, model, labels=None,
 
 def write_reference_meta_component(path: str, model, category_name: str,
                                    tokenizer_name: str = "bbpe") -> str:
-    """Write an LstmMetaModel as a reference ``meta_<name>/`` dir
-    (config.json + torch-format model.dat + bbpe-vocab.json)."""
+    """Write an LstmMetaModel or BertMetaModel as a reference
+    ``meta_<name>/`` dir (config.json + torch-format model.dat +
+    tokenizer files)."""
+    from medcat_spark.functions.bert_np import BertMetaModel
     from medcat_spark.sources.torch_pickle import write_state_dict
     os.makedirs(path, exist_ok=True)
+    if isinstance(model, BertMetaModel):
+        return _write_bert_meta_component(path, model, category_name,
+                                          tokenizer_name)
     H = model.layers[0][0].H
     ndir = 2 if model.layers[0][1] is not None else 1
     mc = {
@@ -996,4 +1001,77 @@ def write_reference_meta_component(path: str, model, category_name: str,
             json.dump(model.token2id, f)
     write_state_dict(os.path.join(path, "model.dat"),
                      model.export_state_dict())
+    return path
+
+
+def _write_bert_meta_component(path: str, model, category_name: str,
+                               tokenizer_name: str = "bbpe") -> str:
+    """BertMetaModel → meta_<name>/ dir in the reference's
+    model_name='bert' layout (bert.* state-dict keys, fc1..fc4 head,
+    model_config.json head count) — inverse of the BERT branch in
+    :func:`_load_meta_component`."""
+    from medcat_spark.sources.torch_pickle import write_state_dict
+    enc = model.encoder
+    mc = {
+        "general": {
+            "category_name": category_name,
+            "category_value2id": {v: i for i, v in enumerate(model.labels)},
+            "cntx_left": model.cntx_left,
+            "cntx_right": model.cntx_right,
+            "tokenizer_name": tokenizer_name,
+            "vocab_size": int(enc.word.shape[0]),
+            "lowercase": True,
+        },
+        "model": {
+            "model_name": "bert",
+            "nclasses": len(model.labels),
+            "padding_idx": model.pad_id,
+            "model_architecture_config": {"fc2": bool(model.use_fc2),
+                                          "fc3": bool(model.use_fc3)},
+        },
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(mc, f)
+    with open(os.path.join(path, "model_config.json"), "w") as f:
+        json.dump({"num_attention_heads": enc.n_heads}, f)
+    sd: Dict[str, np.ndarray] = {}
+    pre = "bert."
+    sd[pre + "embeddings.word_embeddings.weight"] = \
+        enc.word.astype(np.float32)
+    sd[pre + "embeddings.position_embeddings.weight"] = \
+        enc.pos.astype(np.float32)
+    sd[pre + "embeddings.token_type_embeddings.weight"] = \
+        enc.ttype.astype(np.float32)
+    sd[pre + "embeddings.LayerNorm.weight"] = enc.eln_w.astype(np.float32)
+    sd[pre + "embeddings.LayerNorm.bias"] = enc.eln_b.astype(np.float32)
+    for i, lay in enumerate(enc.layers):
+        lp = f"{pre}encoder.layer.{i}."
+        sd[lp + "attention.self.query.weight"] = lay.q_w.astype(np.float32)
+        sd[lp + "attention.self.query.bias"] = lay.q_b.astype(np.float32)
+        sd[lp + "attention.self.key.weight"] = lay.k_w.astype(np.float32)
+        sd[lp + "attention.self.key.bias"] = lay.k_b.astype(np.float32)
+        sd[lp + "attention.self.value.weight"] = lay.v_w.astype(np.float32)
+        sd[lp + "attention.self.value.bias"] = lay.v_b.astype(np.float32)
+        sd[lp + "attention.output.dense.weight"] = \
+            lay.ao_w.astype(np.float32)
+        sd[lp + "attention.output.dense.bias"] = lay.ao_b.astype(np.float32)
+        sd[lp + "attention.output.LayerNorm.weight"] = \
+            lay.aln_w.astype(np.float32)
+        sd[lp + "attention.output.LayerNorm.bias"] = \
+            lay.aln_b.astype(np.float32)
+        sd[lp + "intermediate.dense.weight"] = lay.i_w.astype(np.float32)
+        sd[lp + "intermediate.dense.bias"] = lay.i_b.astype(np.float32)
+        sd[lp + "output.dense.weight"] = lay.o_w.astype(np.float32)
+        sd[lp + "output.dense.bias"] = lay.o_b.astype(np.float32)
+        sd[lp + "output.LayerNorm.weight"] = lay.oln_w.astype(np.float32)
+        sd[lp + "output.LayerNorm.bias"] = lay.oln_b.astype(np.float32)
+    if enc.pooler_w is not None:
+        sd[pre + "pooler.dense.weight"] = enc.pooler_w.astype(np.float32)
+        sd[pre + "pooler.dense.bias"] = enc.pooler_b.astype(np.float32)
+    for k, v in model.fc.items():
+        sd[k] = np.asarray(v).astype(np.float32)
+    write_state_dict(os.path.join(path, "model.dat"), sd)
+    tok = getattr(model, "tokenizer", None)
+    if tok is not None:
+        tok.save(path, tokenizer_name)
     return path

@@ -308,3 +308,103 @@ def test_train_relations_job_surface(spark, tmp_path):
     comps = load_component_dirs(str(out_pack))
     assert "rel_General" in comps
     assert comps["rel_General"].labels == fixture.labels
+
+
+# ---------------------------------------------------------------------------
+# BertForMetaAnnotation head training
+
+
+def tiny_meta_model(seed=41, vocab=30, hidden=8, layers=1, heads=2,
+                    inter=16, use_fc2=True, use_fc3=False):
+    from medcat_spark.functions.bert_np import BertMetaModel
+    sd = bert_fixture_state_dict(vocab_size=vocab, hidden=hidden,
+                                 n_layers=layers, n_heads=heads,
+                                 inter=inter, max_pos=32, seed=seed,
+                                 relcat=False, nclasses=2)
+    rng = np.random.RandomState(seed + 1)
+    H2 = 2 * hidden
+    sd = {f"bert.{k}": v for k, v in sd.items()
+          if not k.startswith(("fc", "hf_model."))}
+    fc_dims = [(H2, H2), (H2, H2), (H2, H2)]
+    for i, (dout, din) in enumerate(fc_dims, start=1):
+        sd[f"fc{i}.weight"] = rng.randn(dout, din).astype(np.float32) * 0.2
+        sd[f"fc{i}.bias"] = np.zeros(dout, dtype=np.float32)
+    sd["fc4.weight"] = rng.randn(2, H2).astype(np.float32) * 0.2
+    sd["fc4.bias"] = np.zeros(2, dtype=np.float32)
+    from medcat_spark.functions.bert_np import BertMetaModel
+    return BertMetaModel.from_state_dict(sd, ["present", "negated"],
+                                         n_heads=heads, use_fc2=use_fc2,
+                                         use_fc3=use_fc3)
+
+
+def test_bert_meta_backprop_matches_numerical_gradient():
+    from medcat_spark.functions.bert_train import (
+        bert_meta_forward_backward, bert_meta_params)
+    rng = np.random.RandomState(8)
+    model = tiny_meta_model()
+    batch = []
+    for _ in range(3):
+        L = rng.randint(6, 12)
+        ids = rng.randint(2, 30, size=L).tolist()
+        cf = rng.randint(0, L - 1)
+        cl = rng.randint(cf, L - 1)
+        batch.append((ids, (cf, cl), int(rng.randint(0, 2))))
+    cw = np.array([0.9, 1.3])
+    _, grads, _ = bert_meta_forward_backward(model, batch, cw)
+    params = bert_meta_params(model)
+    assert set(grads) == set(params)
+    eps = 1e-6
+    for name, p in params.items():
+        flat = p.ravel()
+        idxs = rng.choice(flat.size, size=min(flat.size, 6), replace=False)
+        for ix in idxs:
+            old = flat[ix]
+            flat[ix] = old + eps
+            lp, _, _ = bert_meta_forward_backward(model, batch, cw)
+            flat[ix] = old - eps
+            lm, _, _ = bert_meta_forward_backward(model, batch, cw)
+            flat[ix] = old
+            num = (lp - lm) / (2 * eps)
+            ana = grads[name].ravel()[ix]
+            assert ana == pytest.approx(num, abs=1e-6, rel=2e-4), \
+                f"{name}[{ix}]: analytic {ana} vs numerical {num}"
+
+
+def test_train_bert_meta_learns_and_round_trips(tmp_path):
+    """Center-token discrimination task; trained head exported in the
+    model_name='bert' meta_* layout and reloaded with matching scores."""
+    from medcat_spark.core.bbpe import train_bbpe
+    from medcat_spark.functions.bert_train import train_bert_meta
+    from medcat_spark.sources.reference_pack import (
+        _load_meta_component, write_reference_meta_component)
+
+    tok = train_bbpe(["alpha beta gamma delta negated present"] * 3,
+                     vocab_size=100)
+    model = tiny_meta_model(vocab=tok.get_size(), hidden=12, inter=24)
+    model.tokenizer = tok
+    rng = np.random.RandomState(12)
+    V = tok.get_size()
+    data = []
+    for i in range(80):
+        lbl = i % 2
+        L = 9
+        ids = rng.randint(7, V, size=L).tolist()
+        c = rng.randint(1, L - 1)
+        ids[c] = 3 if lbl else 4      # center token decides the label
+        data.append((ids, (c, c), lbl))
+    rep = train_bert_meta(model, data, nepochs=25, lr=2e-3, batch_size=16,
+                          test_size=0.2, seed=5, patience=8)
+    assert rep["weighted_f1"] >= 0.9, rep
+    d = tmp_path / "meta_Negation"
+    write_reference_meta_component(str(d), model, "Negation")
+    m2 = _load_meta_component(str(d))
+    from medcat_spark.functions.bert_np import BertMetaModel
+    assert isinstance(m2, BertMetaModel)
+    assert m2.use_fc2 and not m2.use_fc3
+    w = [s[0] for s in data[:16]]
+    c = [s[1] for s in data[:16]]
+    p1 = model.predict_batch_ids(w, c)
+    p2 = m2.predict_batch_ids(w, c)
+    assert [a for a, _ in p1] == [a for a, _ in p2]
+    np.testing.assert_allclose([b for _, b in p1], [b for _, b in p2],
+                               atol=2e-3)
