@@ -726,3 +726,126 @@ def train_bert_meta(model, data, *, nepochs: int = 50, lr: float = 1e-4,
     winner["class_weights"] = (None if cw is None
                                else [round(float(x), 4) for x in cw])
     return winner
+
+
+# ---------------------------------------------------------------------------
+# BertForTokenClassification head (TransformersNER / DeID fine-tune;
+# the reference trains it through the HF Trainer —
+# transformers_ner.py train(); per-token CE with -100 ignore_index is
+# the HF convention its datasets use)
+
+
+def token_classifier_forward_backward(model, batch, class_weights=None):
+    """(ids, per-token label ids with -100 = ignored) batches → loss +
+    gradients for encoder + classifier head."""
+    B = len(batch)
+    L = max(len(s[0]) for s in batch)
+    ids = np.zeros((B, L), dtype=np.int64)
+    mask = np.zeros((B, L))
+    y = np.full((B, L), -100, dtype=np.int64)
+    for r, (w, labels) in enumerate(batch):
+        ids[r, :len(w)] = w
+        mask[r, :len(w)] = 1.0
+        y[r, :len(labels)] = labels
+    seq, _pooled, cache = encoder_forward_cache(model.encoder, ids, mask)
+    logits = seq @ model.cls_w.T + model.cls_b          # (B, L, C)
+    C = logits.shape[2]
+    flat_lg = logits.reshape(-1, C)
+    flat_y = y.reshape(-1)
+    keep = flat_y != -100
+    kept_lg = flat_lg[keep]
+    kept_y = flat_y[keep]
+    e = np.exp(kept_lg - kept_lg.max(axis=1, keepdims=True))
+    p = e / e.sum(axis=1, keepdims=True)
+    w = (class_weights[kept_y] if class_weights is not None
+         else np.ones(len(kept_y)))
+    wsum = max(float(w.sum()), 1e-12)
+    n = np.arange(len(kept_y))
+    loss = float(-(w * np.log(np.maximum(p[n, kept_y], 1e-12))).sum()
+                 / wsum)
+    dkept = p * w[:, None]
+    dkept[n, kept_y] -= w
+    dkept /= wsum
+    dflat = np.zeros_like(flat_lg)
+    dflat[keep] = dkept
+    dlogits = dflat.reshape(B, L, C)
+    grads: Dict[str, np.ndarray] = {}
+    dseq, grads["classifier.weight"], grads["classifier.bias"] = \
+        _linear_bwd(dlogits, seq, model.cls_w)
+    grads.update(encoder_backward(model.encoder, cache, dseq, None))
+    return loss, grads, logits
+
+
+def token_classifier_params(model) -> Dict[str, np.ndarray]:
+    ps = encoder_params(model.encoder)
+    # BertForTokenClassification has no pooler in its saved weights,
+    # and encoder_backward emits no pooler grads when dpooled is None
+    ps.pop("pooler.dense.weight", None)
+    ps.pop("pooler.dense.bias", None)
+    ps["classifier.weight"] = model.cls_w
+    ps["classifier.bias"] = model.cls_b
+    return ps
+
+
+def train_token_classifier(model, data, *, nepochs: int = 10,
+                           lr: float = 5e-5, batch_size: int = 8,
+                           test_size: float = 0.2,
+                           compute_class_weights: bool = False,
+                           max_grad_norm: float = 1.0, seed: int = 42,
+                           patience: int = 0) -> Dict:
+    """Fine-tune the trf_* token-classification head (DeID/NER).
+    ``data`` = [(ids, per-token labels, -100 ignored)].  AdamW at the
+    HF-default 5e-5, winner by token-level macro F1 over non-ignored
+    positions."""
+    rng = np.random.RandomState(seed)
+    data = list(data)
+    rng.shuffle(data)
+    if len(data) < 2:
+        raise ValueError("need at least 2 sequences")
+    n_test = max(1, int(round(len(data) * test_size)))
+    test, train = data[:n_test], data[n_test:]
+    n_classes = len(model.labels)
+    y_train = np.concatenate([[l for l in labels if l != -100]
+                              for _, labels in train]).astype(np.int64)
+    cw = (class_weights_balanced(y_train, n_classes)
+          if compute_class_weights else None)
+    params = token_classifier_params(model)
+    opt = _AdamW(params, lr=lr, weight_decay=0.01)   # HF Trainer default
+    winner: Dict = {}
+    winner_state: Dict[str, np.ndarray] = {}
+    since = 0
+    for epoch in range(nepochs):
+        order = rng.permutation(len(train))
+        losses = []
+        for ofs in range(0, len(train), batch_size):
+            batch = [train[i] for i in order[ofs:ofs + batch_size]]
+            loss, grads, _ = token_classifier_forward_backward(
+                model, batch, cw)
+            _clip_total_norm(grads, max_grad_norm)
+            opt.step(grads)
+            losses.append(loss)
+        yt, yp = [], []
+        for ofs in range(0, len(test), batch_size):
+            chunk = test[ofs:ofs + batch_size]
+            _, _, lg = token_classifier_forward_backward(model, chunk)
+            for r, (w, labels) in enumerate(chunk):
+                for c, lbl in enumerate(labels):
+                    if lbl != -100:
+                        yt.append(lbl)
+                        yp.append(int(lg[r, c].argmax()))
+        rep = _f1_report(np.array(yt), np.array(yp), n_classes)
+        rep["epoch"] = epoch
+        rep["train_loss"] = round(float(np.mean(losses)), 6)
+        if not winner or rep["macro_f1"] > winner["macro_f1"]:
+            winner = rep
+            winner_state = {k: v.copy() for k, v in params.items()}
+            since = 0
+        else:
+            since += 1
+            if patience > 0 and since >= patience:
+                break
+    for k, v in winner_state.items():
+        params[k][...] = v
+    winner["n_train"] = len(train)
+    winner["n_test"] = len(test)
+    return winner

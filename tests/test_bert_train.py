@@ -408,3 +408,81 @@ def test_train_bert_meta_learns_and_round_trips(tmp_path):
     assert [a for a, _ in p1] == [a for a, _ in p2]
     np.testing.assert_allclose([b for _, b in p1], [b for _, b in p2],
                                atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# BertForTokenClassification (trf_* / DeID) fine-tune
+
+
+def tiny_token_classifier(seed=51, vocab=30, hidden=8, layers=1, heads=2,
+                          inter=16, nclasses=3):
+    from medcat_spark.functions.bert_np import BertTokenClassifier
+    sd = bert_fixture_state_dict(vocab_size=vocab, hidden=hidden,
+                                 n_layers=layers, n_heads=heads,
+                                 inter=inter, max_pos=32, seed=seed,
+                                 relcat=False, nclasses=nclasses)
+    sd = {k: v for k, v in sd.items() if not k.startswith("fc")}
+    rng = np.random.RandomState(seed + 1)
+    sd["classifier.weight"] = rng.randn(nclasses, hidden).astype(
+        np.float32) * 0.2
+    sd["classifier.bias"] = np.zeros(nclasses, dtype=np.float32)
+    labels = [f"L{i}" for i in range(nclasses)]
+    return BertTokenClassifier.from_state_dict(sd, labels, n_heads=heads)
+
+
+def test_token_classifier_backprop_numerical():
+    from medcat_spark.functions.bert_train import (
+        token_classifier_forward_backward, token_classifier_params)
+    rng = np.random.RandomState(4)
+    model = tiny_token_classifier()
+    batch = []
+    for _ in range(3):
+        L = rng.randint(5, 10)
+        ids = rng.randint(2, 30, size=L).tolist()
+        labels = rng.randint(0, 3, size=L).tolist()
+        labels[0] = -100          # ignore_index positions must be inert
+        batch.append((ids, labels))
+    _, grads, _ = token_classifier_forward_backward(model, batch)
+    params = token_classifier_params(model)
+    # pooler excluded: BertForTokenClassification saves none
+    assert "pooler.dense.weight" not in params
+    assert set(grads) >= set(params)
+    eps = 1e-6
+    for name in params:
+        p = params[name]
+        flat = p.ravel()
+        idxs = rng.choice(flat.size, size=min(flat.size, 5), replace=False)
+        for ix in idxs:
+            old = flat[ix]
+            flat[ix] = old + eps
+            lp, _, _ = token_classifier_forward_backward(model, batch)
+            flat[ix] = old - eps
+            lm, _, _ = token_classifier_forward_backward(model, batch)
+            flat[ix] = old
+            num = (lp - lm) / (2 * eps)
+            ana = grads[name].ravel()[ix]
+            assert ana == pytest.approx(num, abs=1e-6, rel=2e-4), \
+                f"{name}[{ix}]"
+
+
+def test_train_token_classifier_learns():
+    """Per-token task: label = token id parity band; macro F1 >= 0.9."""
+    from medcat_spark.functions.bert_train import train_token_classifier
+    rng = np.random.RandomState(6)
+    model = tiny_token_classifier(hidden=12, inter=24, nclasses=2)
+    data = []
+    for _ in range(60):
+        L = 8
+        ids = rng.randint(2, 30, size=L).tolist()
+        labels = [int(t % 2) for t in ids]
+        labels[-1] = -100
+        data.append((ids, labels))
+    rep = train_token_classifier(model, data, nepochs=20, lr=2e-3,
+                                 batch_size=12, seed=7, patience=6)
+    assert rep["macro_f1"] >= 0.9, rep
+    # winner weights drive the standard inference path
+    ids = np.array([data[0][0]])
+    best, _conf = model.predict_tokens(ids)
+    want = [int(t % 2) for t in data[0][0]]
+    acc = np.mean([b == w for b, w in zip(best[0][:-1], want[:-1])])
+    assert acc >= 0.8
