@@ -173,6 +173,14 @@ def run(spark) -> dict:
             pairs = json.load(f).get("pairs", {})
         for name, p in pairs.items():
             out[f"scaling_eff_{name}"] = p.get("efficiency_median")
+            # steal/first-touch gate evidence (tools/scaling_bench.py):
+            # n_clean == 0 means every round ran under measured host
+            # interference — the number above is then the ungated
+            # fallback, not criterion-quality evidence
+            if p.get("gate") is not None:
+                out[f"scaling_gate_{name}"] = {
+                    "n_clean": p["gate"].get("n_clean"),
+                    "n_total": p["gate"].get("n_total")}
     return out
 
 
