@@ -9,7 +9,8 @@ from pyspark.sql import SparkSession
 
 
 def tune_allocator() -> bool:
-    """Apply the glibc arena tuning to the CURRENT process via mallopt.
+    """Apply the glibc arena tuning to the CURRENT process via mallopt,
+    and disable numpy's MADV_HUGEPAGE.
 
     The MALLOC_* env vars below only affect processes launched after
     they are set (the JVM and its Python workers) — the driver's own
@@ -18,13 +19,35 @@ def tune_allocator() -> bool:
     temporary is a fresh mmap that re-faults its pages on each batch
     (measured 8x on the RelCAT pair forward during degraded-host
     windows).  M_TRIM_THRESHOLD=-1 never returns heap to the kernel;
-    M_MMAP_THRESHOLD=256MB keeps batch-sized buffers on the heap."""
+    M_MMAP_THRESHOLD=256MB keeps batch-sized buffers on the heap.
+
+    The THP part is the big one: numpy madvises MADV_HUGEPAGE on every
+    large allocation, so each first touch faults a 2 MB huge page.  On
+    this sandbox's virtualized host, huge-page faults hit multi-hour
+    degradation episodes at ~50-100x the 4 KB fault cost (ROOT CAUSE of
+    the r3/r4 'degraded window' bench anomalies: 133 MB first-touch
+    measured 19.2 s with hugepages vs 0.08 s without, in the same
+    minute — and of BENCH/profile32.json's 26-46% kernel time at
+    local[32]).  ``_set_madvise_hugepage(False)`` fixes the current
+    process; the NUMPY_MADVISE_HUGEPAGE=0 env (read at numpy import)
+    covers every forked Python worker.  Real-cluster posture: keep THP
+    on hosts that back it with real huge pages; this guards the
+    virtualized worst case at a few-percent TLB cost."""
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    ok3 = True
+    try:
+        from numpy.core import multiarray as _ma
+        if hasattr(_ma, "_set_madvise_hugepage"):
+            _ma._set_madvise_hugepage(
+                os.environ["NUMPY_MADVISE_HUGEPAGE"] != "0")
+    except Exception:       # numpy internals moved: env still covers workers
+        ok3 = False
     try:
         import ctypes
         libc = ctypes.CDLL(None, use_errno=True)
         ok1 = libc.mallopt(-1, -1)                    # M_TRIM_THRESHOLD
         ok2 = libc.mallopt(-3, 256 * 1024 * 1024)     # M_MMAP_THRESHOLD
-        return bool(ok1 and ok2)
+        return bool(ok1 and ok2 and ok3)
     except (OSError, AttributeError):
         return False       # non-glibc platform: nothing to tune
 
