@@ -546,16 +546,8 @@ def relations_bert(ann, docs, bc, text_col: str = "text"):
         StructField("relation", StringType()),
         StructField("confidence", DoubleType()),
     ])
-    end_col = (F.col("end").cast("int") if "end" in ann.columns
-               else F.lit(None).cast("int")).alias("end")
-    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       "start", end_col, F.col("cui"))
-            .groupBy("doc_id")
-            .agg(F.collect_list(F.struct("start", "end", "cui"))
-                 .alias("ents")))
-    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                      F.col(text_col).alias("text"))
-    return (ents.join(src, "doc_id")
+    from medcat_spark.functions.meta_model import docs_with_ents
+    return (docs_with_ents(ann, docs, text_col)
             .mapInPandas(_score_pairs_bert(bc), schema=schema))
 
 

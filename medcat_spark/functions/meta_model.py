@@ -248,6 +248,25 @@ def meta_annotations_model(ann: DataFrame, docs: DataFrame, bc,
     GPU-stage-separation the reference uses for MetaCAT batching
     (cat.py:1249-1257).
     """
+    joined = docs_with_ents(ann, docs, text_col)
+    return joined.mapInPandas(_score_batches(bc, meta_name), schema=_SCHEMA)
+
+
+def docs_with_ents(ann, docs, text_col: str = "text",
+                   num_partitions: Optional[int] = None):
+    """(doc_id, ents, text) scoring input shared by every neural scorer
+    (meta linear/MLP/LSTM/BERT, RelCAT linear/RNN/BERT).
+
+    The explicit repartition is load-bearing: the join output is tiny
+    in BYTES (KBs per doc) but heavy in downstream COMPUTE (a model
+    forward per entity/pair), and AQE coalesces post-shuffle partitions
+    by byte size — at bench scale it folded the whole relation-scoring
+    stage into ONE task (measured: the 4-layer BERT pair bench ran 31
+    minutes single-core before this fix).  Spark cannot see Python-UDF
+    cost, so the stage is partitioned explicitly by doc_id; AQE does
+    not re-coalesce a user-specified partition count.  At 100 TB the
+    same holds: partition count must track document count, not the few
+    bytes of (doc_id, spans) metadata."""
     end_col = (F.col("end").cast("int") if "end" in ann.columns
                else F.lit(None).cast("int")).alias("end")
     ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
@@ -258,7 +277,10 @@ def meta_annotations_model(ann: DataFrame, docs: DataFrame, bc,
     src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                       F.col(text_col).alias("text"))
     joined = ents.join(src, "doc_id")
-    return joined.mapInPandas(_score_batches(bc, meta_name), schema=_SCHEMA)
+    if num_partitions is None:
+        num_partitions = int(ann.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    return joined.repartition(num_partitions, "doc_id")
 
 
 def meta_annotations_multi(ann: DataFrame, docs: DataFrame,
@@ -508,16 +530,7 @@ def meta_annotations_mlp(ann: DataFrame, docs: DataFrame, bc,
                          text_col: str = "text") -> DataFrame:
     """meta_annotations_model with the nonlinear scorer — identical plan
     shape (one groupBy + text join + one mapInPandas), different model."""
-    end_col = (F.col("end").cast("int") if "end" in ann.columns
-               else F.lit(None).cast("int")).alias("end")
-    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       F.col("start"), end_col, F.col("cui"))
-            .groupBy("doc_id")
-            .agg(F.collect_list(F.struct("start", "end", "cui"))
-                 .alias("ents")))
-    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                      F.col(text_col).alias("text"))
-    joined = ents.join(src, "doc_id")
+    joined = docs_with_ents(ann, docs, text_col)
     return joined.mapInPandas(_score_batches_mlp(bc, meta_name),
                               schema=_SCHEMA)
 

@@ -226,14 +226,9 @@ def relations_model(ann: DataFrame, docs: DataFrame, bc,
     grouped per doc, text joined once, one tokenize per doc for ALL its
     pairs inside an Arrow batch.
     """
-    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       "start", "cui")
-            .groupBy("doc_id")
-            .agg(F.collect_list(F.struct("start", "cui")).alias("ents")))
-    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                      F.col(text_col).alias("text"))
-    return ents.join(src, "doc_id").mapInPandas(_score_batches(bc),
-                                                schema=_SCHEMA)
+    from medcat_spark.functions.meta_model import docs_with_ents
+    return docs_with_ents(ann, docs, text_col).mapInPandas(
+        _score_batches(bc), schema=_SCHEMA)
 
 
 def oracle_sql_for_model(model: RelCatModel, toks_cte: str,
@@ -398,11 +393,6 @@ def relations_rnn(ann: DataFrame, docs: DataFrame, bc,
     """relations_model with the STATEFUL marked-sequence scorer —
     identical plan shape; one padded recurrent forward per Arrow batch
     over all of its pairs' marked windows."""
-    ents = (ann.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       "start", "cui")
-            .groupBy("doc_id")
-            .agg(F.collect_list(F.struct("start", "cui")).alias("ents")))
-    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                      F.col(text_col).alias("text"))
-    return ents.join(src, "doc_id").mapInPandas(_score_batches_rnn(bc),
-                                                schema=_SCHEMA)
+    from medcat_spark.functions.meta_model import docs_with_ents
+    return docs_with_ents(ann, docs, text_col).mapInPandas(
+        _score_batches_rnn(bc), schema=_SCHEMA)
