@@ -21,6 +21,8 @@ from medcat_spark.config import EngineConfig
 from medcat_spark.functions import dedup as ddp
 from medcat_spark.functions import similarity as simf
 from medcat_spark.functions import text as txt
+from medcat_spark.functions.graph import (concept_degree, knn_graph,
+                                          pagerank, two_hop_neighbors)
 from medcat_spark.functions.media import media_features
 from medcat_spark.stats import per_cui_stats
 from medcat_spark.triples import cooccurrence_triples, mention_triples
@@ -764,6 +766,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k")))
 
+    # --- graph analytics over the materialized co-occurrence triples
+    #     (functions/graph.py): the KG consumer-side queries the
+    #     north_star's "graph tables" exist to serve
+    def _cooc(s, d):
+        return cooccurrence_triples(_uni_ann(s, d))
+
+    q["kg_degree_centrality"] = lambda s, d: concept_degree(_cooc(s, d))
+    q["kg_pagerank"] = lambda s, d: pagerank(_cooc(s, d))
+    # 2-hop runs over the sparse mutual-kNN affinity graph (top-2
+    # partners per concept) — the raw co-occurrence graph over a small
+    # dictionary approaches completeness, where 2-hop is trivially empty
+    q["kg_two_hop"] = lambda s, d: two_hop_neighbors(
+        knn_graph(_cooc(s, d), k=2))
+
     return q
 
 
@@ -862,6 +878,68 @@ SELECT 'cui:' || a.cui AS subj, 'cooccurs_with' AS pred,
        'cui:' || b.cui AS obj, COUNT(*) AS n_docs
 FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui
 GROUP BY 1, 2, 3
+"""
+
+    # shared base for the graph-analytics oracles: recompute the
+    # co-occurrence triples, then the symmetrized weighted edge list
+    _sym_cte = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT t.doc_id, d.cui
+      FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name),
+cooc AS (SELECT 'cui:' || a.cui AS subj, 'cui:' || b.cui AS obj,
+                COUNT(*) AS n_docs
+         FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui
+         GROUP BY 1, 2),
+sym AS (SELECT subj AS src, obj AS dst, n_docs AS w FROM cooc
+        UNION ALL
+        SELECT obj AS src, subj AS dst, n_docs AS w FROM cooc)"""
+
+    o["kg_degree_centrality"] = f"""
+{_sym_cte}
+SELECT src AS node, COUNT(*) AS degree, SUM(w) AS weighted_degree
+FROM sym GROUP BY 1
+"""
+
+    # weighted PageRank, 3 iterations unrolled (pr0 = 1.0;
+    # pr_k+1 = (1-d) + d*sum(pr_k*w/wdeg)); float literals are CAST so
+    # DuckDB computes in float64 like Spark, not DECIMAL
+    _pr_step = """
+SELECT s.dst AS node,
+       (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       + CAST(0.85 AS DOUBLE) * SUM({src}.pr * s.w / d.wdeg) AS pr
+FROM sym s JOIN {src} ON s.src = {src}.node
+           JOIN wdeg d ON s.src = d.src
+GROUP BY 1"""
+    o["kg_pagerank"] = f"""
+{_sym_cte},
+wdeg AS (SELECT src, SUM(w) AS wdeg FROM sym GROUP BY 1),
+p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM wdeg),
+p1 AS ({_pr_step.format(src="p0")}),
+p2 AS ({_pr_step.format(src="p1")}),
+p3 AS ({_pr_step.format(src="p2")})
+SELECT node, ROUND(pr, 6) AS pr FROM p3
+"""
+
+    # 2-hop over the mutual top-2 affinity graph (row_number per node by
+    # weight desc, partner name as tie-break — same as graph.knn_graph)
+    o["kg_two_hop"] = f"""
+{_sym_cte},
+topk AS (SELECT src, dst FROM (
+           SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY w DESC, dst) AS rn
+           FROM sym) t WHERE rn <= 2),
+und AS (SELECT DISTINCT LEAST(src, dst) AS subj,
+                        GREATEST(src, dst) AS obj FROM topk),
+e2 AS (SELECT subj AS src, obj AS dst FROM und
+       UNION ALL SELECT obj AS src, subj AS dst FROM und),
+paths AS (SELECT a.src AS node_a, b.dst AS node_b,
+                 COUNT(DISTINCT a.dst) AS n_paths
+          FROM e2 a JOIN e2 b ON a.dst = b.src AND a.src < b.dst
+          GROUP BY 1, 2)
+SELECT p.node_a, p.node_b, p.n_paths FROM paths p
+WHERE NOT EXISTS (SELECT 1 FROM e2 d
+                  WHERE d.src = p.node_a AND d.dst = p.node_b)
 """
 
     o["cdb_names"] = f"""

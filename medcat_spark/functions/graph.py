@@ -1,0 +1,142 @@
+"""Graph analytics over the materialized KG triples (north_star
+"graph tables" consumer side): degree centrality, 2-hop neighborhoods,
+and fixed-iteration PageRank over the entity co-occurrence graph.
+
+The reference stops at emitting per-doc entity dicts; its downstream
+consumers (CogStack pipelines) run exactly these queries against the
+triple store.  Implemented DataFrame-first so every step is a
+shuffle-aware aggregation/join Catalyst can plan:
+
+  * degree:   one groupBy over the symmetrized edge list — map-side
+    partial aggregation, no joins.
+  * 2-hop:    edge⋈edge on the shared middle node + left_anti against
+    direct edges.  The join key is the MIDDLE node, so hot concepts
+    (the documented co-occurrence skew) are exactly the AQE skew-join
+    case; `max_degree` caps the blow-up the same way the LSH
+    `max_bucket_size` cap does — a node of degree d contributes d²
+    paths, and production graphs prune stop-concept hubs first.
+  * pagerank: the classic unnormalized update
+    pr = (1-d) + d·Σ pr(in)/out_deg(in), a fixed number of
+    join+groupBy rounds.  The edge table is cached once; each
+    iteration's rank relation is 1 row/node (tiny next to the doc
+    corpus), and lineage is cut per round with localCheckpoint like
+    functions/dedup.connected_components so the plan depth stays
+    constant at scale.  An undirected co-occurrence graph has no
+    dangling nodes (every node has an edge), so no dangling-mass term
+    is needed and the per-node values are oracle-reproducible in
+    chained SQL CTEs (one per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(cooc: DataFrame) -> DataFrame:
+    """(subj, obj[, n_docs]) A<B triples → both-direction edge list."""
+    w = F.col("n_docs") if "n_docs" in cooc.columns else F.lit(1).cast("long")
+    fwd = cooc.select(F.col("subj").alias("src"), F.col("obj").alias("dst"),
+                      w.alias("w"))
+    rev = cooc.select(F.col("obj").alias("src"), F.col("subj").alias("dst"),
+                      w.alias("w"))
+    return fwd.unionAll(rev)
+
+
+def concept_degree(cooc: DataFrame) -> DataFrame:
+    """Per-concept degree + co-occurrence-weighted degree.
+
+    One shuffle (the groupBy), partial-aggregated map-side; linear in
+    the edge count at any scale."""
+    return (_symmetrize(cooc)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("degree"),
+                 F.sum("w").alias("weighted_degree")))
+
+
+def two_hop_neighbors(cooc: DataFrame,
+                      max_degree: int | None = None) -> DataFrame:
+    """Concept pairs reachable in exactly 2 hops (not adjacent, not
+    self) with the number of distinct middle concepts.
+
+    ``max_degree`` drops hub nodes ABOVE the cap from the middle
+    position before the self-join — at production scale a degree-10⁵
+    stop-concept would otherwise contribute 10¹⁰ paths.  The cap is a
+    first-class knob, not a silent default: None means exact."""
+    edges = _symmetrize(cooc).select("src", "dst")
+    a = edges.select(F.col("src").alias("node_a"), F.col("dst").alias("mid"))
+    b = edges.select(F.col("src").alias("mid"), F.col("dst").alias("node_b"))
+    if max_degree is not None:
+        # the MIDDLE node's degree is what blows up the self-join —
+        # restrict the mid position to nodes at or under the cap
+        # (degree relation: 1 row/node, broadcast)
+        ok = (edges.groupBy("src").agg(F.count("*").alias("d"))
+              .where(F.col("d") <= max_degree)
+              .select(F.col("src").alias("mid")))
+        a = a.join(F.broadcast(ok), "mid")
+        b = b.join(F.broadcast(ok), "mid")
+    paths = (a.join(b, "mid")
+             .where(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(F.countDistinct("mid").alias("n_paths")))
+    direct = edges.select(F.col("src").alias("node_a"),
+                          F.col("dst").alias("node_b"))
+    return paths.join(direct, ["node_a", "node_b"], "left_anti")
+
+
+def knn_graph(cooc: DataFrame, k: int = 2) -> DataFrame:
+    """Sparse concept-affinity graph: each node keeps its top-k
+    strongest co-occurrence partners (by doc count, partner name as the
+    deterministic tie-break), union-of-directions so the result is the
+    usual mutualized kNN graph as canonical A<B triples.
+
+    This is the standard densification guard for similarity graphs: a
+    raw co-occurrence graph over a small vocabulary (or with hub
+    stop-concepts) approaches completeness, where neighborhood queries
+    degenerate; top-k keeps the edge count ≤ k·|V| at ANY corpus scale.
+    One window (partitioned by node — map-side sortable) + one
+    distinct."""
+    from pyspark.sql import Window
+    e = _symmetrize(cooc)
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    top = (e.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= k))
+    return (top.select(F.least("src", "dst").alias("subj"),
+                       F.greatest("src", "dst").alias("obj"))
+            .distinct()
+            .select("subj", F.lit("affinity").alias("pred"), "obj"))
+
+
+def pagerank(cooc: DataFrame, iterations: int = 3,
+             damping: float = 0.85, checkpoint: bool = True) -> DataFrame:
+    """Fixed-iteration WEIGHTED PageRank over the undirected
+    co-occurrence graph: pr₀ = 1, prₖ₊₁(v) = (1-d) + d·Σ_{u→v}
+    prₖ(u)·w(u,v)/wdeg(u), where w is the co-occurrence doc count and
+    wdeg the node's total outgoing weight (Xing & Ghorbani 2004 shape).
+    Weighting matters: on a near-complete small-vocabulary graph the
+    unweighted variant collapses to the uniform vector, while edge
+    weights carry the actual concept-affinity signal.  Returned pr is
+    rounded to 6 dp (oracle contract: chained per-iteration SQL CTEs).
+
+    Shape at scale: the edge list shuffles ONCE into the (src)
+    partitioning and is cached; each round is join(edges, ranks) +
+    groupBy(dst) — both on the same key space, and the rank relation
+    is 1 row per node.  localCheckpoint per round keeps the physical
+    plan flat (same policy as dedup.connected_components); hot-concept
+    in-degree skew lands on AQE's skew-join splitter."""
+    edges = _symmetrize(cooc)
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    withdeg = edges.join(wdeg, "src").cache()
+    ranks = wdeg.select(F.col("src").alias("node"),
+                        F.lit(1.0).alias("pr"))
+    for _ in range(iterations):
+        contribs = (withdeg.join(ranks, withdeg["src"] == ranks["node"])
+                    .select(F.col("dst").alias("node"),
+                            (F.col("pr") * F.col("w") / F.col("wdeg"))
+                            .alias("c")))
+        ranks = (contribs.groupBy("node")
+                 .agg((F.lit(1.0 - damping)
+                       + F.lit(damping) * F.sum("c")).alias("pr")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("pr", 6).alias("pr"))

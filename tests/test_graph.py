@@ -1,0 +1,90 @@
+"""Graph analytics over materialized co-occurrence triples
+(functions/graph.py): degree, 2-hop neighborhoods, weighted PageRank —
+each checked against hand-computed values on a small fixed graph, plus
+structural properties (hub cap, rank-mass conservation)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from medcat_spark.functions.graph import (concept_degree, pagerank,
+                                          two_hop_neighbors)
+
+# undirected weighted graph (A<B triple convention):
+#   A-B w=3, A-C w=1, B-C w=2, C-D w=4   (D is a leaf off C; A-D, B-D
+#   are the non-adjacent 2-hop pairs, both through C)
+EDGES = [("A", "B", 3), ("A", "C", 1), ("B", "C", 2), ("C", "D", 4)]
+
+
+@pytest.fixture(scope="module")
+def cooc(spark):
+    return spark.createDataFrame(
+        [(a, "cooccurs_with", b, n) for a, b, n in EDGES],
+        "subj string, pred string, obj string, n_docs long")
+
+
+def test_concept_degree(cooc):
+    got = {r["node"]: (r["degree"], r["weighted_degree"])
+           for r in concept_degree(cooc).collect()}
+    assert got == {"A": (2, 4), "B": (2, 5), "C": (3, 7), "D": (1, 4)}
+
+
+def test_two_hop_exact(cooc):
+    got = {(r["node_a"], r["node_b"]): r["n_paths"]
+           for r in two_hop_neighbors(cooc).collect()}
+    # A-D and B-D via C only; A-B/A-C/B-C/C-D are direct (excluded)
+    assert got == {("A", "D"): 1, ("B", "D"): 1}
+
+
+def test_two_hop_hub_cap(cooc):
+    # cap below C's degree (3) removes C from the middle position —
+    # no 2-hop pairs remain (every 2-path in this graph routes via C)
+    assert two_hop_neighbors(cooc, max_degree=2).count() == 0
+    # cap at 3 keeps everything
+    got = two_hop_neighbors(cooc, max_degree=3).count()
+    assert got == 2
+
+
+def _expected_pagerank(iters=3, d=0.85):
+    nodes = ["A", "B", "C", "D"]
+    w = {}
+    for a, b, n in EDGES:
+        w.setdefault(a, {})[b] = n
+        w.setdefault(b, {})[a] = n
+    wdeg = {u: sum(vs.values()) for u, vs in w.items()}
+    pr = {u: 1.0 for u in nodes}
+    for _ in range(iters):
+        pr = {v: (1 - d) + d * sum(pr[u] * w[u][v] / wdeg[u]
+                                   for u in w if v in w[u])
+              for v in nodes}
+    return pr
+
+
+def test_pagerank_matches_hand_rolled(cooc):
+    exp = _expected_pagerank()
+    got = {r["node"]: r["pr"] for r in pagerank(cooc).collect()}
+    assert set(got) == set(exp)
+    for n in exp:
+        assert math.isclose(got[n], round(exp[n], 6), abs_tol=1e-6), n
+
+
+def test_pagerank_mass_conserved(cooc):
+    # unnormalized update: total rank stays N (each node emits its full
+    # rank scaled by d plus the (1-d) source) — a partitioning-invariant
+    # check that the contribution join drops nothing
+    total = (pagerank(cooc, iterations=4)
+             .agg(F.sum("pr").alias("s")).first()["s"])
+    # returned pr is rounded to 6 dp (oracle contract): 4 nodes x 5e-7
+    assert math.isclose(total, 4.0, abs_tol=4e-6)
+
+
+def test_pagerank_weight_sensitivity(spark):
+    # C-D carries 10x the weight of A-B: D must outrank A and B even
+    # though all three have degree 1 in this star-ish graph
+    cooc = spark.createDataFrame(
+        [("A", "cooccurs_with", "C", 1), ("B", "cooccurs_with", "C", 1),
+         ("C", "cooccurs_with", "D", 10)],
+        "subj string, pred string, obj string, n_docs long")
+    got = {r["node"]: r["pr"] for r in pagerank(cooc).collect()}
+    assert got["D"] > got["A"] and got["D"] > got["B"]

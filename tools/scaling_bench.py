@@ -183,6 +183,16 @@ def main():
     steal_gate = float(os.environ.get("SCALING_STEAL_GATE", "0.005"))
     touch_gate = float(os.environ.get("SCALING_TOUCH_GATE", "1.0"))
 
+    # The gate must measure the ENGINE's fault path: session.tune_allocator
+    # disables numpy's MADV_HUGEPAGE (the r3/r4 root cause — huge-page
+    # faults run 50-100x slow during this host's degradation episodes),
+    # and every measured subprocess applies the same fix via get_spark.
+    # Gating on the RAW hugepage path would reject every round of a
+    # multi-hour episode even though the engine no longer touches it; the
+    # raw probe is still recorded per round as host-state evidence.
+    from medcat_spark.session import tune_allocator
+    tune_allocator()
+
     def cpu_jiffies():
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
@@ -190,6 +200,7 @@ def main():
         return sum(vals), vals[7] if len(vals) > 7 else 0  # total, steal
 
     def first_touch_sec() -> float:
+        """Engine-path (THP-fixed) first-touch latency — the gate input."""
         import numpy as np
         t0 = time.monotonic()
         a = np.empty(133 * 1024 * 1024 // 8)
@@ -197,6 +208,22 @@ def main():
         dt = round(time.monotonic() - t0, 3)
         del a
         return dt
+
+    def first_touch_raw_sec():
+        """RAW hugepage-path probe (subprocess without the env override):
+        host-state evidence only, not gated on."""
+        env = {k: v for k, v in os.environ.items()
+               if k != "NUMPY_MADVISE_HUGEPAGE"}
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import numpy,time;t=time.monotonic();"
+                 "a=numpy.empty(133*1024*1024//8);a[:]=1.0;"
+                 "print(round(time.monotonic()-t,3))"],
+                capture_output=True, text=True, env=env, timeout=600)
+            return float(p.stdout.strip() or -1)
+        except (OSError, ValueError, subprocess.TimeoutExpired):
+            return None
 
     only = os.environ.get("SCALING_PAIRS")  # e.g. "primary_2_to_8"
     for pair in PAIRS:
@@ -207,6 +234,7 @@ def main():
         rnd, clean = 0, 0
         while clean < rounds and rnd < 2 * rounds:
             touch = first_touch_sec()
+            touch_raw = first_touch_raw_sec()
             t0, s0 = cpu_jiffies()
             rn = _subprocess_run(n_m, pair["replicate"], 1, 2)
             r4 = _subprocess_run(n4_m, pair["replicate"], 1, 2)
@@ -222,6 +250,7 @@ def main():
             samples.append({"round": rnd, "eff": eff,
                             "host_steal_frac": steal,
                             "host_first_touch_sec": touch,
+                            "host_first_touch_hugepage_sec": touch_raw,
                             "gated": gated,
                             "docs_per_sec_N": rn["docs_per_sec"],
                             "docs_per_sec_4N": r4["docs_per_sec"]})
