@@ -164,3 +164,38 @@ def test_meta_component_pack_round_trip_with_bbpe(tmp_path, bbpe_lstm):
     w = [ids1[:6], ids1[2:9]]
     c = [(1, 2), (0, 0)]
     assert bbpe_lstm.predict_batch_ids(w, c) == m2.predict_batch_ids(w, c)
+
+
+def test_offsets_survive_expanding_lowercase():
+    """'İ' (U+0130) lowercases to 2 chars ('i̇'); naive pre-lowering
+    would shift every subsequent offset.  _lower_preserving_length keeps
+    such chars unlowered so spans index the ORIGINAL text."""
+    tok = train_bbpe(["alpha beta spark vector"] * 2, vocab_size=280,
+                     lowercase=True)
+    text = "İİzz spark beta"
+    ids, spans = tok.encode_with_offsets(text)
+    # every span indexes inside the ORIGINAL string (a naive lowercase
+    # would shift ends past len(text)) and spans are monotonic
+    assert all(0 <= a < b <= len(text) for a, b in spans)
+    assert all(spans[i][0] <= spans[i + 1][0]
+               for i in range(len(spans) - 1))
+    # the token carrying 'spark' (GPT-2 style: leading space included)
+    # must sit at the word's ORIGINAL position
+    s0 = text.index("spark")
+    assert any(b == s0 + 5 and text[a:b].lstrip() == "spark"
+               for a, b in spans)
+    # control: ordinary uppercase still lowercases (S-> s same length)
+    ids2, _ = tok.encode_with_offsets("İİzz SPARK beta")
+    assert ids2 == ids
+
+
+def test_wordpiece_offsets_survive_expanding_lowercase():
+    from medcat_spark.core.bbpe import WordPieceTokenizer
+    vocab = {"[PAD]": 0, "[UNK]": 1, "spark": 2, "beta": 3, "##zz": 4}
+    tok = WordPieceTokenizer(vocab, lowercase=True)
+    text = "İzz SPARK beta"
+    ids, spans = tok.encode_with_offsets(text)
+    s0 = text.index("SPARK")
+    assert (2, (s0, s0 + 5)) in list(zip(ids, spans))
+    assert (3, (text.index("beta"), text.index("beta") + 4)) in \
+        list(zip(ids, spans))

@@ -266,3 +266,43 @@ def test_missing_layers_rejected():
              "embeddings.token_type_embeddings.weight": np.zeros((2, 4)),
              "embeddings.LayerNorm.weight": np.ones(4),
              "embeddings.LayerNorm.bias": np.zeros(4)}, 2)
+
+
+def test_bert_meta_without_tokenizer_skipped_at_load(tmp_path):
+    """A meta_* BERT component whose dir has only bbpe-vocab.json (no
+    merges) cannot segment unseen text; it must fail AT LOAD TIME into
+    ``_skipped`` — not ValueError later inside mapInPandas at executor
+    time (same policy as the rel_* tokenizer/tag-id validation)."""
+    import json
+    import os
+    from medcat_spark.core.bbpe import train_bbpe
+    from medcat_spark.sources.reference_pack import load_component_dirs
+    tok = train_bbpe(["the patient presented with heart attack"] * 3,
+                     vocab_size=300)
+    sd = {"bert." + k: v
+          for k, v in bert_fixture_state_dict(
+              vocab_size=tok.get_size(), relcat=False).items()
+          if not k.startswith("classifier")}
+    rs = np.random.RandomState(22)
+    sd["fc1.weight"] = rs.uniform(-0.5, 0.5, (10, 2 * H)).astype(np.float32)
+    sd["fc1.bias"] = np.zeros(10, dtype=np.float32)
+    sd["fc4.weight"] = rs.uniform(-0.5, 0.5, (2, 10)).astype(np.float32)
+    sd["fc4.bias"] = np.zeros(2, dtype=np.float32)
+    d = tmp_path / "meta_Status"
+    os.makedirs(d)
+    write_state_dict(str(d / "model.dat"), sd)
+    (d / "config.json").write_text(json.dumps({
+        "general": {"category_name": "Status",
+                    "category_value2id": {"Other": 0, "Confirmed": 1}},
+        "model": {"model_name": "bert", "nclasses": 2,
+                  "model_architecture_config": {"fc2": False,
+                                                "fc3": False}}}))
+    (d / "model_config.json").write_text(
+        json.dumps({"num_attention_heads": HEADS}))
+    tok.save(str(d))
+    os.remove(d / "bbpe-merges.txt")   # vocab survives, merges lost
+    comps = load_component_dirs(str(tmp_path))
+    assert "Status" not in comps
+    assert len(comps["_skipped"]) == 1
+    entry, reason = comps["_skipped"][0]
+    assert entry == "meta_Status" and "tokenizer" in reason

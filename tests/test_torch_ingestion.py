@@ -302,3 +302,39 @@ def test_fc_width_mismatch_rejected():
     with pytest.raises(ValueError, match="fc1.weight"):
         LstmMetaModel.from_state_dict(
             sd, ["A", "B"], {}, cntx_left=CNTX_LEFT, cntx_right=CNTX_RIGHT)
+
+
+# -- untrusted size/stride/offset bounds (the as_strided hardening) ----------
+
+def test_rebuild_tensor_bounds_checks():
+    """A crafted checkpoint controls size/stride/storage_offset; without
+    bounds validation as_strided().copy() reads outside the storage
+    buffer (process-memory disclosure / segfault).  Every hostile header
+    must raise BEFORE the view is built."""
+    from medcat_spark.sources.torch_pickle import (_rebuild_tensor_v2,
+                                                   _Storage)
+    st = _Storage(np.arange(12, dtype=np.float32))
+    # legitimate strided view works and copies the right values
+    t = _rebuild_tensor_v2(st, 0, (3, 4), (4, 1))
+    assert t.shape == (3, 4) and t[2, 3] == 11.0
+    # offset + reach beyond the end
+    with pytest.raises(ValueError, match="reaches element"):
+        _rebuild_tensor_v2(st, 4, (3, 4), (4, 1))
+    # huge stride: max reachable index far outside the 12-element buffer
+    with pytest.raises(ValueError, match="reaches element"):
+        _rebuild_tensor_v2(st, 0, (2, 2), (1 << 40, 1))
+    # negative stride walks backwards out of the slice
+    with pytest.raises(ValueError, match="negative"):
+        _rebuild_tensor_v2(st, 11, (12,), (-1,))
+    # negative offset
+    with pytest.raises(ValueError, match="outside storage"):
+        _rebuild_tensor_v2(st, -1, (2,), (1,))
+    # rank mismatch
+    with pytest.raises(ValueError, match="rank"):
+        _rebuild_tensor_v2(st, 0, (2, 2), (1,))
+    # scalar past the end
+    with pytest.raises(ValueError, match="scalar"):
+        _rebuild_tensor_v2(st, 12, (), ())
+    # zero-size dimension is inert regardless of stride
+    z = _rebuild_tensor_v2(st, 0, (0, 5), (1 << 40, 1))
+    assert z.shape == (0, 5)
