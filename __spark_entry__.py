@@ -780,6 +780,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_two_hop"] = lambda s, d: two_hop_neighbors(
         knn_graph(_cooc(s, d), k=2))
 
+    # --- Iceberg graph tables (sources/iceberg.py): the north rule's
+    #     materialization target, spec v2 metadata + avro manifests in
+    #     pure Python.  The query round-trips spans through a real
+    #     Iceberg table (write → metadata-planned scan → read) and
+    #     aggregates; the oracle computes the same aggregate directly.
+    def _span_rows(s, d):
+        return _interleaved_docs(s, d).select(
+            "doc_id", F.explode("spans").alias("sp")).select(
+            "doc_id", F.col("sp.kind").alias("kind"),
+            F.col("sp.offset").cast("long").alias("off"))
+
+    def _ice_agg(df):
+        return df.groupBy("kind").agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("off").alias("min_off"),
+            F.max("off").alias("max_off"))
+
+    def _iceberg_snapshot(s, d):
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        rows = _span_rows(s, d)
+        loc = tempfile.mkdtemp(prefix="ice_q_") + "/spans"
+        t = IcebergTable.create(loc, rows.schema, partition_by=["kind"])
+        t.append_dataframe(rows)
+        return _ice_agg(IcebergTable.load(loc).to_df(s))
+    q["kg_iceberg_snapshot"] = _iceberg_snapshot
+
+    def _iceberg_time_travel(s, d):
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        rows = _span_rows(s, d)
+        even = rows.filter(F.col("doc_id").cast("long") % 2 == 0)
+        odd = rows.filter(F.col("doc_id").cast("long") % 2 != 0)
+        loc = tempfile.mkdtemp(prefix="ice_tt_") + "/spans"
+        t = IcebergTable.create(loc, rows.schema, partition_by=["kind"])
+        s1 = t.append_dataframe(even)
+        t.append_dataframe(odd)
+        t = IcebergTable.load(loc)
+        assert len(t.snapshots()) == 2
+        # time travel: read AS OF the first snapshot — sees even docs only
+        return _ice_agg(t.to_df(s, snapshot_id=s1))
+    q["kg_iceberg_time_travel"] = _iceberg_time_travel
+
     return q
 
 
@@ -940,6 +984,32 @@ paths AS (SELECT a.src AS node_a, b.dst AS node_b,
 SELECT p.node_a, p.node_b, p.n_paths FROM paths p
 WHERE NOT EXISTS (SELECT 1 FROM e2 d
                   WHERE d.src = p.node_a AND d.dst = p.node_b)
+"""
+
+    # Iceberg round-trip: the engine writes spans to a real Iceberg v2
+    # table and reads them back via metadata-planned scans; the oracle
+    # computes the identical aggregate straight from the source table,
+    # so any loss/duplication/corruption in the format layer mismatches.
+    _ICE_SPANS_CTE = """
+s AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind,
+             CAST(0 AS BIGINT) AS off FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 'image',
+             CAST(length(text) + 1 AS BIGINT) FROM documents)
+"""
+
+    o["kg_iceberg_snapshot"] = f"""
+WITH {_ICE_SPANS_CTE}
+SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(off) AS min_off, MAX(off) AS max_off
+FROM s GROUP BY kind
+"""
+
+    o["kg_iceberg_time_travel"] = f"""
+WITH {_ICE_SPANS_CTE}
+SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(off) AS min_off, MAX(off) AS max_off
+FROM s WHERE CAST(doc_id AS BIGINT) % 2 = 0 GROUP BY kind
 """
 
     o["cdb_names"] = f"""

@@ -137,6 +137,23 @@ def run(spark) -> dict:
           lambda: annotate(big, bc, num_partitions=nparts * 4).count())
     big.unpersist()
 
+    # q17: Iceberg snapshot commit + metadata-planned read-back of the
+    # mention triples (the north rule's materialization target; cost =
+    # parquet write + avro manifest + metadata commit + planned scan)
+    import shutil
+    import tempfile
+    from medcat_spark.sources.iceberg import IcebergTable
+
+    def _iceberg_commit():
+        loc = tempfile.mkdtemp(prefix="bench_ice_") + "/mentions"
+        t = IcebergTable.create(loc, mention_triples(
+            ann, distinct=True).schema)
+        t.append_dataframe(mention_triples(ann, distinct=True))
+        n = IcebergTable.load(loc).to_df(spark).count()
+        shutil.rmtree(os.path.dirname(loc), ignore_errors=True)
+        return n
+    timed("q17_iceberg_commit", _iceberg_commit)
+
     ann.unpersist()
     docs.unpersist()
     total = round(sum(timings.values()), 3)

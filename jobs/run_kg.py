@@ -35,6 +35,11 @@ def main(argv=None):
                         "cluster keepers (functions/dedup.dedup_clusters)")
     p.add_argument("--dedup-min-jaccard", type=float, default=0.2)
     p.add_argument("--master", default=None)
+    p.add_argument("--sink", choices=("parquet", "iceberg"),
+                   default="parquet",
+                   help="snapshot/triple store: the parquet snapshot "
+                        "protocol (default) or real Iceberg v2 tables "
+                        "(pure-Python writer, sources/iceberg.py)")
     p.add_argument("--meta", action="store_true",
                    help="run the pack's meta_* components (LSTM heads "
                         "from torch-format checkpoints) over the "
@@ -104,11 +109,27 @@ def main(argv=None):
     else:
         dedup_stats = {}
 
-    manifest = resumable_annotate(spark, docs, bc, args.out,
-                                  num_partitions=args.partitions,
-                                  max_docs=args.max_docs, config=cfg)
-    ann = read_annotations(spark, args.out)
-    if ann is not None:
+    if args.sink == "iceberg":
+        from medcat_spark.sources.iceberg import (IcebergKgSink,
+                                                  resumable_annotate_iceberg)
+        manifest = resumable_annotate_iceberg(
+            spark, docs, bc, args.out, num_partitions=args.partitions,
+            max_docs=args.max_docs, config=cfg)
+        ann = IcebergKgSink(args.out).read_annotations(spark)
+    else:
+        manifest = resumable_annotate(spark, docs, bc, args.out,
+                                      num_partitions=args.partitions,
+                                      max_docs=args.max_docs, config=cfg)
+        ann = read_annotations(spark, args.out)
+    if args.sink == "iceberg" and ann is not None:
+        # the KG triple tables themselves are Iceberg (REPLACE snapshot
+        # per run: recomputed from all committed annotations)
+        from medcat_spark.sources.iceberg import overwrite_table
+        overwrite_table(f"{args.out}/triples/mentions",
+                        mention_triples(ann, distinct=True))
+        overwrite_table(f"{args.out}/triples/cooccurrence",
+                        cooccurrence_triples(ann, materialize=False))
+    elif ann is not None:
         if args.bucketed:
             from medcat_spark.operators.bucketing import (
                 bucketed_cooccurrence, write_annotations_bucketed)

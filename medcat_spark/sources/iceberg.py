@@ -1,0 +1,1250 @@
+"""Apache Iceberg v2 table format — pure-Python writer/reader.
+
+The north rule requires "materializing (doc-entity, relation,
+entity-entity co-occurrence) triples into Iceberg graph tables" and
+"resumable from Iceberg snapshot checkpoints".  The Iceberg runtime
+jars are absent from this sandbox, so rather than stopping at the
+parquet-protocol analogue (checkpoint.py), this module implements the
+actual on-disk format from the public spec
+(https://iceberg.apache.org/spec/, format-version 2):
+
+  * table metadata JSON (``metadata/vN.metadata.json``) with schemas,
+    identity partition specs, snapshot log and summaries;
+  * Avro object-container manifest files and manifest lists (the Avro
+    1.11 container + binary encoding, written by the minimal generic
+    encoder below — no avro/fastavro in the env) carrying the
+    spec-mandated field-ids, per-file record counts, value counts and
+    single-value-serialized lower/upper bounds;
+  * HadoopCatalog-style atomic commits: write ``vN.metadata.json``,
+    then rename a tmp ``version-hint.text`` into place — readers always
+    see either the old or the new snapshot, never a torn one.
+
+Data files are parquet written by Spark (optionally ``partitionBy`` →
+identity transforms); scan planning reads ONLY Iceberg metadata: the
+manifest list picks manifests by partition summaries, manifests pick
+data files by partition values (partition pruning without touching the
+file system), and Spark reads the resulting explicit file list.  A real
+Iceberg catalog can adopt the table as-is via ``register_table``
+pointing at the same metadata JSON.
+
+At 100 TB the metadata layer is exactly what makes the scan viable:
+planning cost is proportional to manifests (KBs) not data (TBs), and
+snapshot isolation gives the resumable exactly-once commit the
+reference implements with ``annotated_ids`` pickles
+(/root/reference/medcat/cat.py:1403-1421).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import time
+import uuid
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Avro binary encoding (subset sufficient for Iceberg manifests)
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"Obj\x01"
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    z = _zigzag(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            break
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _write_datum(out: io.BytesIO, schema: Any, datum: Any) -> None:
+    """Generic Avro datum writer driven by a parsed JSON schema.
+
+    Supports null/boolean/int/long/float/double/bytes/string, records,
+    arrays, maps (string keys), ``["null", X]`` unions and fixed — the
+    full set used by Iceberg manifest schemas.
+    """
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):  # union
+        if datum is None:
+            idx = schema.index("null")
+            _write_long(out, idx)
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        _write_long(out, idx)
+        _write_datum(out, schema[idx], datum)
+        return
+    else:
+        t = schema["type"]
+
+    if t == "null":
+        return
+    if t == "boolean":
+        out.write(b"\x01" if datum else b"\x00")
+    elif t in ("int", "long"):
+        _write_long(out, int(datum))
+    elif t == "float":
+        out.write(struct.pack("<f", float(datum)))
+    elif t == "double":
+        out.write(struct.pack("<d", float(datum)))
+    elif t == "bytes":
+        _write_bytes(out, bytes(datum))
+    elif t == "string":
+        _write_bytes(out, datum.encode("utf-8"))
+    elif t == "fixed":
+        assert len(datum) == schema["size"]
+        out.write(bytes(datum))
+    elif t == "record":
+        for f in schema["fields"]:
+            _write_datum(out, f["type"], datum.get(f["name"]))
+    elif t == "array":
+        items = list(datum or [])
+        if items:
+            _write_long(out, len(items))
+            for it in items:
+                _write_datum(out, schema["items"], it)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = list((datum or {}).items())
+        if entries:
+            _write_long(out, len(entries))
+            for k, v in entries:
+                _write_bytes(out, k.encode("utf-8"))
+                _write_datum(out, schema["values"], v)
+        _write_long(out, 0)
+    else:  # pragma: no cover - guarded by schema construction below
+        raise ValueError(f"unsupported avro type: {t}")
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+
+def _read_datum(r: _Reader, schema: Any) -> Any:
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):
+        idx = r.read_long()
+        return _read_datum(r, schema[idx])
+    else:
+        t = schema["type"]
+
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return r.read_long()
+    if t == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        return r.read_bytes()
+    if t == "string":
+        return r.read_bytes().decode("utf-8")
+    if t == "fixed":
+        return r.read(schema["size"])
+    if t == "record":
+        return {f["name"]: _read_datum(r, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:  # block with byte size prefix
+                r.read_long()
+                n = -n
+            for _ in range(n):
+                out.append(_read_datum(r, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                r.read_long()
+                n = -n
+            for _ in range(n):
+                k = r.read_bytes().decode("utf-8")
+                out[k] = _read_datum(r, schema["values"])
+        return out
+    raise ValueError(f"unsupported avro type: {t}")  # pragma: no cover
+
+
+def avro_write_container(path: str, schema: Dict[str, Any],
+                         records: Iterable[Dict[str, Any]],
+                         meta: Optional[Dict[str, str]] = None) -> int:
+    """Write an Avro object-container file (codec null). Returns length."""
+    sync = uuid.uuid4().bytes  # 16 bytes
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    header_meta = {"avro.schema": json.dumps(schema),
+                   "avro.codec": "null"}
+    header_meta.update(meta or {})
+    _write_datum(out, {"type": "map", "values": "bytes"},
+                 {k: v.encode("utf-8") for k, v in header_meta.items()})
+    out.write(sync)
+    records = list(records)
+    if records:
+        block = io.BytesIO()
+        for rec in records:
+            _write_datum(block, schema, rec)
+        payload = block.getvalue()
+        _write_long(out, len(records))
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+    data = out.getvalue()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.rename(tmp, path)
+    return len(data)
+
+
+def avro_read_container(path: str) -> Tuple[Dict[str, Any],
+                                            List[Dict[str, Any]],
+                                            Dict[str, bytes]]:
+    """Read an Avro object-container file → (schema, records, meta)."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    if r.read(4) != _MAGIC:
+        raise ValueError(f"not an avro container: {path}")
+    meta = _read_datum(r, {"type": "map", "values": "bytes"})
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", ""):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    sync = r.read(16)
+    records: List[Dict[str, Any]] = []
+    while r.pos < len(r.buf):
+        n = r.read_long()
+        r.read_long()  # block byte size (codec null: payload follows inline)
+        for _ in range(n):
+            records.append(_read_datum(r, schema))
+        if r.read(16) != sync:
+            raise ValueError(f"sync marker mismatch in {path}")
+    return schema, records, meta
+
+
+# ---------------------------------------------------------------------------
+# Spark schema → Iceberg schema (fresh field-id assignment)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "string": "string", "long": "long", "integer": "int", "int": "int",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "binary": "binary", "date": "date", "timestamp": "timestamptz",
+    "short": "int", "byte": "int",
+}
+
+
+def spark_schema_to_iceberg(spark_schema, schema_id: int = 0) -> Dict[str, Any]:
+    """Convert a pyspark StructType (or its jsonValue dict) to an Iceberg
+    schema dict with freshly assigned field-ids (DFS, parents first —
+    any consistent assignment is spec-conformant for a new table)."""
+    if hasattr(spark_schema, "jsonValue"):
+        spark_schema = spark_schema.jsonValue()
+    counter = [0]
+
+    def next_id() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def conv_type(t: Any) -> Any:
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                return t  # decimal(p, s) spells identically
+            if t not in _PRIMITIVES:
+                raise ValueError(f"unsupported spark type for iceberg: {t}")
+            return _PRIMITIVES[t]
+        kind = t["type"]
+        if kind == "struct":
+            return {"type": "struct", "fields": [conv_field(f)
+                                                 for f in t["fields"]]}
+        if kind == "array":
+            eid = next_id()
+            return {"type": "list", "element-id": eid,
+                    "element": conv_type(t["elementType"]),
+                    "element-required": not t.get("containsNull", True)}
+        if kind == "map":
+            kid, vid = next_id(), next_id()
+            return {"type": "map", "key-id": kid,
+                    "key": conv_type(t["keyType"]),
+                    "value-id": vid, "value": conv_type(t["valueType"]),
+                    "value-required": not t.get("valueContainsNull", True)}
+        raise ValueError(f"unsupported spark type for iceberg: {kind}")
+
+    def conv_field(f: Dict[str, Any]) -> Dict[str, Any]:
+        fid = next_id()
+        return {"id": fid, "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": conv_type(f["type"])}
+
+    fields = [conv_field(f) for f in spark_schema["fields"]]
+    return {"type": "struct", "schema-id": schema_id, "fields": fields,
+            "last-column-id": counter[0]}
+
+
+def _iceberg_to_spark_type(t: Any):
+    """Inverse mapping for reads (top-level primitives + nesting)."""
+    from pyspark.sql import types as T
+    prim = {"string": T.StringType(), "long": T.LongType(),
+            "int": T.IntegerType(), "double": T.DoubleType(),
+            "float": T.FloatType(), "boolean": T.BooleanType(),
+            "binary": T.BinaryType(), "date": T.DateType(),
+            "timestamptz": T.TimestampType()}
+    if isinstance(t, str):
+        return prim[t]
+    if t["type"] == "struct":
+        return T.StructType([
+            T.StructField(f["name"], _iceberg_to_spark_type(f["type"]),
+                          not f["required"]) for f in t["fields"]])
+    if t["type"] == "list":
+        return T.ArrayType(_iceberg_to_spark_type(t["element"]),
+                           not t["element-required"])
+    if t["type"] == "map":
+        return T.MapType(_iceberg_to_spark_type(t["key"]),
+                         _iceberg_to_spark_type(t["value"]),
+                         not t["value-required"])
+    raise ValueError(f"unsupported iceberg type: {t}")
+
+
+# ---------------------------------------------------------------------------
+# Single-value serialization for bounds (spec Appendix D)
+# ---------------------------------------------------------------------------
+
+def serialize_bound(iceberg_type: str, value: Any) -> Optional[bytes]:
+    if value is None:
+        return None
+    if iceberg_type == "int":
+        return struct.pack("<i", int(value))
+    if iceberg_type == "long":
+        return struct.pack("<q", int(value))
+    if iceberg_type == "float":
+        return struct.pack("<f", float(value))
+    if iceberg_type == "double":
+        return struct.pack("<d", float(value))
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if iceberg_type == "string":
+        if isinstance(value, bytes):
+            value = value.decode("utf-8", "replace")
+        return value.encode("utf-8")
+    return None  # other types: skip stats rather than mis-encode
+
+
+def deserialize_bound(iceberg_type: str, b: Optional[bytes]) -> Any:
+    if b is None:
+        return None
+    if iceberg_type == "int":
+        return struct.unpack("<i", b)[0]
+    if iceberg_type == "long":
+        return struct.unpack("<q", b)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", b)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", b)[0]
+    if iceberg_type == "boolean":
+        return b == b"\x01"
+    if iceberg_type == "string":
+        return b.decode("utf-8", "replace")
+    return None
+
+
+def _truncate_lower(s: str, width: int = 16) -> str:
+    return s[:width]
+
+
+def _truncate_upper(s: str, width: int = 16) -> Optional[str]:
+    """Truncate and increment so the result still upper-bounds ``s``."""
+    if len(s) <= width:
+        return s
+    t = s[:width]
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0x10FFFF:
+            return t[:i] + chr(cp + 1)
+    return None  # un-incrementable (all U+10FFFF) — drop the bound
+
+
+# ---------------------------------------------------------------------------
+# Manifest avro schemas (field-ids per the v2 spec)
+# ---------------------------------------------------------------------------
+
+def _kv_map_schema(name: str, kid: int, vid: int, vtype: str) -> Dict[str, Any]:
+    return {"type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": vtype, "field-id": vid}]}}
+
+
+def _partition_record_schema(partition_fields: Sequence[Dict[str, Any]]
+                             ) -> Dict[str, Any]:
+    fields = []
+    for pf in partition_fields:
+        avro_t = {"int": "int", "long": "long", "string": "string",
+                  "double": "double", "float": "float",
+                  "boolean": "boolean"}[pf["result_type"]]
+        fields.append({"name": pf["name"], "type": ["null", avro_t],
+                       "default": None, "field-id": pf["field-id"]})
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def manifest_entry_schema(partition_fields: Sequence[Dict[str, Any]]
+                          ) -> Dict[str, Any]:
+    data_file = {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition",
+         "type": _partition_record_schema(partition_fields), "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "value_counts",
+         "type": ["null", _kv_map_schema("k119_v120", 119, 120, "long")],
+         "default": None, "field-id": 109},
+        {"name": "null_value_counts",
+         "type": ["null", _kv_map_schema("k121_v122", 121, 122, "long")],
+         "default": None, "field-id": 110},
+        {"name": "lower_bounds",
+         "type": ["null", _kv_map_schema("k126_v127", 126, 127, "bytes")],
+         "default": None, "field-id": 125},
+        {"name": "upper_bounds",
+         "type": ["null", _kv_map_schema("k129_v130", 129, 130, "bytes")],
+         "default": None, "field-id": 128},
+    ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": data_file, "field-id": 2},
+    ]}
+
+
+FIELD_SUMMARY_SCHEMA = {"type": "record", "name": "r508", "fields": [
+    {"name": "contains_null", "type": "boolean", "field-id": 509},
+    {"name": "contains_nan", "type": ["null", "boolean"], "default": None,
+     "field-id": 518},
+    {"name": "lower_bound", "type": ["null", "bytes"], "default": None,
+     "field-id": 510},
+    {"name": "upper_bound", "type": ["null", "bytes"], "default": None,
+     "field-id": 511},
+]}
+
+MANIFEST_LIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
+    {"name": "manifest_path", "type": "string", "field-id": 500},
+    {"name": "manifest_length", "type": "long", "field-id": 501},
+    {"name": "partition_spec_id", "type": "int", "field-id": 502},
+    {"name": "content", "type": "int", "field-id": 517},
+    {"name": "sequence_number", "type": "long", "field-id": 515},
+    {"name": "min_sequence_number", "type": "long", "field-id": 516},
+    {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+    {"name": "added_files_count", "type": "int", "field-id": 504},
+    {"name": "existing_files_count", "type": "int", "field-id": 505},
+    {"name": "deleted_files_count", "type": "int", "field-id": 506},
+    {"name": "added_rows_count", "type": "long", "field-id": 512},
+    {"name": "existing_rows_count", "type": "long", "field-id": 513},
+    {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    {"name": "partitions",
+     "type": ["null", {"type": "array", "items": FIELD_SUMMARY_SCHEMA}],
+     "default": None, "field-id": 507},
+]}
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer stats (via pyarrow — no data read)
+# ---------------------------------------------------------------------------
+
+def _parquet_file_info(path: str, bound_types: Dict[str, str]
+                       ) -> Dict[str, Any]:
+    """record_count + per-top-level-column min/max/null counts from the
+    parquet footer. ``bound_types``: column name → iceberg primitive."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    mins: Dict[str, Any] = {}
+    maxs: Dict[str, Any] = {}
+    nulls: Dict[str, int] = {}
+    counts: Dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in bound_types:
+                continue
+            counts[name] = counts.get(name, 0) + col.num_values
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                nulls.pop(name, None)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {"record_count": md.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+            "mins": mins, "maxs": maxs, "nulls": nulls, "counts": counts}
+
+
+# ---------------------------------------------------------------------------
+# The table
+# ---------------------------------------------------------------------------
+
+class IcebergTable:
+    """HadoopCatalog-layout Iceberg v2 table at ``location``.
+
+    Writes real spec metadata; reads plan scans purely from that
+    metadata.  Identity partition transforms (the layout run_kg uses
+    for salted doc_id prefixes / IVF list ids) are supported end to
+    end, including partition pruning against manifest partition
+    summaries and data-file partition tuples.
+    """
+
+    def __init__(self, location: str, metadata: Dict[str, Any],
+                 base_version: int = 0):
+        self.location = location
+        self.metadata = metadata
+        # the metadata version this object's state is based on; commits
+        # target base+1 so a stale writer FAILS (FileExistsError) instead
+        # of silently jumping past the winner with a stale snapshot list
+        self._base_version = base_version
+
+    # -- creation / loading -------------------------------------------------
+
+    @staticmethod
+    def _metadata_dir(location: str) -> str:
+        return os.path.join(location, "metadata")
+
+    @classmethod
+    def exists(cls, location: str) -> bool:
+        return os.path.isfile(os.path.join(cls._metadata_dir(location),
+                                           "version-hint.text"))
+
+    @classmethod
+    def create(cls, location: str, spark_schema,
+               partition_by: Sequence[str] = (),
+               properties: Optional[Dict[str, str]] = None) -> "IcebergTable":
+        if cls.exists(location):
+            raise FileExistsError(f"iceberg table exists: {location}")
+        schema = spark_schema_to_iceberg(spark_schema)
+        last_col = schema.pop("last-column-id")
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spec_fields = []
+        for i, col in enumerate(partition_by):
+            if col not in by_name:
+                raise ValueError(f"partition column not in schema: {col}")
+            src = by_name[col]
+            if not isinstance(src["type"], str):
+                raise ValueError(f"identity partition on nested type: {col}")
+            spec_fields.append({"name": col, "transform": "identity",
+                                "source-id": src["id"],
+                                "field-id": 1000 + i})
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": last_col,
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": dict(properties or {}),
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        t = cls(location, meta)
+        os.makedirs(cls._metadata_dir(location), exist_ok=True)
+        t._commit_metadata(version=1)
+        return t
+
+    @classmethod
+    def load(cls, location: str) -> "IcebergTable":
+        mdir = cls._metadata_dir(location)
+        t = cls(location, {})
+        version = t._current_version()
+        with open(os.path.join(mdir, f"v{version}.metadata.json")) as f:
+            t.metadata = json.load(f)
+        t._base_version = version
+        return t
+
+    def _commit_metadata(self, version: int) -> None:
+        """THE commit point is the exclusive creation (hard link) of
+        ``vN.metadata.json`` — exactly one of any set of racing writers
+        can create it (os.link raises FileExistsError atomically).  The
+        version-hint is a best-effort read accelerator updated after;
+        readers probe past it (HadoopTableOperations semantics), so a
+        crash between the two steps neither wedges writers nor tears
+        readers."""
+        mdir = self._metadata_dir(self.location)
+        path = os.path.join(mdir, f"v{version}.metadata.json")
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.metadata, f, indent=1)
+        try:
+            os.link(tmp, path)  # atomic create-exclusive
+        finally:
+            os.unlink(tmp)
+        self._base_version = version
+        hint = os.path.join(mdir, "version-hint.text")
+        tmp = hint + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.rename(tmp, hint)
+
+    def _current_version(self) -> int:
+        """Latest committed version: start at the hint, probe forward
+        (the hint is best-effort and may trail a committed version)."""
+        mdir = self._metadata_dir(self.location)
+        try:
+            with open(os.path.join(mdir, "version-hint.text")) as f:
+                v = int(f.read().strip())
+        except FileNotFoundError:
+            v = 1
+        while os.path.isfile(os.path.join(mdir,
+                                          f"v{v + 1}.metadata.json")):
+            v += 1
+        return v
+
+    # -- schema / spec accessors --------------------------------------------
+
+    def schema(self) -> Dict[str, Any]:
+        sid = self.metadata["current-schema-id"]
+        return next(s for s in self.metadata["schemas"]
+                    if s["schema-id"] == sid)
+
+    def spark_schema(self):
+        from pyspark.sql import types as T
+        return T.StructType([
+            T.StructField(f["name"], _iceberg_to_spark_type(f["type"]),
+                          not f["required"])
+            for f in self.schema()["fields"]])
+
+    def partition_spec(self) -> Dict[str, Any]:
+        sid = self.metadata["default-spec-id"]
+        return next(s for s in self.metadata["partition-specs"]
+                    if s["spec-id"] == sid)
+
+    def _partition_fields(self) -> List[Dict[str, Any]]:
+        by_id = {f["id"]: f for f in self.schema()["fields"]}
+        out = []
+        for pf in self.partition_spec()["fields"]:
+            src = by_id[pf["source-id"]]
+            out.append({"name": pf["name"], "field-id": pf["field-id"],
+                        "source_name": src["name"],
+                        "result_type": src["type"]})
+        return out
+
+    def snapshots(self) -> List[Dict[str, Any]]:
+        return list(self.metadata["snapshots"])
+
+    def current_snapshot_id(self) -> Optional[int]:
+        sid = self.metadata["current-snapshot-id"]
+        return None if sid == -1 else sid
+
+    def history(self) -> List[Dict[str, Any]]:
+        return list(self.metadata["snapshot-log"])
+
+    # -- append --------------------------------------------------------------
+
+    def append_dataframe(self, df, summary_extra: Optional[Dict[str, str]]
+                         = None, overwrite: bool = False) -> int:
+        """Write ``df`` as parquet data files + one manifest + a new
+        snapshot; returns the snapshot id.  One Spark write job, one
+        atomic metadata commit.  ``overwrite=True`` commits a snapshot
+        whose manifest list drops all previous manifests (Iceberg
+        REPLACE semantics — old snapshots stay time-travelable)."""
+        pf = self._partition_fields()
+        part_cols = [p["source_name"] for p in pf]
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        data_dir = os.path.join(self.location, "data",
+                                f"snap-{snap_id:x}")
+        writer = df.write.mode("error")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(data_dir)
+
+        bound_types = {f["name"]: f["type"]
+                       for f in self.schema()["fields"]
+                       if isinstance(f["type"], str)
+                       and f["name"] not in part_cols}
+        field_ids = {f["name"]: f["id"] for f in self.schema()["fields"]}
+
+        entries = []
+        # summary bounds are tracked on VALUES and serialized at the end:
+        # little-endian int/long encodings do not sort bytewise, so
+        # byte-level min/max would corrupt numeric summaries
+        part_values: List[List[Any]] = [[] for _ in pf]
+        part_summaries = [{"contains_null": False, "contains_nan": None,
+                           "lower_bound": None, "upper_bound": None}
+                          for _ in pf]
+        total_rows = 0
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fn)
+                rel = os.path.relpath(path, data_dir)
+                partition: Dict[str, Any] = {}
+                for seg in rel.split(os.sep)[:-1]:
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        partition[k] = _parse_partition_value(
+                            v, dict((p["name"], p["result_type"])
+                                    for p in pf).get(k, "string"))
+                info = _parquet_file_info(path, bound_types)
+                total_rows += info["record_count"]
+                lower, upper, vcounts, ncounts = [], [], [], []
+                for name, t in bound_types.items():
+                    fid = field_ids[name]
+                    if name in info["counts"]:
+                        vcounts.append({"key": fid,
+                                        "value": info["counts"][name]})
+                    if name in info["nulls"]:
+                        ncounts.append({"key": fid,
+                                        "value": info["nulls"][name]})
+                    mn, mx = info["mins"].get(name), info["maxs"].get(name)
+                    if t == "string" and isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "replace")
+                    if t == "string" and isinstance(mx, bytes):
+                        mx = mx.decode("utf-8", "replace")
+                    if t == "string" and mn is not None:
+                        mn = _truncate_lower(mn)
+                    if t == "string" and mx is not None:
+                        mx = _truncate_upper(mx)
+                    lb = serialize_bound(t, mn)
+                    ub = serialize_bound(t, mx)
+                    if lb is not None:
+                        lower.append({"key": fid, "value": lb})
+                    if ub is not None:
+                        upper.append({"key": fid, "value": ub})
+                for i, p in enumerate(pf):
+                    v = partition.get(p["name"])
+                    if v is None:
+                        part_summaries[i]["contains_null"] = True
+                    else:
+                        part_values[i].append(v)
+                entries.append({
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,  # inherited from the snapshot
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": partition,
+                        "record_count": info["record_count"],
+                        "file_size_in_bytes": info["file_size_in_bytes"],
+                        "value_counts": vcounts or None,
+                        "null_value_counts": ncounts or None,
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
+                    }})
+
+        for i, p in enumerate(pf):
+            if part_values[i]:
+                part_summaries[i]["lower_bound"] = serialize_bound(
+                    p["result_type"], min(part_values[i]))
+                part_summaries[i]["upper_bound"] = serialize_bound(
+                    p["result_type"], max(part_values[i]))
+
+        mdir = self._metadata_dir(self.location)
+        muuid = uuid.uuid4()
+        manifest_path = os.path.join(mdir, f"{muuid}-m0.avro")
+        mlen = avro_write_container(
+            manifest_path, manifest_entry_schema(pf), entries,
+            meta={"schema": json.dumps(self.schema()),
+                  "schema-id": str(self.metadata["current-schema-id"]),
+                  "partition-spec": json.dumps(
+                      self.partition_spec()["fields"]),
+                  "partition-spec-id": str(
+                      self.partition_spec()["spec-id"]),
+                  "format-version": "2",
+                  "content": "data"})
+
+        # Optimistic-concurrency commit: the data files and the manifest
+        # are snapshot-id-addressed (never contended); only the metadata
+        # pointer races.  On a lost race (_commit_metadata refuses to
+        # overwrite vN+1) reload the winner's metadata, re-resolve the
+        # parent snapshot (keeping the winner's files), rewrite the tiny
+        # manifest list with a fresh sequence number, and retry — real
+        # Iceberg's serializable-append semantics.
+        for attempt in range(10):
+            if attempt:
+                fresh = IcebergTable.load(self.location)
+                self.metadata = fresh.metadata
+                self._base_version = fresh._base_version
+            seq = self.metadata["last-sequence-number"] + 1
+            parent = self.current_snapshot_id()
+            prev_manifests = []
+            if parent is not None and not overwrite:
+                prev_manifests = self._manifest_files(parent)
+            new_manifest = {
+                "manifest_path": manifest_path,
+                "manifest_length": mlen,
+                "partition_spec_id": self.partition_spec()["spec-id"],
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": part_summaries if pf else None,
+            }
+            mlist_path = os.path.join(
+                mdir, f"snap-{snap_id}-{attempt + 1}-{muuid}.avro")
+            mlist_meta = {"format-version": "2",
+                          "snapshot-id": str(snap_id),
+                          "sequence-number": str(seq)}
+            if parent is not None:
+                mlist_meta["parent-snapshot-id"] = str(parent)
+            avro_write_container(
+                mlist_path, MANIFEST_LIST_SCHEMA,
+                [new_manifest] + prev_manifests, meta=mlist_meta)
+
+            summary = {"operation": "overwrite" if overwrite else "append",
+                       "added-data-files": str(len(entries)),
+                       "added-records": str(total_rows)}
+            summary.update(summary_extra or {})
+            snapshot = {"snapshot-id": snap_id,
+                        "sequence-number": seq,
+                        "timestamp-ms": int(time.time() * 1000),
+                        "manifest-list": mlist_path,
+                        "summary": summary,
+                        "schema-id": self.metadata["current-schema-id"]}
+            if parent is not None:
+                snapshot["parent-snapshot-id"] = parent
+            version = self._base_version
+            self.metadata["snapshots"].append(snapshot)
+            self.metadata["current-snapshot-id"] = snap_id
+            self.metadata["last-sequence-number"] = seq
+            self.metadata["last-updated-ms"] = snapshot["timestamp-ms"]
+            self.metadata["snapshot-log"].append(
+                {"snapshot-id": snap_id,
+                 "timestamp-ms": snapshot["timestamp-ms"]})
+            self.metadata["metadata-log"].append(
+                {"metadata-file": os.path.join(
+                    mdir, f"v{version}.metadata.json"),
+                 "timestamp-ms": snapshot["timestamp-ms"]})
+            try:
+                self._commit_metadata(version + 1)
+                return snap_id
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            f"append lost {attempt + 1} commit races at {self.location}")
+
+    def add_column(self, name: str, spark_type) -> None:
+        """Schema evolution: append an optional column (new schema-id,
+        fresh field-id — Iceberg's safe evolution subset).  Existing
+        data files simply lack the column; reads resolve it to null,
+        matching Iceberg's field-id projection of absent columns."""
+        if any(f["name"] == name for f in self.schema()["fields"]):
+            raise ValueError(f"column exists: {name}")
+        from pyspark.sql import types as T
+        tmp = spark_schema_to_iceberg(
+            T.StructType([T.StructField(name, spark_type, True)]))
+        n_new = tmp["last-column-id"]
+        base = self.metadata["last-column-id"]
+
+        def shift(t: Any) -> Any:
+            if isinstance(t, str):
+                return t
+            t = dict(t)
+            if t["type"] == "struct":
+                t["fields"] = [dict(f, id=f["id"] + base,
+                                    type=shift(f["type"]))
+                               for f in t["fields"]]
+            elif t["type"] == "list":
+                t["element-id"] += base
+                t["element"] = shift(t["element"])
+            elif t["type"] == "map":
+                t["key-id"] += base
+                t["value-id"] += base
+                t["key"] = shift(t["key"])
+                t["value"] = shift(t["value"])
+            return t
+
+        new_field = dict(tmp["fields"][0], id=base + 1,
+                         type=shift(tmp["fields"][0]["type"]))
+        old = self.schema()
+        new_schema = {"type": "struct",
+                      "schema-id": old["schema-id"] + 1,
+                      "fields": old["fields"] + [new_field]}
+        version = self._base_version
+        self.metadata["schemas"].append(new_schema)
+        self.metadata["current-schema-id"] = new_schema["schema-id"]
+        self.metadata["last-column-id"] = base + n_new
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(version + 1)
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point current back at an earlier snapshot (new metadata
+        version; nothing is deleted — Iceberg rollback semantics)."""
+        if not any(s["snapshot-id"] == snapshot_id
+                   for s in self.metadata["snapshots"]):
+            raise ValueError(f"unknown snapshot: {snapshot_id}")
+        version = self._base_version
+        self.metadata["current-snapshot-id"] = snapshot_id
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(version + 1)
+
+    def expire_snapshots(self, keep_last: int = 1) -> Dict[str, int]:
+        """Snapshot GC: drop all but the newest ``keep_last`` snapshots
+        from metadata, then delete manifests and data files no kept
+        snapshot references.  The metadata commit happens FIRST; file
+        deletion is best-effort afterwards (crash-safe: an interrupted
+        cleanup leaves unreferenced files, never a broken table)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.metadata["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "data_files_deleted": 0,
+                    "manifests_deleted": 0}
+        keep = snaps[-keep_last:]
+        expire = snaps[:-keep_last]
+        keep_ids = {s["snapshot-id"] for s in keep}
+        if self.current_snapshot_id() not in keep_ids:
+            raise ValueError("cannot expire the current snapshot")
+
+        def files_of(snapshot_ids):
+            mpaths, dpaths = set(), set()
+            for sid in snapshot_ids:
+                for mf in self._manifest_files(sid):
+                    mpaths.add(mf["manifest_path"])
+                    _s, entries, _m = avro_read_container(
+                        mf["manifest_path"])
+                    dpaths.update(e["data_file"]["file_path"]
+                                  for e in entries)
+            return mpaths, dpaths
+
+        keep_m, keep_d = files_of(keep_ids)
+        exp_m, exp_d = files_of(s["snapshot-id"] for s in expire)
+        version = self._base_version
+        self.metadata["snapshots"] = keep
+        self.metadata["snapshot-log"] = [
+            e for e in self.metadata["snapshot-log"]
+            if e["snapshot-id"] in keep_ids]
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(version + 1)
+
+        deleted = {"expired": len(expire), "data_files_deleted": 0,
+                   "manifests_deleted": 0}
+        for s in expire:
+            try:
+                os.unlink(s["manifest-list"])
+            except OSError:
+                pass
+        for p in exp_m - keep_m:
+            try:
+                os.unlink(p)
+                deleted["manifests_deleted"] += 1
+            except OSError:
+                pass
+        for p in exp_d - keep_d:
+            try:
+                os.unlink(p)
+                deleted["data_files_deleted"] += 1
+            except OSError:
+                pass
+        return deleted
+
+    # -- scan planning (metadata only) ---------------------------------------
+
+    def _snapshot(self, snapshot_id: Optional[int]) -> Optional[Dict[str, Any]]:
+        sid = snapshot_id if snapshot_id is not None \
+            else self.current_snapshot_id()
+        if sid is None:
+            return None
+        return next(s for s in self.metadata["snapshots"]
+                    if s["snapshot-id"] == sid)
+
+    def _manifest_files(self, snapshot_id: Optional[int]
+                        ) -> List[Dict[str, Any]]:
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        _schema, records, _meta = avro_read_container(snap["manifest-list"])
+        return records
+
+    def scan_files(self, snapshot_id: Optional[int] = None,
+                   partition_filter: Optional[Dict[str, Any]] = None
+                   ) -> List[Dict[str, Any]]:
+        """Plan a scan from metadata only: manifests pruned by partition
+        summaries, data files pruned by partition tuples.  Returns
+        data_file dicts (file_path, partition, record_count, ...)."""
+        pf = self._partition_fields()
+        pidx = {p["name"]: i for i, p in enumerate(pf)}
+        ptype = {p["name"]: p["result_type"] for p in pf}
+        out: List[Dict[str, Any]] = []
+        for mf in self._manifest_files(snapshot_id):
+            if partition_filter and mf.get("partitions"):
+                skip = False
+                for col, want in partition_filter.items():
+                    if col not in pidx:
+                        continue
+                    s = mf["partitions"][pidx[col]]
+                    lo = deserialize_bound(ptype[col], s["lower_bound"])
+                    hi = deserialize_bound(ptype[col], s["upper_bound"])
+                    if lo is not None and want < lo:
+                        skip = True
+                    if hi is not None and want > hi:
+                        skip = True
+                if skip:
+                    continue  # manifest pruned without reading it
+            _schema, entries, _meta = avro_read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                d = e["data_file"]
+                if partition_filter:
+                    if any(d["partition"].get(c) != v
+                           for c, v in partition_filter.items()
+                           if c in pidx):
+                        continue
+                out.append(d)
+        return out
+
+    def to_df(self, spark, snapshot_id: Optional[int] = None,
+              partition_filter: Optional[Dict[str, Any]] = None):
+        """Read the table (optionally time-traveled / partition-pruned)
+        as a Spark DataFrame.  File list comes from Iceberg metadata;
+        identity-partition columns are restored from the manifest's
+        partition tuples (Iceberg semantics: identity values live in
+        metadata, readers emit them as constants per file)."""
+        from pyspark.sql import functions as F
+        files = self.scan_files(snapshot_id, partition_filter)
+        pf = self._partition_fields()
+        if not files:
+            return spark.createDataFrame([], self.spark_schema())
+        if not pf:
+            return spark.read.schema(self.spark_schema()).parquet(
+                *[d["file_path"] for d in files])
+        # group files by partition tuple; read each group once and attach
+        # the identity values as literals (constant folding keeps these
+        # out of the scan)
+        groups: Dict[Tuple, List[str]] = {}
+        for d in files:
+            key = tuple(d["partition"].get(p["name"]) for p in pf)
+            groups.setdefault(key, []).append(d["file_path"])
+        file_schema = self.spark_schema()
+        part_names = {p["source_name"] for p in pf}
+        from pyspark.sql import types as T
+        read_schema = T.StructType(
+            [f for f in file_schema.fields if f.name not in part_names])
+        parts = []
+        for key, paths in sorted(groups.items()):
+            df = spark.read.schema(read_schema).parquet(*paths)
+            for p, v in zip(pf, key):
+                df = df.withColumn(
+                    p["source_name"],
+                    F.lit(v).cast(dict(
+                        (f.name, f.dataType) for f in file_schema.fields
+                    )[p["source_name"]]))
+            parts.append(df.select(*[f.name for f in file_schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+def _parse_partition_value(v: str, iceberg_type: str) -> Any:
+    from urllib.parse import unquote
+    v = unquote(v)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if iceberg_type == "int" or iceberg_type == "long":
+        return int(v)
+    if iceberg_type in ("double", "float"):
+        return float(v)
+    if iceberg_type == "boolean":
+        return v.lower() == "true"
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Resumable KG sink over Iceberg snapshots (checkpoint.py parity)
+# ---------------------------------------------------------------------------
+
+class IcebergKgSink:
+    """The checkpoint.py protocol expressed over real Iceberg tables:
+    ``annotations``, ``lineage`` and ``processed_docs`` under one root,
+    one Iceberg snapshot per commit, resume = anti-join against the
+    committed ``processed_docs`` snapshot (the reference's
+    annotated_ids skip-set, cat.py:1439-1448, as metadata-planned scan
+    + distributed join)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _table(self, name: str) -> Optional[IcebergTable]:
+        loc = os.path.join(self.root, name)
+        return IcebergTable.load(loc) if IcebergTable.exists(loc) else None
+
+    def committed_doc_ids(self, spark):
+        t = self._table("processed_docs")
+        if t is None:
+            return None
+        return t.to_df(spark).select("doc_id").distinct()
+
+    def read_annotations(self, spark, snapshot_id: Optional[int] = None):
+        t = self._table("annotations")
+        return None if t is None else t.to_df(spark, snapshot_id)
+
+    def read_lineage(self, spark):
+        t = self._table("lineage")
+        return None if t is None else t.to_df(spark)
+
+    def table(self, name: str) -> Optional[IcebergTable]:
+        return self._table(name)
+
+    def commit(self, spark, annotations, lineage, processed_docs,
+               summary: Optional[Dict[str, str]] = None) -> Dict[str, int]:
+        """Append all three tables; the ``processed_docs`` append is
+        LAST — a crash before it leaves extra annotation data files
+        whose doc_ids are uncommitted, so resume re-annotates them and
+        readers that anti-join on processed_docs stay exactly-once
+        (same ordering argument as checkpoint.py's manifest-last)."""
+        ids = {}
+        for name, df in (("annotations", annotations),
+                         ("lineage", lineage),
+                         ("processed_docs", processed_docs)):
+            if df is None:
+                continue
+            loc = os.path.join(self.root, name)
+            t = self._table(name)
+            if t is None:
+                t = IcebergTable.create(loc, df.schema)
+            ids[name] = t.append_dataframe(df, summary_extra=summary)
+        return ids
+
+
+def overwrite_table(location: str, df, partition_by: Sequence[str] = ()
+                    ) -> int:
+    """Create-or-replace an Iceberg table with ``df`` (REPLACE snapshot
+    if the table exists — previous snapshots stay time-travelable)."""
+    if IcebergTable.exists(location):
+        t = IcebergTable.load(location)
+        return t.append_dataframe(df, overwrite=True)
+    t = IcebergTable.create(location, df.schema, partition_by=partition_by)
+    return t.append_dataframe(df)
+
+
+def resumable_annotate_iceberg(spark, docs, bc, out_path: str,
+                               num_partitions: Optional[int] = None,
+                               max_docs: Optional[int] = None,
+                               config=None) -> Dict[str, Any]:
+    """checkpoint.resumable_annotate with the snapshot store being real
+    Iceberg tables (the north rule's 'resumable from Iceberg snapshot
+    checkpoints').  Same guarantees, same ordering argument:
+
+      * the chosen doc_id set is materialized and read back BEFORE
+        annotation, so recomputation cannot commit unannotated ids;
+      * the ``processed_docs`` append is the last commit — a crash
+        earlier leaves orphan data files that resume re-annotates and
+        exactly-once readers never see.
+    """
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.pipeline import annotate, lineage_metrics
+
+    cfg = config or EngineConfig()
+    cdb, _vocab, _cfg = bc.value
+    sink = IcebergKgSink(out_path)
+    committed = sink.committed_doc_ids(spark)
+    todo = docs if committed is None \
+        else docs.join(committed, "doc_id", "left_anti")
+    if max_docs is not None:
+        todo = todo.orderBy("doc_id").limit(max_docs)
+
+    # materialize the chosen set first (uncommitted scratch parquet,
+    # same role as checkpoint.py's tmp-dir processed_docs write)
+    scratch = os.path.join(out_path, "_scratch",
+                           uuid.uuid4().hex[:12], "chosen")
+    todo.select("doc_id").write.parquet(scratch)
+    chosen = spark.read.parquet(scratch)
+    n_todo = chosen.count()
+
+    manifest: Dict[str, Any] = {
+        "n_docs": int(n_todo),
+        "cdb_hash": cdb.content_hash(),
+        "config_hash": cfg.content_hash(),
+        "created_unix_ms": int(time.time() * 1000)}
+    if n_todo == 0:
+        manifest["n_annotations"] = 0
+        return manifest
+
+    t0 = time.monotonic()
+    subset = docs.join(chosen, "doc_id", "left_semi")
+    ann = annotate(subset, bc, num_partitions=num_partitions,
+                   keep_lineage_cols=True).cache()
+    ids = sink.commit(
+        spark,
+        ann.drop("part_id", "batch_us"),
+        lineage_metrics(ann),
+        chosen.select("doc_id"),
+        summary={"cdb-hash": cdb.content_hash(),
+                 "config-hash": cfg.content_hash()})
+    manifest["n_annotations"] = int(ann.count())
+    manifest["wall_sec"] = time.monotonic() - t0
+    manifest["snapshot_ids"] = ids
+    ann.unpersist()
+    return manifest

@@ -1,0 +1,411 @@
+"""Iceberg v2 table format: avro container round-trip, snapshot commits,
+time travel, partition pruning from metadata, atomic commit semantics,
+and the resumable KG sink (checkpoint protocol over real Iceberg
+metadata).  North-rule coverage: 'materializing triples into Iceberg
+graph tables', 'resumable from Iceberg snapshot checkpoints'."""
+
+import json
+import os
+
+import pytest
+
+from medcat_spark.sources.iceberg import (
+    IcebergKgSink, IcebergTable, avro_read_container, avro_write_container,
+    deserialize_bound, manifest_entry_schema, serialize_bound,
+    spark_schema_to_iceberg, _truncate_upper,
+)
+
+
+# ---------------------------------------------------------------------------
+# Avro layer (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_avro_container_roundtrip(tmp_path):
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "double"], "default": None},
+        {"name": "d", "type": {"type": "array", "items": "int"}},
+        {"name": "e", "type": {"type": "map", "values": "bytes"}},
+        {"name": "f", "type": "boolean"},
+        {"name": "g", "type": ["null", {"type": "record", "name": "sub",
+                                        "fields": [{"name": "x",
+                                                    "type": "float"}]}],
+         "default": None},
+    ]}
+    records = [
+        {"a": -1, "b": "héllo", "c": None, "d": [1, -2, 3],
+         "e": {"k": b"\x00\xff"}, "f": True, "g": {"x": 1.5}},
+        {"a": 2 ** 40, "b": "", "c": 3.25, "d": [],
+         "e": {}, "f": False, "g": None},
+    ]
+    path = str(tmp_path / "t.avro")
+    n = avro_write_container(path, schema, records, meta={"k": "v"})
+    assert n == os.path.getsize(path)
+    rschema, rrecords, meta = avro_read_container(path)
+    assert rschema == schema
+    assert meta["k"] == b"v"
+    # floats come back as float32
+    assert rrecords[0]["g"]["x"] == pytest.approx(1.5)
+    rrecords[0]["g"]["x"] = 1.5
+    assert rrecords == records
+
+
+def test_avro_empty_container(tmp_path):
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "a", "type": "long"}]}
+    path = str(tmp_path / "e.avro")
+    avro_write_container(path, schema, [])
+    _s, records, _m = avro_read_container(path)
+    assert records == []
+
+
+def test_single_value_bounds_roundtrip():
+    for t, v in [("int", -7), ("long", 2 ** 50), ("float", 0.5),
+                 ("double", -1.25), ("boolean", True), ("string", "ab¢")]:
+        assert deserialize_bound(t, serialize_bound(t, v)) == v
+    # int is 4 bytes, long is 8 (spec Appendix D)
+    assert len(serialize_bound("int", 1)) == 4
+    assert len(serialize_bound("long", 1)) == 8
+
+
+def test_truncate_upper_still_upper_bounds():
+    s = "abcdefghijklmnopqrstuvwxyz"
+    t = _truncate_upper(s, 16)
+    assert len(t) == 16 and t > s
+    assert _truncate_upper("short", 16) == "short"
+
+
+def test_schema_conversion_assigns_unique_ids():
+    from pyspark.sql import types as T
+    st = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ])), True),
+        T.StructField("n", T.LongType(), True),
+    ])
+    ice = spark_schema_to_iceberg(st)
+    ids = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    ids.append(f["id"])
+                    walk(f["type"])
+            elif t.get("type") == "list":
+                ids.append(t["element-id"])
+                walk(t["element"])
+    walk(ice)
+    assert len(ids) == len(set(ids)) == 6
+    assert ice["last-column-id"] == max(ids)
+    assert ice["fields"][0]["required"] is True
+
+
+def test_manifest_entry_schema_carries_spec_field_ids():
+    s = manifest_entry_schema([])
+    by_name = {f["name"]: f for f in s["fields"]}
+    assert by_name["status"]["field-id"] == 0
+    assert by_name["data_file"]["field-id"] == 2
+    df = {f["name"]: f for f in by_name["data_file"]["type"]["fields"]}
+    assert df["file_path"]["field-id"] == 100
+    assert df["record_count"]["field-id"] == 103
+    assert df["lower_bounds"]["field-id"] == 125
+
+
+# ---------------------------------------------------------------------------
+# Table layer
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def triples_df(spark):
+    rows = [(f"doc:{i:03d}", "mentions", f"cui:C{i % 5}", f"{i % 4}")
+            for i in range(40)]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, bucket string")
+
+
+def test_create_append_read_roundtrip(spark, triples_df, tmp_path):
+    loc = str(tmp_path / "kg")
+    t = IcebergTable.create(loc, triples_df.schema)
+    snap = t.append_dataframe(triples_df)
+    assert t.current_snapshot_id() == snap
+    back = IcebergTable.load(loc).to_df(spark)
+    assert sorted(back.collect()) == sorted(triples_df.collect())
+    # spec-required metadata fields present
+    md = IcebergTable.load(loc).metadata
+    for k in ("format-version", "table-uuid", "last-sequence-number",
+              "last-column-id", "schemas", "partition-specs",
+              "sort-orders", "current-snapshot-id"):
+        assert k in md
+    assert md["format-version"] == 2
+
+
+def test_two_appends_time_travel_and_rollback(spark, triples_df, tmp_path):
+    loc = str(tmp_path / "kg2")
+    t = IcebergTable.create(loc, triples_df.schema)
+    first = triples_df.filter("subj < 'doc:020'")
+    second = triples_df.filter("subj >= 'doc:020'")
+    s1 = t.append_dataframe(first)
+    s2 = t.append_dataframe(second)
+    t2 = IcebergTable.load(loc)
+    assert [s["snapshot-id"] for s in t2.snapshots()] == [s1, s2]
+    assert t2.snapshots()[1]["parent-snapshot-id"] == s1
+    assert t2.to_df(spark).count() == 40
+    assert t2.to_df(spark, snapshot_id=s1).count() == first.count()
+    # rollback = metadata-only pointer move
+    t2.rollback(s1)
+    t3 = IcebergTable.load(loc)
+    assert t3.current_snapshot_id() == s1
+    assert t3.to_df(spark).count() == first.count()
+    # snapshots are retained after rollback
+    assert len(t3.snapshots()) == 2
+
+
+def test_partition_pruning_from_metadata(spark, triples_df, tmp_path):
+    loc = str(tmp_path / "kgp")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=["bucket"])
+    t.append_dataframe(triples_df)
+    t = IcebergTable.load(loc)
+    all_files = t.scan_files()
+    pruned = t.scan_files(partition_filter={"bucket": "2"})
+    assert 0 < len(pruned) < len(all_files)
+    assert all(d["partition"]["bucket"] == "2" for d in pruned)
+    df = t.to_df(spark, partition_filter={"bucket": "2"})
+    expected = triples_df.filter("bucket = '2'")
+    assert sorted(df.collect()) == sorted(expected.collect())
+    # identity-partition column restored from metadata, full read too
+    assert sorted(t.to_df(spark).collect()) == sorted(triples_df.collect())
+
+
+def test_manifest_stats_and_summaries(spark, triples_df, tmp_path):
+    loc = str(tmp_path / "kgs")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=["bucket"])
+    t.append_dataframe(triples_df.coalesce(1))
+    t = IcebergTable.load(loc)
+    files = t.scan_files()
+    total = sum(d["record_count"] for d in files)
+    assert total == 40
+    # lower/upper bounds recorded for the string columns
+    d = next(f for f in files if f["partition"]["bucket"] == "0")
+    by_id = {e["key"]: e["value"] for e in d["lower_bounds"]}
+    subj_id = next(f["id"] for f in t.schema()["fields"]
+                   if f["name"] == "subj")
+    assert deserialize_bound("string", by_id[subj_id]).startswith("doc:")
+    # manifest-list partition summaries bound the partition values
+    mfs = t._manifest_files(None)
+    s = mfs[0]["partitions"][0]
+    assert deserialize_bound("string", s["lower_bound"]) == "0"
+    assert deserialize_bound("string", s["upper_bound"]) == "3"
+    assert s["contains_null"] is False
+
+
+def test_commit_is_atomic_under_crash_before_metadata(spark, triples_df,
+                                                      tmp_path):
+    """Data files + manifests written but the metadata version never
+    created (crash mid-commit): readers keep seeing the old snapshot —
+    the orphaned files are invisible garbage, not a torn table."""
+    loc = str(tmp_path / "kga")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(triples_df.limit(10))
+    # simulate the crashed writer's leftovers: an extra parquet file +
+    # manifest that no committed metadata references
+    data_dir = os.path.join(loc, "data", "orphan")
+    triples_df.limit(5).write.parquet(data_dir)
+    seen = IcebergTable.load(loc)
+    assert seen.current_snapshot_id() == s1
+    assert seen.to_df(spark).count() == 10
+
+
+def test_stale_version_hint_is_probed_past(spark, triples_df, tmp_path):
+    """The hint is best-effort: a crash after metadata creation but
+    before the hint update must not hide the committed snapshot."""
+    loc = str(tmp_path / "kgh")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df.limit(10))
+    mdir = IcebergTable._metadata_dir(loc)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")  # stale: points at the pre-append version
+    seen = IcebergTable.load(loc)
+    assert seen.to_df(spark).count() == 10
+
+
+def test_concurrent_appends_serialize(spark, triples_df, tmp_path):
+    """Two writers loaded at the same base version both append: the
+    loser retries against the winner's metadata and neither snapshot
+    is lost (serializable appends)."""
+    loc = str(tmp_path / "kgc")
+    IcebergTable.create(loc, triples_df.schema)
+    w1 = IcebergTable.load(loc)
+    w2 = IcebergTable.load(loc)  # same base version as w1
+    s1 = w1.append_dataframe(triples_df.filter("subj < 'doc:020'"))
+    s2 = w2.append_dataframe(triples_df.filter("subj >= 'doc:020'"))
+    final = IcebergTable.load(loc)
+    ids = [s["snapshot-id"] for s in final.snapshots()]
+    assert set(ids) == {s1, s2}
+    # the retried commit re-parented onto the winner
+    assert final.snapshots()[1]["parent-snapshot-id"] == ids[0]
+    assert final.to_df(spark).count() == 40
+    seqs = [s["sequence-number"] for s in final.snapshots()]
+    assert seqs == [1, 2]
+
+
+def test_schema_evolution_add_column(spark, triples_df, tmp_path):
+    """Add-column evolution: new schema-id + fresh field-id; files
+    written before the column read back as null."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    loc = str(tmp_path / "kgv")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df.limit(10))
+    t.add_column("conf", T.DoubleType())
+    with pytest.raises(ValueError):
+        t.add_column("conf", T.DoubleType())
+    t2 = IcebergTable.load(loc)
+    assert t2.metadata["current-schema-id"] == 1
+    assert len(t2.metadata["schemas"]) == 2
+    new_id = next(f["id"] for f in t2.schema()["fields"]
+                  if f["name"] == "conf")
+    old_max = max(f["id"] for f in t2.metadata["schemas"][0]["fields"])
+    assert new_id > old_max  # field-ids are never reused
+    t2.append_dataframe(triples_df.limit(5).withColumn(
+        "conf", F.lit(0.9)))
+    back = t2.to_df(spark)
+    assert back.count() == 15
+    assert back.filter("conf IS NULL").count() == 10
+    assert back.filter("conf = 0.9").count() == 5
+
+
+def test_empty_table_reads_empty(spark, triples_df, tmp_path):
+    loc = str(tmp_path / "kge")
+    t = IcebergTable.create(loc, triples_df.schema)
+    assert t.to_df(spark).count() == 0
+    assert t.scan_files() == []
+
+
+def test_nested_schema_roundtrip(spark, docs_df, tmp_path):
+    """The interleaved documents table (array<struct>) round-trips —
+    the input_hint shape itself can live in Iceberg."""
+    loc = str(tmp_path / "docs_ice")
+    t = IcebergTable.create(loc, docs_df.schema)
+    t.append_dataframe(docs_df)
+    back = IcebergTable.load(loc).to_df(spark)
+    assert back.schema == docs_df.schema
+    a = sorted(r.doc_id for r in back.collect())
+    b = sorted(r.doc_id for r in docs_df.collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Resumable KG sink
+# ---------------------------------------------------------------------------
+
+def test_resumable_annotate_iceberg_parity(spark, docs_df, fixture_models,
+                                           tmp_path):
+    """The Iceberg-backed resumable annotate commits each doc exactly
+    once across resumed runs and matches single-shot annotate — the
+    checkpoint.py guarantees over real Iceberg snapshots."""
+    from medcat_spark.config import EngineConfig
+    from medcat_spark.pipeline import annotate, broadcast_model
+    from medcat_spark.sources.iceberg import resumable_annotate_iceberg
+    cdb, vocab = fixture_models
+    bc = broadcast_model(spark, cdb, vocab, EngineConfig())
+    out = str(tmp_path / "kg_ice")
+
+    m1 = resumable_annotate_iceberg(spark, docs_df, bc, out, max_docs=25)
+    assert m1["n_docs"] == 25
+    m2 = resumable_annotate_iceberg(spark, docs_df, bc, out, max_docs=25)
+    assert m2["n_docs"] == 25
+    m3 = resumable_annotate_iceberg(spark, docs_df, bc, out)
+    assert m3["n_docs"] == 10
+    m4 = resumable_annotate_iceberg(spark, docs_df, bc, out)
+    assert m4["n_docs"] == 0 and m4["n_annotations"] == 0
+
+    sink = IcebergKgSink(out)
+    assert sink.committed_doc_ids(spark).count() == 60
+    resumed = sink.read_annotations(spark)
+    direct = annotate(docs_df, bc)
+    key = ["doc_id", "start", "cui"]
+    assert resumed.select(*key).distinct().count() == \
+        direct.select(*key).distinct().count()
+    assert resumed.select(*key).exceptAll(direct.select(*key)).count() == 0
+    # one Iceberg snapshot per non-empty commit, on all three tables
+    for name in ("annotations", "lineage", "processed_docs"):
+        t = IcebergTable.load(os.path.join(out, name))
+        assert len(t.snapshots()) == 3
+    # lineage metrics add up
+    lin = sink.read_lineage(spark).collect()
+    assert sum(r["n_annotations"] for r in lin) == resumed.count()
+    # snapshot summaries carry the model/config hashes
+    ann_t = IcebergTable.load(os.path.join(out, "annotations"))
+    assert all("cdb-hash" in s["summary"] for s in ann_t.snapshots())
+
+
+def test_expire_snapshots_gc(spark, triples_df, tmp_path):
+    """Expiry drops old snapshots from metadata and deletes files only
+    they referenced; shared files (still referenced by kept snapshots)
+    survive."""
+    loc = str(tmp_path / "gc")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df.limit(10))   # s1
+    t.append_dataframe(triples_df.limit(5))    # s2 (keeps s1's files)
+    t = IcebergTable.load(loc)
+    s2_files = {d["file_path"] for d in t.scan_files()}
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired"] == 1
+    # s1's manifest list is gone, but every s2-referenced file survives
+    t2 = IcebergTable.load(loc)
+    assert len(t2.snapshots()) == 1
+    assert t2.to_df(spark).count() == 15
+    assert {d["file_path"] for d in t2.scan_files()} == s2_files
+    assert all(os.path.isfile(p) for p in s2_files)
+    # expiring below the current snapshot is refused
+    with pytest.raises(ValueError):
+        t2.expire_snapshots(keep_last=0)
+
+
+def test_overwrite_table_replace_semantics(spark, triples_df, tmp_path):
+    from medcat_spark.sources.iceberg import overwrite_table
+    loc = str(tmp_path / "ow")
+    overwrite_table(loc, triples_df.limit(30))
+    overwrite_table(loc, triples_df.limit(7))
+    t = IcebergTable.load(loc)
+    assert t.to_df(spark).count() == 7  # REPLACE, not append
+    snaps = t.snapshots()
+    assert len(snaps) == 2  # old snapshot stays time-travelable
+    assert t.to_df(spark, snapshot_id=snaps[0]["snapshot-id"]).count() == 30
+    assert snaps[1]["summary"]["operation"] == "overwrite"
+
+
+def test_iceberg_kg_sink_commit_and_resume(spark, tmp_path):
+    from pyspark.sql import functions as F
+    sink = IcebergKgSink(str(tmp_path / "sink"))
+    assert sink.committed_doc_ids(spark) is None
+
+    docs = spark.range(20).select(
+        F.format_string("d%03d", "id").alias("doc_id"))
+    ann1 = docs.limit(8).withColumn("cui", F.lit("C1"))
+    lin1 = spark.createDataFrame([(0, 8)], "part_id int, n_docs long")
+    sink.commit(spark, ann1, lin1, ann1.select("doc_id"))
+
+    committed = sink.committed_doc_ids(spark)
+    assert committed.count() == 8
+    todo = docs.join(committed, "doc_id", "left_anti")
+    assert todo.count() == 12
+
+    ann2 = todo.withColumn("cui", F.lit("C2"))
+    ids = sink.commit(spark, ann2, None, ann2.select("doc_id"))
+    assert set(ids) == {"annotations", "processed_docs"}
+    assert sink.committed_doc_ids(spark).count() == 20
+    assert sink.read_annotations(spark).count() == 20
+    # nothing left: the resume anti-join drains to zero
+    assert docs.join(sink.committed_doc_ids(spark), "doc_id",
+                     "left_anti").count() == 0
+    # each commit is one snapshot on the annotations table
+    ann_t = IcebergTable.load(str(tmp_path / "sink" / "annotations"))
+    assert len(ann_t.snapshots()) == 2
+    assert sink.read_lineage(spark).count() == 1
