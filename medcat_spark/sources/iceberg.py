@@ -1027,11 +1027,24 @@ class IcebergTable:
         return records
 
     def scan_files(self, snapshot_id: Optional[int] = None,
-                   partition_filter: Optional[Dict[str, Any]] = None
+                   partition_filter: Optional[Dict[str, Any]] = None,
+                   value_filter: Optional[Dict[str, Any]] = None
                    ) -> List[Dict[str, Any]]:
         """Plan a scan from metadata only: manifests pruned by partition
-        summaries, data files pruned by partition tuples.  Returns
-        data_file dicts (file_path, partition, record_count, ...)."""
+        summaries, data files pruned by partition tuples, and —
+        ``value_filter`` — by per-file column lower/upper bounds (the
+        equality point lookup form of Iceberg's data skipping; bounds
+        are conservative: string uppers are truncate-incremented at
+        write time, so a file is only skipped when the value provably
+        cannot be inside).  Returns data_file dicts."""
+        vf: List[Tuple[int, str, Any]] = []
+        if value_filter:
+            by_name = {f["name"]: f for f in self.schema()["fields"]}
+            for col, want in value_filter.items():
+                f = by_name[col]
+                if not isinstance(f["type"], str):
+                    raise ValueError(f"value_filter on nested type: {col}")
+                vf.append((f["id"], f["type"], want))
         pf = self._partition_fields()
         pidx = {p["name"]: i for i, p in enumerate(pf)}
         ptype = {p["name"]: p["result_type"] for p in pf}
@@ -1061,8 +1074,26 @@ class IcebergTable:
                            for c, v in partition_filter.items()
                            if c in pidx):
                         continue
+                if vf and self._bounds_exclude(d, vf):
+                    continue
                 out.append(d)
         return out
+
+    @staticmethod
+    def _bounds_exclude(data_file: Dict[str, Any],
+                        vf: List[Tuple[int, str, Any]]) -> bool:
+        lower = {e["key"]: e["value"]
+                 for e in (data_file.get("lower_bounds") or [])}
+        upper = {e["key"]: e["value"]
+                 for e in (data_file.get("upper_bounds") or [])}
+        for fid, t, want in vf:
+            lo = deserialize_bound(t, lower.get(fid))
+            hi = deserialize_bound(t, upper.get(fid))
+            if lo is not None and want < lo:
+                return True
+            if hi is not None and want > hi:
+                return True
+        return False
 
     def to_df(self, spark, snapshot_id: Optional[int] = None,
               partition_filter: Optional[Dict[str, Any]] = None):

@@ -204,6 +204,39 @@ def test_manifest_stats_and_summaries(spark, triples_df, tmp_path):
     assert s["contains_null"] is False
 
 
+def test_value_filter_file_skipping(spark, triples_df, tmp_path):
+    """Bounds-based data skipping: on range-sorted data, an equality
+    value_filter prunes files whose [lower, upper] cannot contain the
+    value — and never prunes a file that does contain it."""
+    loc = str(tmp_path / "kgb")
+    t = IcebergTable.create(loc, triples_df.schema)
+    # range-partitioned write → disjoint subj ranges per file
+    t.append_dataframe(triples_df.repartitionByRange(4, "subj")
+                       .sortWithinPartitions("subj"))
+    t = IcebergTable.load(loc)
+    all_files = t.scan_files()
+    assert len(all_files) == 4
+    hit = t.scan_files(value_filter={"subj": "doc:000"})
+    assert 0 < len(hit) < len(all_files)
+    rows = spark.read.parquet(*[d["file_path"] for d in hit]) \
+        .filter("subj = 'doc:000'").count()
+    assert rows == 1
+    # a value outside every file's range prunes everything
+    assert t.scan_files(value_filter={"subj": "zzz"}) == []
+    # long bounds skip correctly too (little-endian encoding must not
+    # break ordering — bounds are compared as deserialized values)
+    from pyspark.sql import functions as F
+    loc2 = str(tmp_path / "kgl")
+    df2 = spark.range(1000).select((F.col("id") - 500).alias("n"))
+    t2 = IcebergTable.create(loc2, df2.schema)
+    t2.append_dataframe(df2.repartitionByRange(4, "n")
+                        .sortWithinPartitions("n"))
+    t2 = IcebergTable.load(loc2)
+    hit2 = t2.scan_files(value_filter={"n": -499})
+    assert 0 < len(hit2) < 4
+    assert t2.scan_files(value_filter={"n": 10_000}) == []
+
+
 def test_commit_is_atomic_under_crash_before_metadata(spark, triples_df,
                                                       tmp_path):
     """Data files + manifests written but the metadata version never
