@@ -414,6 +414,47 @@ def test_overwrite_table_replace_semantics(spark, triples_df, tmp_path):
     assert snaps[1]["summary"]["operation"] == "overwrite"
 
 
+def test_streaming_sink_exactly_once(spark, triples_df, tmp_path):
+    """Epoch-id idempotence: a redelivered micro-batch (restart replay)
+    is skipped; distinct epochs append."""
+    from medcat_spark.streaming.iceberg_sink import IcebergStreamSink
+    sink = IcebergStreamSink(str(tmp_path / "stream"), query_id="q1")
+    sink(triples_df.limit(10), 0)
+    sink(triples_df.limit(5), 1)
+    sink(triples_df.limit(5), 1)   # redelivery after restart
+    sink(triples_df.limit(3), 2)
+    assert sink.skipped_epochs == 1
+    t = IcebergTable.load(str(tmp_path / "stream"))
+    assert t.to_df(spark).count() == 18
+    assert len(t.snapshots()) == 3
+    assert t.snapshots()[-1]["summary"]["streaming-epoch-id"] == "2"
+    # a DIFFERENT query id appending to the same table does not mask
+    # this query's epochs
+    other = IcebergStreamSink(str(tmp_path / "stream"), query_id="q2")
+    other(triples_df.limit(2), 0)
+    assert IcebergStreamSink(str(tmp_path / "stream"),
+                             query_id="q1").last_committed_epoch() == 2
+
+
+def test_streaming_sink_live_query(spark, triples_df, tmp_path):
+    """A real Structured Streaming query (file source, availableNow)
+    lands its micro-batches as Iceberg snapshots."""
+    from medcat_spark.streaming.iceberg_sink import IcebergStreamSink
+    src = str(tmp_path / "src")
+    triples_df.write.parquet(src)
+    sink = IcebergStreamSink(str(tmp_path / "live"), query_id="live")
+    stream = spark.readStream.schema(triples_df.schema).parquet(src)
+    q = (stream.writeStream
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .foreachBatch(sink).start())
+    q.awaitTermination(120)
+    t = IcebergTable.load(str(tmp_path / "live"))
+    assert t.to_df(spark).count() == 40
+    assert all("streaming-epoch-id" in s["summary"]
+               for s in t.snapshots())
+
+
 def test_iceberg_kg_sink_commit_and_resume(spark, tmp_path):
     from pyspark.sql import functions as F
     sink = IcebergKgSink(str(tmp_path / "sink"))
