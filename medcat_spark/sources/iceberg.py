@@ -948,6 +948,110 @@ class IcebergTable:
         self.metadata["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(version + 1)
 
+    def rewrite_manifests(self) -> Dict[str, int]:
+        """Manifest compaction: fold the current snapshot's N manifests
+        into one (entries become status=EXISTING carrying their original
+        sequence numbers).  Data files are untouched; scan planning goes
+        from N avro reads to 1.  Commits a ``replace`` snapshot — prior
+        snapshots still reference the old manifests until expired."""
+        cur = self._snapshot(None)
+        if cur is None:
+            return {"manifests_before": 0, "manifests_after": 0}
+        manifests = self._manifest_files(None)
+        if len(manifests) <= 1:
+            return {"manifests_before": len(manifests),
+                    "manifests_after": len(manifests)}
+        pf = self._partition_fields()
+        all_entries: List[Dict[str, Any]] = []
+        total_rows = 0
+        for mf in manifests:
+            _s, entries, _m = avro_read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED: drop tombstones
+                    continue
+                seq = e["sequence_number"]
+                if seq is None:  # was inherited from its adding snapshot
+                    seq = mf["sequence_number"]
+                all_entries.append(dict(e, status=0,  # EXISTING
+                                        sequence_number=seq,
+                                        file_sequence_number=seq))
+                total_rows += e["data_file"]["record_count"]
+
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        mdir = self._metadata_dir(self.location)
+        muuid = uuid.uuid4()
+        manifest_path = os.path.join(mdir, f"{muuid}-m0.avro")
+        mlen = avro_write_container(
+            manifest_path, manifest_entry_schema(pf), all_entries,
+            meta={"schema": json.dumps(self.schema()),
+                  "schema-id": str(self.metadata["current-schema-id"]),
+                  "partition-spec": json.dumps(
+                      self.partition_spec()["fields"]),
+                  "partition-spec-id": str(self.partition_spec()["spec-id"]),
+                  "format-version": "2", "content": "data"})
+        min_seq = min(e["sequence_number"] for e in all_entries) \
+            if all_entries else self.metadata["last-sequence-number"]
+
+        for attempt in range(10):
+            if attempt:
+                fresh = IcebergTable.load(self.location)
+                if fresh.current_snapshot_id() != cur["snapshot-id"]:
+                    raise RuntimeError(
+                        "concurrent append during rewrite_manifests — "
+                        "rerun compaction on the new snapshot")
+                self.metadata = fresh.metadata
+                self._base_version = fresh._base_version
+            seq = self.metadata["last-sequence-number"] + 1
+            new_manifest = {
+                "manifest_path": manifest_path,
+                "manifest_length": mlen,
+                "partition_spec_id": self.partition_spec()["spec-id"],
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": len(all_entries),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": total_rows,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+            mlist_path = os.path.join(
+                mdir, f"snap-{snap_id}-{attempt + 1}-{muuid}.avro")
+            avro_write_container(
+                mlist_path, MANIFEST_LIST_SCHEMA, [new_manifest],
+                meta={"format-version": "2", "snapshot-id": str(snap_id),
+                      "sequence-number": str(seq),
+                      "parent-snapshot-id": str(cur["snapshot-id"])})
+            snapshot = {"snapshot-id": snap_id,
+                        "parent-snapshot-id": cur["snapshot-id"],
+                        "sequence-number": seq,
+                        "timestamp-ms": int(time.time() * 1000),
+                        "manifest-list": mlist_path,
+                        "summary": {
+                            "operation": "replace",
+                            "manifests-replaced": str(len(manifests)),
+                            "manifests-created": "1"},
+                        "schema-id": self.metadata["current-schema-id"]}
+            version = self._base_version
+            self.metadata["snapshots"].append(snapshot)
+            self.metadata["current-snapshot-id"] = snap_id
+            self.metadata["last-sequence-number"] = seq
+            self.metadata["last-updated-ms"] = snapshot["timestamp-ms"]
+            self.metadata["snapshot-log"].append(
+                {"snapshot-id": snap_id,
+                 "timestamp-ms": snapshot["timestamp-ms"]})
+            try:
+                self._commit_metadata(version + 1)
+                return {"manifests_before": len(manifests),
+                        "manifests_after": 1,
+                        "snapshot_id": snap_id}
+            except FileExistsError:
+                continue
+        raise RuntimeError("rewrite_manifests lost every commit race")
+
     def expire_snapshots(self, keep_last: int = 1) -> Dict[str, int]:
         """Snapshot GC: drop all but the newest ``keep_last`` snapshots
         from metadata, then delete manifests and data files no kept

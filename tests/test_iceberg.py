@@ -414,6 +414,37 @@ def test_overwrite_table_replace_semantics(spark, triples_df, tmp_path):
     assert snaps[1]["summary"]["operation"] == "overwrite"
 
 
+def test_rewrite_manifests_compaction(spark, triples_df, tmp_path):
+    """Folding N manifests into one preserves contents exactly and
+    keeps prior snapshots time-travelable; expire then GCs the old
+    manifests but no data files."""
+    loc = str(tmp_path / "cmp")
+    t = IcebergTable.create(loc, triples_df.schema)
+    for i in range(4):
+        t.append_dataframe(triples_df.filter(
+            f"bucket = '{i}'").coalesce(1))
+    before = sorted(t.to_df(spark).collect())
+    assert len(t._manifest_files(None)) == 4
+    stats = t.rewrite_manifests()
+    assert stats == {"manifests_before": 4, "manifests_after": 1,
+                     "snapshot_id": stats["snapshot_id"]}
+    t = IcebergTable.load(loc)
+    assert len(t._manifest_files(None)) == 1
+    assert sorted(t.to_df(spark).collect()) == before
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    # scan planning still works off the compacted manifest
+    assert all(d["partition"] == {} for d in t.scan_files())
+    assert sum(d["record_count"] for d in t.scan_files()) == len(before)
+    # idempotent on an already-compact table
+    assert t.rewrite_manifests()["manifests_after"] == 1
+    # expire old snapshots: old manifests deleted, data files survive
+    data_files = {d["file_path"] for d in t.scan_files()}
+    t.expire_snapshots(keep_last=1)
+    t = IcebergTable.load(loc)
+    assert sorted(t.to_df(spark).collect()) == before
+    assert all(os.path.isfile(p) for p in data_files)
+
+
 def test_streaming_sink_exactly_once(spark, triples_df, tmp_path):
     """Epoch-id idempotence: a redelivered micro-batch (restart replay)
     is skipped; distinct epochs append."""
