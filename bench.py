@@ -224,7 +224,14 @@ def run(spark) -> dict:
 
 def main():
     from medcat_spark.session import get_spark
+    # fixed pre-touched heap: at local[32] a growable heap costs 298 s
+    # of GC + 820k heap-expansion faults on this job shape
+    # (BENCH/stage_attribution.json); A/B'd 9.6k -> 43.2k docs/s on the
+    # 32-core scaling leg in the same host window
+    from medcat_spark.session import fixed_heap_conf
     spark = get_spark("medcat-spark-bench", master=f"local[{CPUS}]",
+                      extra_conf=fixed_heap_conf(
+                          os.environ.get("BENCH_HEAP", "32g")),
                       shuffle_partitions=int(CPUS) if CPUS.isdigit() else 32)
     try:
         result = run(spark)

@@ -58,14 +58,15 @@ def one_master(master: str, cores: int, replicate: int,
     from medcat_spark.triples import cooccurrence_triples, mention_triples
 
     extra = None
-    if os.environ.get("SCALING_MALLOC_TUNE", "0") == "1":
-        # pre-touch a fixed JVM heap at startup (outside the timed
-        # region) so executor-side page faults cannot land inside the
-        # measured runs; the glibc/Arrow knobs come via _subprocess_run
-        heap = os.environ.get("SCALING_HEAP", "12g")
-        extra = {"spark.driver.memory": heap,
-                 "spark.driver.extraJavaOptions":
-                     f"-Xms{heap} -XX:+AlwaysPreTouch"}
+    if os.environ.get("SCALING_MALLOC_TUNE", "1") == "1":
+        # DEFAULT ON since round 5: fixed pre-touched heap (production
+        # executors run -Xms=-Xmx) moves heap-expansion faults + GC
+        # churn out of the timed region.  A/B on the 32-core leg in the
+        # same host window: 9.6k -> 43.2k docs/s median (see
+        # session.fixed_heap_conf and BENCH/stage_attribution.json);
+        # the glibc/Arrow knobs come via _subprocess_run
+        from medcat_spark.session import fixed_heap_conf
+        extra = fixed_heap_conf(os.environ.get("SCALING_HEAP", "32g"))
     spark = get_spark("scaling-bench", master=master,
                       shuffle_partitions=cores, extra_conf=extra)
     # Replicate the sf corpus with doc_id suffixes (FIXTURES.md F3) and
@@ -128,7 +129,7 @@ def _subprocess_run(master: str, replicate: int, warmups: int,
         cores = int(master.split("[")[1].rstrip("]"))
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ)
-    if os.environ.get("SCALING_MALLOC_TUNE", "0") == "1":
+    if os.environ.get("SCALING_MALLOC_TUNE", "1") == "1":
         # Attack the local[32] sys-time residual (BENCH/profile32.json:
         # 26-46% kernel time at 32 cores vs 0.7% at 8): each of the 32
         # Python workers re-allocates its Arrow batch buffers per task,

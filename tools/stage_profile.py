@@ -85,10 +85,15 @@ def one_leg(master: str, replicate: int) -> dict:
     from medcat_spark.triples import cooccurrence_triples, mention_triples
 
     cores = int(master.split("[")[1].rstrip("]"))
+    extra = {"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)}
+    if os.environ.get("SCALING_MALLOC_TUNE", "1") == "1":
+        # mirror the scaling bench's default fixed pre-touched heap so
+        # attribution measures the shipping configuration
+        from medcat_spark.session import fixed_heap_conf
+        extra.update(fixed_heap_conf(os.environ.get("SCALING_HEAP",
+                                                    "32g")))
     spark = get_spark("stage-profile", master=master,
-                      shuffle_partitions=cores,
-                      extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.port": str(UI_PORT)})
+                      shuffle_partitions=cores, extra_conf=extra)
     app_id = spark.sparkContext.applicationId
     base = demo.load_docs(spark, SF_DIR, spread=False)
     docs = (spark.range(replicate).crossJoin(base)
