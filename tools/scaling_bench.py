@@ -64,9 +64,15 @@ def one_master(master: str, cores: int, replicate: int,
         # churn out of the timed region.  A/B on the 32-core leg in the
         # same host window: 9.6k -> 43.2k docs/s median (see
         # session.fixed_heap_conf and BENCH/stage_attribution.json);
-        # the glibc/Arrow knobs come via _subprocess_run
+        # the glibc/Arrow knobs come via _subprocess_run.
+        # Heap scales with the leg's cores exactly like a real
+        # executor's memory scales with its core count (1.5 GB/core,
+        # floor 4g) — a flat 32g heap on the 2-core leg measured
+        # pathological (GC geometry + pre-touch on 2 pinned cores).
         from medcat_spark.session import fixed_heap_conf
-        extra = fixed_heap_conf(os.environ.get("SCALING_HEAP", "32g"))
+        heap = os.environ.get("SCALING_HEAP",
+                              f"{max(4, min(32, round(cores * 1.5)))}g")
+        extra = fixed_heap_conf(heap)
     spark = get_spark("scaling-bench", master=master,
                       shuffle_partitions=cores, extra_conf=extra)
     # Replicate the sf corpus with doc_id suffixes (FIXTURES.md F3) and

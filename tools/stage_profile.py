@@ -88,10 +88,11 @@ def one_leg(master: str, replicate: int) -> dict:
     extra = {"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)}
     if os.environ.get("SCALING_MALLOC_TUNE", "1") == "1":
         # mirror the scaling bench's default fixed pre-touched heap so
-        # attribution measures the shipping configuration
+        # attribution measures the shipping configuration (1.5 GB/core
+        # like a real executor, floor 4g)
         from medcat_spark.session import fixed_heap_conf
-        extra.update(fixed_heap_conf(os.environ.get("SCALING_HEAP",
-                                                    "32g")))
+        extra.update(fixed_heap_conf(os.environ.get(
+            "SCALING_HEAP", f"{max(4, min(32, round(cores * 1.5)))}g")))
     spark = get_spark("stage-profile", master=master,
                       shuffle_partitions=cores, extra_conf=extra)
     app_id = spark.sparkContext.applicationId
