@@ -410,6 +410,104 @@ def _truncate_upper(s: str, width: int = 16) -> Optional[str]:
 
 
 # ---------------------------------------------------------------------------
+# Partition transforms (spec: identity, bucket[N], truncate[W])
+# ---------------------------------------------------------------------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (unsigned result) — the hash the Iceberg
+    bucket transform mandates.  Verified against the spec's Appendix B
+    test vectors (34 → 2017239379, 'iceberg' → 1210000089)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[rounded:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(value: Any, n: int, iceberg_type: str) -> Optional[int]:
+    """Iceberg bucket id: (murmur3(encode(v)) & Integer.MAX_VALUE) % n.
+    int AND long hash as the 8-byte little-endian long (spec!), strings
+    as UTF-8 bytes."""
+    if value is None:
+        return None
+    if iceberg_type in ("int", "long"):
+        data = struct.pack("<q", int(value))
+    elif iceberg_type == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise ValueError(f"bucket transform unsupported on {iceberg_type}")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def truncate_value(value: Any, w: int, iceberg_type: str) -> Any:
+    """Iceberg truncate: strings → first w chars; int/long → v - (v mod
+    w) with floor semantics (Python's % already floors)."""
+    if value is None:
+        return None
+    if iceberg_type == "string":
+        return str(value)[:w]
+    if iceberg_type in ("int", "long"):
+        return int(value) - (int(value) % w)
+    raise ValueError(f"truncate transform unsupported on {iceberg_type}")
+
+
+def apply_transform(transform: str, value: Any, iceberg_type: str) -> Any:
+    if transform == "identity":
+        return value
+    if transform.startswith("bucket["):
+        return bucket_value(value, int(transform[7:-1]), iceberg_type)
+    if transform.startswith("truncate["):
+        return truncate_value(value, int(transform[9:-1]), iceberg_type)
+    raise ValueError(f"unsupported transform: {transform}")
+
+
+def transform_result_type(transform: str, source_type: str) -> str:
+    return "int" if transform.startswith("bucket[") else source_type
+
+
+def _transform_column(df, p: Dict[str, Any]):
+    """Spark column computing the partition value for a transform
+    field.  truncate stays JVM-side (substring / floor-mod); bucket
+    needs murmur3 → Arrow-batched pandas_udf over bucket_value."""
+    from pyspark.sql import functions as F
+    col = df[p["source_name"]]
+    transform, stype = p["transform"], p["source_type"]
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if stype == "string":
+            return F.substring(col, 1, w)
+        return (col - ((col % w + w) % w)).cast(
+            "long" if stype == "long" else "int")
+    n = int(transform[7:-1])
+
+    def _bucket_series(s):
+        return s.map(lambda v: None if v is None
+                     else bucket_value(v, n, stype))
+    return F.pandas_udf(_bucket_series, "int")(col)
+
+
+# ---------------------------------------------------------------------------
 # Manifest avro schemas (field-ids per the v2 spec)
 # ---------------------------------------------------------------------------
 
@@ -578,13 +676,29 @@ class IcebergTable:
         last_col = schema.pop("last-column-id")
         by_name = {f["name"]: f for f in schema["fields"]}
         spec_fields = []
-        for i, col in enumerate(partition_by):
+        for i, spec in enumerate(partition_by):
+            # "col" = identity; ("col", "bucket[8]") / ("col",
+            # "truncate[4]") = transform partitions (spec section 4.2)
+            col, transform = (spec, "identity") if isinstance(spec, str) \
+                else (spec[0], spec[1])
             if col not in by_name:
                 raise ValueError(f"partition column not in schema: {col}")
             src = by_name[col]
             if not isinstance(src["type"], str):
-                raise ValueError(f"identity partition on nested type: {col}")
-            spec_fields.append({"name": col, "transform": "identity",
+                raise ValueError(f"partition on nested type: {col}")
+            if transform != "identity":
+                if not (transform.startswith("bucket[")
+                        or transform.startswith("truncate[")):
+                    raise ValueError(f"unsupported transform: {transform}")
+                if src["type"] not in ("int", "long", "string"):
+                    raise ValueError(
+                        f"{transform} unsupported on {src['type']}")
+            suffix = {"identity": ""}.get(transform)
+            if suffix is None:
+                suffix = "_bucket" if transform.startswith("bucket[") \
+                    else "_trunc"
+            spec_fields.append({"name": col + suffix,
+                                "transform": transform,
                                 "source-id": src["id"],
                                 "field-id": 1000 + i})
         meta = {
@@ -684,9 +798,13 @@ class IcebergTable:
         out = []
         for pf in self.partition_spec()["fields"]:
             src = by_id[pf["source-id"]]
+            transform = pf.get("transform", "identity")
             out.append({"name": pf["name"], "field-id": pf["field-id"],
                         "source_name": src["name"],
-                        "result_type": src["type"]})
+                        "transform": transform,
+                        "source_type": src["type"],
+                        "result_type": transform_result_type(
+                            transform, src["type"])})
         return out
 
     def snapshots(self) -> List[Dict[str, Any]]:
@@ -709,19 +827,34 @@ class IcebergTable:
         whose manifest list drops all previous manifests (Iceberg
         REPLACE semantics — old snapshots stay time-travelable)."""
         pf = self._partition_fields()
-        part_cols = [p["source_name"] for p in pf]
+        # identity partitions: Spark's partitionBy drops the source
+        # column from the data files (restored from metadata on read —
+        # Iceberg semantics).  bucket/truncate partitions: the
+        # partition column is COMPUTED, the source column stays in the
+        # data files.
+        identity_srcs = [p["source_name"] for p in pf
+                         if p["transform"] == "identity"]
+        out_df = df
+        part_dir_cols = []
+        for p in pf:
+            if p["transform"] == "identity":
+                part_dir_cols.append(p["source_name"])
+            else:
+                out_df = out_df.withColumn(
+                    p["name"], _transform_column(df, p))
+                part_dir_cols.append(p["name"])
         snap_id = int(uuid.uuid4().int % (1 << 62))
         data_dir = os.path.join(self.location, "data",
                                 f"snap-{snap_id:x}")
-        writer = df.write.mode("error")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
+        writer = out_df.write.mode("error")
+        if part_dir_cols:
+            writer = writer.partitionBy(*part_dir_cols)
         writer.parquet(data_dir)
 
         bound_types = {f["name"]: f["type"]
                        for f in self.schema()["fields"]
                        if isinstance(f["type"], str)
-                       and f["name"] not in part_cols}
+                       and f["name"] not in identity_srcs}
         field_ids = {f["name"]: f["id"] for f in self.schema()["fields"]}
 
         entries = []
@@ -1152,6 +1285,23 @@ class IcebergTable:
         pf = self._partition_fields()
         pidx = {p["name"]: i for i, p in enumerate(pf)}
         ptype = {p["name"]: p["result_type"] for p in pf}
+        # resolve filter keys given as SOURCE columns through the
+        # field's transform (an equality predicate on doc_id prunes a
+        # bucket[N] partitioning to one bucket — spec predicate
+        # transformation); keys matching a partition field name pass
+        # through as already-transformed values
+        if partition_filter:
+            by_src = {p["source_name"]: p for p in pf}
+            resolved: Dict[str, Any] = {}
+            for col, want in partition_filter.items():
+                if col in pidx and (col not in by_src
+                                    or by_src[col]["name"] == col):
+                    resolved[col] = want
+                elif col in by_src:
+                    p = by_src[col]
+                    resolved[p["name"]] = apply_transform(
+                        p["transform"], want, p["source_type"])
+            partition_filter = resolved
         out: List[Dict[str, Any]] = []
         for mf in self._manifest_files(snapshot_id):
             if partition_filter and mf.get("partitions"):
@@ -1209,27 +1359,32 @@ class IcebergTable:
         from pyspark.sql import functions as F
         files = self.scan_files(snapshot_id, partition_filter)
         pf = self._partition_fields()
+        ident = [p for p in pf if p["transform"] == "identity"]
         if not files:
             return spark.createDataFrame([], self.spark_schema())
-        if not pf:
+        if not ident:
+            # bucket/truncate partitions keep source columns in the
+            # data files — nothing to restore
             return spark.read.schema(self.spark_schema()).parquet(
                 *[d["file_path"] for d in files])
-        # group files by partition tuple; read each group once and attach
-        # the identity values as literals (constant folding keeps these
-        # out of the scan)
+        # group files by identity-partition tuple; read each group once
+        # and attach the identity values as literals (constant folding
+        # keeps these out of the scan)
         groups: Dict[Tuple, List[str]] = {}
         for d in files:
-            key = tuple(d["partition"].get(p["name"]) for p in pf)
+            key = tuple(d["partition"].get(p["name"]) for p in ident)
             groups.setdefault(key, []).append(d["file_path"])
         file_schema = self.spark_schema()
-        part_names = {p["source_name"] for p in pf}
+        part_names = {p["source_name"] for p in ident}
         from pyspark.sql import types as T
         read_schema = T.StructType(
             [f for f in file_schema.fields if f.name not in part_names])
         parts = []
-        for key, paths in sorted(groups.items()):
+        for key, paths in sorted(
+                groups.items(),
+                key=lambda kv: tuple(str(x) for x in kv[0])):
             df = spark.read.schema(read_schema).parquet(*paths)
-            for p, v in zip(pf, key):
+            for p, v in zip(ident, key):
                 df = df.withColumn(
                     p["source_name"],
                     F.lit(v).cast(dict(

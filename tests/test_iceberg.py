@@ -181,6 +181,84 @@ def test_partition_pruning_from_metadata(spark, triples_df, tmp_path):
     assert sorted(t.to_df(spark).collect()) == sorted(triples_df.collect())
 
 
+def test_murmur3_spec_vectors():
+    """The Iceberg spec's own Appendix B bucket test vectors."""
+    import struct
+    from medcat_spark.sources.iceberg import (bucket_value, murmur3_32,
+                                              truncate_value)
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    # int and long hash identically (both as 8-byte little-endian)
+    assert bucket_value(34, 16, "int") == bucket_value(34, 16, "long")
+    assert bucket_value(None, 16, "string") is None
+    # truncate floors for negatives (spec: v - (v mod W))
+    assert truncate_value(-1, 10, "int") == -10
+    assert truncate_value(7, 10, "long") == 0
+    assert truncate_value("iceberg", 3, "string") == "ice"
+
+
+def test_bucket_partition_roundtrip_and_pruning(spark, triples_df,
+                                                tmp_path):
+    """bucket[4] on subj: data lands in hashed dirs, source column
+    stays in the files, an equality filter on the SOURCE column prunes
+    to exactly one bucket via the spec's predicate transformation."""
+    from medcat_spark.sources.iceberg import bucket_value
+    loc = str(tmp_path / "kgbk")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=[("subj", "bucket[4]")])
+    t.append_dataframe(triples_df)
+    t = IcebergTable.load(loc)
+    spec = t.partition_spec()["fields"][0]
+    assert spec["transform"] == "bucket[4]"
+    assert spec["name"] == "subj_bucket"
+    # full read restores everything (source cols live in the files)
+    assert sorted(t.to_df(spark).collect()) == sorted(triples_df.collect())
+    buckets = {d["partition"]["subj_bucket"] for d in t.scan_files()}
+    assert buckets == {bucket_value(f"doc:{i:03d}", 4, "string")
+                       for i in range(40)}
+    # source-column equality prunes to one bucket's files
+    want = "doc:007"
+    hit = t.scan_files(partition_filter={"subj": want})
+    assert {d["partition"]["subj_bucket"] for d in hit} == \
+        {bucket_value(want, 4, "string")}
+    df = t.to_df(spark, partition_filter={"subj": want})
+    assert df.filter(f"subj = '{want}'").count() == 1
+    # filtering by the transformed field name directly also works
+    b = bucket_value(want, 4, "string")
+    assert {d["partition"]["subj_bucket"]
+            for d in t.scan_files(partition_filter={"subj_bucket": b})} \
+        == {b}
+
+
+def test_truncate_partition_roundtrip_and_pruning(spark, triples_df,
+                                                  tmp_path):
+    """truncate[5] on obj ('cui:C0'...'cui:C4' → prefix 'cui:C') plus a
+    long truncate table; pruning through the source predicate."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kgtr")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=[("obj", "truncate[6]")])
+    t.append_dataframe(triples_df)
+    t = IcebergTable.load(loc)
+    assert sorted(t.to_df(spark).collect()) == sorted(triples_df.collect())
+    parts = {d["partition"]["obj_trunc"] for d in t.scan_files()}
+    assert parts == {f"cui:C{i}" for i in range(5)}
+    hit = t.scan_files(partition_filter={"obj": "cui:C3"})
+    assert {d["partition"]["obj_trunc"] for d in hit} == {"cui:C3"}
+    # long truncate: negative values floor to the lower boundary
+    loc2 = str(tmp_path / "kgtl")
+    df2 = spark.range(100).select((F.col("id") - 50).alias("n"))
+    t2 = IcebergTable.create(loc2, df2.schema,
+                             partition_by=[("n", "truncate[20]")])
+    t2.append_dataframe(df2)
+    t2 = IcebergTable.load(loc2)
+    assert {d["partition"]["n_trunc"] for d in t2.scan_files()} == \
+        {-60, -40, -20, 0, 20, 40}
+    # -41 truncates to bucket -60, which holds -60..-41; the table only
+    # contains -50..-41 of those = 10 rows
+    assert t2.to_df(spark, partition_filter={"n": -41}).count() == 10
+
+
 def test_manifest_stats_and_summaries(spark, triples_df, tmp_path):
     loc = str(tmp_path / "kgs")
     t = IcebergTable.create(loc, triples_df.schema,
