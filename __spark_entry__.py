@@ -439,6 +439,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, d: txt.lang_id(demo.load_docs(s, d))
     q["doc_fingerprint"] = lambda s, d: txt.fingerprint(demo.load_docs(s, d))
 
+    def _gopher(s, d):
+        """Gopher repetition/quality gates (Rae et al. 2021 §A1.1) over
+        the documents table.  The corpus has no newlines and no natural
+        repetition, so the query deterministically (a) appends every
+        5th doc's own first 15 tokens (exercising the dup-ngram path)
+        and (b) re-chunks text into 10-token lines (exercising the
+        line-family metrics); the oracle mirrors both transforms."""
+        from medcat_spark.functions.gopher import gopher_gate
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        arr0 = F.split(F.col("text"), " ")
+        rep = F.array_join(F.slice(arr0, 1, 15), " ")
+        docs = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" "), rep))
+            .otherwise(F.col("text")).alias("text"))
+        arr = F.split(F.col("text"), " ")
+        nchunk = F.ceil(F.size(arr) / F.lit(10.0)).cast("int")
+        text2 = F.array_join(
+            F.transform(F.sequence(F.lit(0), nchunk - 1),
+                        lambda c: F.array_join(
+                            F.slice(arr, c * 10 + 1, 10), " ")),
+            "\n")
+        out = gopher_gate(docs.select("doc_id", text2.alias("text")),
+                          min_words=20)
+        return out.withColumn("gopher_pass",
+                              F.col("gopher_pass").cast("int"))
+    q["text_gopher_quality"] = _gopher
+
     # --- similarity search over embeddings
     def _topk(s, d):
         emb = demo.load_embeddings(s, d)
@@ -1473,6 +1502,98 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
            ' ')) AS fp_bag
 FROM documents
+"""
+
+    o["text_gopher_quality"] = """
+WITH rep0 AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0
+       THEN text || ' ' || array_to_string(string_split(text, ' ')[1:15], ' ')
+       ELSE text END AS text
+  FROM documents),
+toks0 AS (SELECT doc_id, string_split(text, ' ') AS a0 FROM rep0),
+rejoin AS (SELECT doc_id,
+  array_to_string(list_transform(range(0, CAST(ceil(len(a0)/10.0) AS INT)),
+    c -> array_to_string(a0[c*10+1 : c*10+10], ' ')), chr(10)) AS text
+  FROM toks0),
+base AS (SELECT doc_id, text,
+  string_split(text, ' ') AS arr,
+  string_split(text, chr(10)) AS lines,
+  string_split(text, chr(10) || chr(10)) AS paras,
+  length(text) AS n_chars
+  FROM rejoin),
+wl AS (SELECT doc_id, text, n_chars, arr,
+  len(arr) AS n_words,
+  ROUND(list_aggregate(list_transform(arr, t -> length(t)), 'sum') * 1.0
+        / len(arr), 6) AS mean_word_len,
+  ROUND(len(list_filter(arr, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+        / len(arr), 6) AS frac_alpha_words,
+  len(list_filter(arr, t -> t IN
+      ('the','be','to','of','and','that','have','with'))) AS n_stopwords,
+  ROUND(((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+        / len(arr), 6) AS symbol_word_ratio,
+  ROUND(len(list_filter(lines, l -> starts_with(l, '- ')
+        OR starts_with(l, '* ') OR starts_with(l, chr(8226)))) * 1.0
+        / len(lines), 6) AS frac_bullet_lines,
+  ROUND(len(list_filter(lines, l -> l LIKE '%...'
+        OR l LIKE '%' || chr(8230))) * 1.0 / len(lines), 6)
+        AS frac_ellipsis_lines,
+  ROUND((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6)
+        AS dup_line_frac,
+  ROUND(CASE WHEN list_aggregate(list_transform(lines, l -> length(l)),
+                                 'sum') > 0
+    THEN (list_aggregate(list_transform(lines, l -> length(l)), 'sum')
+          - list_aggregate(list_transform(list_distinct(lines),
+                                          l -> length(l)), 'sum')) * 1.0
+         / list_aggregate(list_transform(lines, l -> length(l)), 'sum')
+    ELSE 0 END, 6) AS dup_line_char_frac,
+  ROUND((len(paras) - len(list_distinct(paras))) * 1.0 / len(paras), 6)
+        AS dup_para_frac,
+  ROUND(CASE WHEN list_aggregate(list_transform(paras, p -> length(p)),
+                                 'sum') > 0
+    THEN (list_aggregate(list_transform(paras, p -> length(p)), 'sum')
+          - list_aggregate(list_transform(list_distinct(paras),
+                                          p -> length(p)), 'sum')) * 1.0
+         / list_aggregate(list_transform(paras, p -> length(p)), 'sum')
+    ELSE 0 END, 6) AS dup_para_char_frac
+  FROM base),
+ng2i AS (SELECT doc_id, n_chars, arr, unnest(range(1, len(arr))) AS i
+         FROM base),
+ng2 AS (SELECT doc_id, n_chars, arr[i] || ' ' || arr[i+1] AS g FROM ng2i),
+ng2c AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt FROM ng2 GROUP BY 1,2,3),
+ng2r AS (SELECT doc_id, cnt * length(g) AS top_chars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC)
+             AS rk
+         FROM ng2c),
+top2 AS (SELECT doc_id, top_chars FROM ng2r WHERE rk = 1),
+ng5i AS (SELECT doc_id, n_chars, arr, unnest(range(1, len(arr) - 3)) AS i
+         FROM base WHERE len(arr) >= 5),
+ng5 AS (SELECT doc_id, n_chars, array_to_string(arr[i : i+4], ' ') AS g
+        FROM ng5i),
+ng5c AS (SELECT doc_id, n_chars, g, COUNT(*) AS cnt FROM ng5 GROUP BY 1,2,3),
+dup5 AS (SELECT doc_id,
+         SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+         FROM ng5c GROUP BY doc_id),
+m AS (SELECT wl.*,
+  ROUND(COALESCE(top2.top_chars, 0) * 1.0 / wl.n_chars, 6)
+      AS top_2gram_char_frac,
+  ROUND(COALESCE(dup5.dup_chars, 0) * 1.0 / wl.n_chars, 6)
+      AS dup_5gram_char_frac
+  FROM wl LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id))
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+  symbol_word_ratio, frac_bullet_lines, frac_ellipsis_lines,
+  dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,
+  top_2gram_char_frac, dup_5gram_char_frac,
+  CAST(n_words >= 20 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.1
+   AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+   AND frac_alpha_words >= 0.8 AND n_stopwords >= 2
+   AND dup_line_frac <= 0.3 AND dup_para_frac <= 0.3
+   AND dup_line_char_frac <= 0.2 AND dup_para_char_frac <= 0.2
+   AND top_2gram_char_frac <= 0.2 AND dup_5gram_char_frac <= 0.15 AS INT)
+   AS gopher_pass
+FROM m
 """
 
     _COS = """
