@@ -507,6 +507,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simf.cosine_topk_ivf_pruned(s, path, qv, cen, k=20, n_probe=2)
     q["ann_ivf_pruned"] = _topk_ivf_pruned
 
+    # SemDeDup (Abbas et al. 2023): k-means clusters (the fixed IVF
+    # quantizer so the oracle sees literal centroids) -> intra-cluster
+    # cosine pairs -> duplicate components -> keep the member FURTHEST
+    # from its centroid.  eps tuned so real multi-member components form
+    # on the synthetic embeddings (max intra-cluster sim ~0.5).
+    q["dedup_semantic"] = lambda s, d: simf.semantic_dedup(
+        demo.load_embeddings(s, d).select("vec_id", "embedding"),
+        centroids=_ivf_fixed_centroids(), eps=0.45)
+
     q["emb_near_dup"] = lambda s, d: simf.pairwise_cosine_within(
         demo.load_embeddings(s, d), "label", min_sim=0.8)
 
@@ -1684,6 +1693,52 @@ ORDER BY s.sim DESC, s.vec_id LIMIT 20
     # the materialized-layout probe computes the same assignment at write
     # time, so its oracle is identical
     o["ann_ivf_pruned"] = o["ann_ivf_topk"]
+
+    o["dedup_semantic"] = f"""
+WITH RECURSIVE
+cen(cid, i, c) AS (VALUES {_cen_rows}),
+ex AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+ed AS (SELECT e.vec_id, cen.cid,
+              ROUND(SUM((e.x - cen.c) * (e.x - cen.c)), 9) AS dist
+       FROM ex e JOIN cen ON cen.i = e.i GROUP BY 1, 2),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn
+    FROM ed) WHERE rn = 1),
+cs AS (SELECT e.vec_id,
+              ROUND(SUM(e.x * cen.c) / (sqrt(SUM(e.x * e.x))
+                    * sqrt(SUM(cen.c * cen.c))), 6) AS centroid_sim
+       FROM ex e JOIN assign a USING (vec_id)
+       JOIN cen ON cen.cid = a.cid AND cen.i = e.i
+       GROUP BY e.vec_id),
+p AS (SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+             SUM(ea.x * eb.x) AS d, SUM(ea.x * ea.x) AS na,
+             SUM(eb.x * eb.x) AS nb
+      FROM ex ea JOIN assign aa ON aa.vec_id = ea.vec_id
+      JOIN ex eb ON eb.i = ea.i
+      JOIN assign ab ON ab.vec_id = eb.vec_id AND ab.cid = aa.cid
+      WHERE ea.vec_id < eb.vec_id
+      GROUP BY 1, 2),
+ver AS (SELECT id_a, id_b FROM p
+        WHERE ROUND(d / (sqrt(na) * sqrt(nb)), 6) >= 0.45),
+edges AS (SELECT id_a AS u, id_b AS v FROM ver
+          UNION SELECT id_b, id_a FROM ver),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+lab AS (SELECT a.vec_id, a.cid AS cluster,
+               COALESCE(c.component, a.vec_id) AS component,
+               cs.centroid_sim
+        FROM assign a LEFT JOIN comp c ON c.node = a.vec_id
+        JOIN cs ON cs.vec_id = a.vec_id)
+SELECT vec_id, cluster, component, centroid_sim,
+       row_number() OVER (PARTITION BY component
+                          ORDER BY centroid_sim, vec_id) = 1 AS is_keeper
+FROM lab
+"""
 
     o["emb_near_dup_lsh"] = f"""
 WITH {_EB},

@@ -264,3 +264,68 @@ def cosine_topk_ivf(embeddings: DataFrame, query_vec: Sequence[float],
         ivf_assign(F.col(vec_col).cast("array<double>"), centroids)
         .isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the
+# embedding space, find intra-cluster pairs above a cosine threshold,
+# group them into duplicate components, and keep exactly one member per
+# component — the one FURTHEST from its cluster centroid (the paper's
+# keep-low-centroid-similarity rule, which preserves diversity).
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(embeddings: DataFrame, centroids=None,
+                   n_centroids: int = 8, eps: float = 0.95,
+                   train_sample: int = 1024, seed: int = 7,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   round_to: int = 6,
+                   max_cluster_size: int = None) -> DataFrame:
+    """(vec_id, cluster, component, centroid_sim, is_keeper) for EVERY
+    input row.
+
+    Scale shape: the quantizer is sample-trained (exactly like
+    cosine_topk_ivf); assignment + centroid cosine are pure codegen over
+    literal centroids; the quadratic step is confined within clusters
+    (``max_cluster_size`` guards hot clusters the way LSH's
+    max_bucket_size does — at 100 TB you raise n_centroids so clusters
+    stay bounded, which is the paper's own configuration); components
+    run on the pair relation only (min-label propagation + pointer
+    jumping); the keeper decision is one window over the component key.
+    Rows in no duplicate pair are singleton components of themselves and
+    always keepers.
+    """
+    from pyspark.sql.window import Window
+
+    from medcat_spark.functions.dedup import connected_components
+
+    if centroids is None:
+        sample = [r["v"] for r in embeddings
+                  .select(F.col(id_col), F.col(vec_col).alias("v"))
+                  .orderBy(id_col).limit(train_sample).collect()]
+        centroids = kmeans_centroids(sample, n_centroids, seed=seed)
+
+    vec = F.col(vec_col).cast("array<double>")
+    cos_all = F.array(*[F.round(cosine(vec, _lit_vec(c)), round_to)
+                        for c in centroids])
+    assigned = (embeddings
+                .withColumn("cluster", ivf_assign(vec, centroids))
+                .withColumn("centroid_sim",
+                            F.element_at(cos_all, F.col("cluster") + 1)))
+
+    pairs = pairwise_cosine_within(
+        assigned, "cluster", vec_col=vec_col, id_col=id_col,
+        min_sim=eps, round_to=round_to, max_group_size=max_cluster_size)
+    comp = connected_components(pairs, src="id_a", dst="id_b") \
+        .withColumnRenamed("doc_id", id_col)
+
+    labelled = (assigned.select(id_col, "cluster", "centroid_sim")
+                .join(comp, id_col, "left")
+                .withColumn("component",
+                            F.coalesce("component", F.col(id_col)))
+                .drop("node"))
+    w = Window.partitionBy("component").orderBy("centroid_sim", id_col)
+    return (labelled
+            .withColumn("is_keeper", F.row_number().over(w) == 1)
+            .select(id_col, "cluster", "component", "centroid_sim",
+                    "is_keeper"))

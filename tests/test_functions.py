@@ -308,3 +308,66 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == want, (seed, {k: (got.get(k), want.get(k))
                                     for k in set(got) | set(want)
                                     if got.get(k) != want.get(k)})
+
+
+# --- SemDeDup (semantic_dedup) ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def sem_embeddings(spark):
+    # cluster 0 is three mutual near-dups at graded distances from the
+    # centroid; cluster 1 is a singleton
+    rows = [
+        (1, [1.0, 0.0]),       # exactly on centroid 0
+        (2, [0.98, 0.05]),     # near-dup of 1, slightly off-centroid
+        (3, [0.95, 0.12]),     # near-dup, furthest from centroid
+        (4, [0.0, 1.0]),       # alone in cluster 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_keeps_furthest_from_centroid(sem_embeddings):
+    from medcat_spark.functions.similarity import semantic_dedup
+    out = {r["vec_id"]: r.asDict()
+           for r in semantic_dedup(sem_embeddings,
+                                   centroids=[[1.0, 0.0], [0.0, 1.0]],
+                                   eps=0.9).collect()}
+    # 1,2,3 one component in cluster 0; 4 a singleton in cluster 1
+    assert out[1]["cluster"] == 0 and out[4]["cluster"] == 1
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"]
+    assert out[4]["component"] == 4
+    # SemDeDup keeper = LOWEST centroid similarity (vec 3)
+    keepers = [v for v, r in out.items() if r["is_keeper"]]
+    assert sorted(keepers) == [3, 4]
+    assert out[3]["centroid_sim"] < out[2]["centroid_sim"] < out[1]["centroid_sim"]
+
+
+def test_semantic_dedup_transitive_component(spark):
+    # chain a~b (sim>eps), b~c (sim>eps) but a~c below eps: still one
+    # component through transitivity
+    from medcat_spark.functions.similarity import semantic_dedup
+    rows = [(1, [1.0, 0.0]), (2, [0.92, 0.39]), (3, [0.71, 0.70])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["component"]
+           for r in semantic_dedup(df, centroids=[[1.0, 0.2]],
+                                   eps=0.92).collect()}
+    assert out[1] == out[2] == out[3]
+
+
+def test_semantic_dedup_every_row_returned_once(sem_embeddings):
+    from medcat_spark.functions.similarity import semantic_dedup
+    out = semantic_dedup(sem_embeddings,
+                         centroids=[[1.0, 0.0], [0.0, 1.0]],
+                         eps=0.99999).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2, 3, 4]
+    # at an impossible eps nothing pairs: all keepers
+    assert all(r["is_keeper"] for r in out)
+
+
+def test_semantic_dedup_max_cluster_size_guard(sem_embeddings):
+    from medcat_spark.functions.similarity import semantic_dedup
+    # cluster 0 has 3 members > cap 2 -> its pairs are dropped, every
+    # row survives as its own singleton component
+    out = semantic_dedup(sem_embeddings,
+                         centroids=[[1.0, 0.0], [0.0, 1.0]],
+                         eps=0.9, max_cluster_size=2).collect()
+    assert all(r["is_keeper"] for r in out)
