@@ -862,6 +862,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ice_agg(t.to_df(s, snapshot_id=s1))
     q["kg_iceberg_time_travel"] = _iceberg_time_travel
 
+    def _iceberg_eq_delete(s, d):
+        """v2 row-level deletes + sequence semantics, oracle-checked:
+        append all docs; equality-delete doc_id % 7 == 0; re-insert the
+        doc_id % 14 == 0 half at a LATER sequence.  Merge-on-read must
+        drop only the still-deleted half (deletes apply to data files
+        with smaller sequence numbers only)."""
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "lang", "n_chars")
+        loc = tempfile.mkdtemp(prefix="ice_del_") + "/docs"
+        t = IcebergTable.create(loc, docs.schema)
+        t.append_dataframe(docs)
+        t.delete_where(s, F.col("doc_id") % 7 == 0,
+                       equality_cols=["doc_id"])
+        t = IcebergTable.load(loc)
+        t.append_dataframe(docs.where(F.col("doc_id") % 14 == 0))
+        return IcebergTable.load(loc).to_df(s)
+    q["kg_iceberg_eq_delete"] = _iceberg_eq_delete
+
+    def _iceberg_incremental(s, d):
+        """Incremental (CDC-style) read: rows appended strictly after a
+        checkpoint snapshot — the consume-new-annotations path of a
+        resumable KG build."""
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "lang")
+        loc = tempfile.mkdtemp(prefix="ice_incr_") + "/docs"
+        t = IcebergTable.create(loc, docs.schema)
+        s1 = t.append_dataframe(docs.where(F.col("doc_id") < 250))
+        t.append_dataframe(docs.where(F.col("doc_id") >= 250))
+        return IcebergTable.load(loc).incremental_read(s, s1)
+    q["kg_iceberg_incremental"] = _iceberg_incremental
+
+    def _iceberg_files_meta(s, d):
+        """$files metadata table: per-partition record counts read from
+        manifests alone (no data file opened) must equal the group-by
+        over the data."""
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "text", "lang")
+        loc = tempfile.mkdtemp(prefix="ice_files_") + "/docs"
+        t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+        t.append_dataframe(docs)
+        files = IcebergTable.load(loc).metadata_df(s, "files")
+        return (files.groupBy(F.col("partition")["lang"].alias("lang"))
+                .agg(F.sum("record_count").alias("n_rows")))
+    q["kg_iceberg_files_meta"] = _iceberg_files_meta
+
     return q
 
 
@@ -1048,6 +1099,22 @@ WITH {_ICE_SPANS_CTE}
 SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs,
        MIN(off) AS min_off, MAX(off) AS max_off
 FROM s WHERE CAST(doc_id AS BIGINT) % 2 = 0 GROUP BY kind
+"""
+
+    o["kg_iceberg_eq_delete"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 14 = 0
+"""
+
+    o["kg_iceberg_incremental"] = """
+SELECT doc_id, lang FROM documents WHERE doc_id >= 250
+"""
+
+    o["kg_iceberg_files_meta"] = """
+SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang
 """
 
     o["cdb_names"] = f"""

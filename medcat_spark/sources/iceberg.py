@@ -552,6 +552,14 @@ def manifest_entry_schema(partition_fields: Sequence[Dict[str, Any]]
         {"name": "upper_bounds",
          "type": ["null", _kv_map_schema("k129_v130", 129, 130, "bytes")],
          "default": None, "field-id": 128},
+        # v2 row-level deletes: for content=2 (EQUALITY_DELETES) files,
+        # the schema field ids the delete rows equality-match on (spec
+        # field 135).  Old manifests lack the field; readers use each
+        # file's embedded write schema, so both generations coexist.
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135},
     ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
@@ -950,13 +958,32 @@ class IcebergTable:
                   "format-version": "2",
                   "content": "data"})
 
-        # Optimistic-concurrency commit: the data files and the manifest
-        # are snapshot-id-addressed (never contended); only the metadata
-        # pointer races.  On a lost race (_commit_metadata refuses to
-        # overwrite vN+1) reload the winner's metadata, re-resolve the
-        # parent snapshot (keeping the winner's files), rewrite the tiny
-        # manifest list with a fresh sequence number, and retry — real
-        # Iceberg's serializable-append semantics.
+        return self._commit_snapshot(
+            manifest_path=manifest_path, mlen=mlen, snap_id=snap_id,
+            muuid=muuid, manifest_content=0, added_files=len(entries),
+            added_rows=total_rows,
+            part_summaries=part_summaries if pf else None,
+            operation="overwrite" if overwrite else "append",
+            summary={"added-data-files": str(len(entries)),
+                     "added-records": str(total_rows),
+                     **(summary_extra or {})},
+            drop_previous=overwrite)
+
+    def _commit_snapshot(self, *, manifest_path: str, mlen: int,
+                         snap_id: int, muuid, manifest_content: int,
+                         added_files: int, added_rows: int,
+                         part_summaries, operation: str,
+                         summary: Dict[str, str],
+                         drop_previous: bool = False) -> int:
+        """Optimistic-concurrency commit shared by append_dataframe and
+        delete_where: the data files and the manifest are snapshot-id-
+        addressed (never contended); only the metadata pointer races.
+        On a lost race (_commit_metadata refuses to overwrite vN+1)
+        reload the winner's metadata, re-resolve the parent snapshot
+        (keeping the winner's files), rewrite the tiny manifest list
+        with a fresh sequence number, and retry — real Iceberg's
+        serializable-append semantics."""
+        mdir = self._metadata_dir(self.location)
         for attempt in range(10):
             if attempt:
                 fresh = IcebergTable.load(self.location)
@@ -965,23 +992,23 @@ class IcebergTable:
             seq = self.metadata["last-sequence-number"] + 1
             parent = self.current_snapshot_id()
             prev_manifests = []
-            if parent is not None and not overwrite:
+            if parent is not None and not drop_previous:
                 prev_manifests = self._manifest_files(parent)
             new_manifest = {
                 "manifest_path": manifest_path,
                 "manifest_length": mlen,
                 "partition_spec_id": self.partition_spec()["spec-id"],
-                "content": 0,
+                "content": manifest_content,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
-                "added_files_count": len(entries),
+                "added_files_count": added_files,
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": total_rows,
+                "added_rows_count": added_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": part_summaries if pf else None,
+                "partitions": part_summaries,
             }
             mlist_path = os.path.join(
                 mdir, f"snap-{snap_id}-{attempt + 1}-{muuid}.avro")
@@ -994,15 +1021,12 @@ class IcebergTable:
                 mlist_path, MANIFEST_LIST_SCHEMA,
                 [new_manifest] + prev_manifests, meta=mlist_meta)
 
-            summary = {"operation": "overwrite" if overwrite else "append",
-                       "added-data-files": str(len(entries)),
-                       "added-records": str(total_rows)}
-            summary.update(summary_extra or {})
+            full_summary = {"operation": operation, **summary}
             snapshot = {"snapshot-id": snap_id,
                         "sequence-number": seq,
                         "timestamp-ms": int(time.time() * 1000),
                         "manifest-list": mlist_path,
-                        "summary": summary,
+                        "summary": full_summary,
                         "schema-id": self.metadata["current-schema-id"]}
             if parent is not None:
                 snapshot["parent-snapshot-id"] = parent
@@ -1024,7 +1048,7 @@ class IcebergTable:
             except FileExistsError:
                 continue
         raise RuntimeError(
-            f"append lost {attempt + 1} commit races at {self.location}")
+            f"commit lost {attempt + 1} races at {self.location}")
 
     def add_column(self, name: str, spark_type) -> None:
         """Schema evolution: append an optional column (new schema-id,
@@ -1090,10 +1114,16 @@ class IcebergTable:
         cur = self._snapshot(None)
         if cur is None:
             return {"manifests_before": 0, "manifests_after": 0}
-        manifests = self._manifest_files(None)
+        all_manifests = self._manifest_files(None)
+        # delete manifests (content=1) are never folded into the data
+        # manifest — they carry through unchanged so sequence-number
+        # applicability is preserved
+        manifests = [m for m in all_manifests if m.get("content", 0) == 0]
+        delete_manifests = [m for m in all_manifests
+                            if m.get("content", 0) != 0]
         if len(manifests) <= 1:
-            return {"manifests_before": len(manifests),
-                    "manifests_after": len(manifests)}
+            return {"manifests_before": len(all_manifests),
+                    "manifests_after": len(all_manifests)}
         pf = self._partition_fields()
         all_entries: List[Dict[str, Any]] = []
         total_rows = 0
@@ -1154,7 +1184,8 @@ class IcebergTable:
             mlist_path = os.path.join(
                 mdir, f"snap-{snap_id}-{attempt + 1}-{muuid}.avro")
             avro_write_container(
-                mlist_path, MANIFEST_LIST_SCHEMA, [new_manifest],
+                mlist_path, MANIFEST_LIST_SCHEMA,
+                [new_manifest] + delete_manifests,
                 meta={"format-version": "2", "snapshot-id": str(snap_id),
                       "sequence-number": str(seq),
                       "parent-snapshot-id": str(cur["snapshot-id"])})
@@ -1178,8 +1209,8 @@ class IcebergTable:
                  "timestamp-ms": snapshot["timestamp-ms"]})
             try:
                 self._commit_metadata(version + 1)
-                return {"manifests_before": len(manifests),
-                        "manifests_after": 1,
+                return {"manifests_before": len(all_manifests),
+                        "manifests_after": 1 + len(delete_manifests),
                         "snapshot_id": snap_id}
             except FileExistsError:
                 continue
@@ -1304,6 +1335,8 @@ class IcebergTable:
             partition_filter = resolved
         out: List[Dict[str, Any]] = []
         for mf in self._manifest_files(snapshot_id):
+            if mf.get("content", 0) != 0:
+                continue  # delete manifests planned by scan_delete_files
             if partition_filter and mf.get("partitions"):
                 skip = False
                 for col, want in partition_filter.items():
@@ -1330,7 +1363,32 @@ class IcebergTable:
                         continue
                 if vf and self._bounds_exclude(d, vf):
                     continue
-                out.append(d)
+                seq = e["sequence_number"]
+                if seq is None:  # inherited from the adding snapshot
+                    seq = mf["sequence_number"]
+                out.append(dict(d, _seq=seq))
+        return out
+
+    def scan_delete_files(self, snapshot_id: Optional[int] = None
+                          ) -> List[Dict[str, Any]]:
+        """Plan the DELETE side of a scan: equality-delete files from
+        content=1 manifests, each with its applicability sequence number
+        (an equality delete at sequence S removes matching rows from
+        data files with sequence < S — spec 'Scan Planning')."""
+        out: List[Dict[str, Any]] = []
+        for mf in self._manifest_files(snapshot_id):
+            if mf.get("content", 0) != 1:
+                continue
+            _schema, entries, _meta = avro_read_container(
+                mf["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                d = e["data_file"]
+                seq = e["sequence_number"]
+                if seq is None:
+                    seq = mf["sequence_number"]
+                out.append(dict(d, _seq=seq))
         return out
 
     @staticmethod
@@ -1350,35 +1408,296 @@ class IcebergTable:
         return False
 
     def to_df(self, spark, snapshot_id: Optional[int] = None,
-              partition_filter: Optional[Dict[str, Any]] = None):
+              partition_filter: Optional[Dict[str, Any]] = None,
+              apply_deletes: bool = True):
         """Read the table (optionally time-traveled / partition-pruned)
         as a Spark DataFrame.  File list comes from Iceberg metadata;
         identity-partition columns are restored from the manifest's
         partition tuples (Iceberg semantics: identity values live in
-        metadata, readers emit them as constants per file)."""
+        metadata, readers emit them as constants per file).
+
+        Merge-on-read: when the snapshot carries equality-delete files
+        (content=1 manifests), matching rows are removed via anti-joins
+        scoped by sequence number — a delete at sequence S applies only
+        to data files with sequence < S, so rows re-inserted AFTER the
+        delete survive (spec scan-planning semantics).  Delete sets are
+        typically small; AQE turns the anti-joins into broadcasts."""
         from pyspark.sql import functions as F
         files = self.scan_files(snapshot_id, partition_filter)
+        deletes = self.scan_delete_files(snapshot_id) \
+            if apply_deletes else []
         pf = self._partition_fields()
         ident = [p for p in pf if p["transform"] == "identity"]
         if not files:
             return spark.createDataFrame([], self.spark_schema())
-        if not ident:
-            # bucket/truncate partitions keep source columns in the
-            # data files — nothing to restore
-            return spark.read.schema(self.spark_schema()).parquet(
-                *[d["file_path"] for d in files])
-        # group files by identity-partition tuple; read each group once
-        # and attach the identity values as literals (constant folding
-        # keeps these out of the scan)
+        # group files by (identity-partition tuple, sequence number);
+        # the seq component only matters when deletes exist (it scopes
+        # anti-join applicability), so collapse it otherwise to keep
+        # single-read plans
         groups: Dict[Tuple, List[str]] = {}
         for d in files:
-            key = tuple(d["partition"].get(p["name"]) for p in ident)
-            groups.setdefault(key, []).append(d["file_path"])
+            ik = tuple(d["partition"].get(p["name"]) for p in ident)
+            sk = d["_seq"] if deletes else None
+            groups.setdefault((ik, sk), []).append(d["file_path"])
         file_schema = self.spark_schema()
         part_names = {p["source_name"] for p in ident}
         from pyspark.sql import types as T
         read_schema = T.StructType(
             [f for f in file_schema.fields if f.name not in part_names])
+        parts = []
+        for (ik, sk), paths in sorted(
+                groups.items(),
+                key=lambda kv: (tuple(str(x) for x in kv[0][0]),
+                                kv[0][1] or 0)):
+            df = spark.read.schema(read_schema).parquet(*paths)
+            for p, v in zip(ident, ik):
+                df = df.withColumn(
+                    p["source_name"],
+                    F.lit(v).cast(dict(
+                        (f.name, f.dataType) for f in file_schema.fields
+                    )[p["source_name"]]))
+            df = df.select(*[f.name for f in file_schema.fields])
+            if deletes:
+                df = self._apply_eq_deletes(spark, df, sk, deletes)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _apply_eq_deletes(self, spark, df, data_seq: int,
+                          deletes: List[Dict[str, Any]]):
+        """Anti-join ``df`` (data files at sequence ``data_seq``)
+        against every applicable equality-delete file (those with
+        sequence > data_seq), grouped by equality-id set so each set is
+        one join."""
+        from pyspark.sql import types as T
+        by_id = {f["id"]: f["name"] for f in self.schema()["fields"]}
+        groups: Dict[Tuple[int, ...], List[str]] = {}
+        for d in deletes:
+            if d["_seq"] > data_seq and d.get("equality_ids"):
+                groups.setdefault(tuple(d["equality_ids"]), []) \
+                    .append(d["file_path"])
+        file_schema = self.spark_schema()
+        for ids, paths in sorted(groups.items()):
+            cols = [by_id[i] for i in ids]
+            sub = T.StructType([f for f in file_schema.fields
+                                if f.name in cols])
+            vals = spark.read.schema(sub).parquet(*paths).distinct()
+            df = df.join(vals, on=cols, how="left_anti")
+        return df
+
+    def delete_where(self, spark, condition,
+                     equality_cols: Sequence[str],
+                     summary_extra: Optional[Dict[str, str]] = None
+                     ) -> Optional[int]:
+        """v2 row-level DELETE via EQUALITY delete files: evaluate
+        ``condition`` against the current table state (merge-on-read
+        applied), write the matching rows' ``equality_cols`` values as
+        parquet delete files (content=2, spec field 135 equality_ids),
+        and commit a ``delete`` snapshot whose manifest is content=1.
+        Data files are untouched — readers drop matching rows whose
+        data sequence precedes the delete (merge-on-read), which is how
+        Iceberg deletes at 100 TB avoid rewriting data.
+
+        The delete files are written unpartitioned (empty partition
+        tuple) — the spec's GLOBAL equality-delete form, applying to
+        every partition.  Returns the snapshot id, or None when nothing
+        matched (no empty snapshots)."""
+        by_name = {f["name"]: f for f in self.schema()["fields"]}
+        for c in equality_cols:
+            if c not in by_name:
+                raise ValueError(f"equality column not in schema: {c}")
+            if not isinstance(by_name[c]["type"], str):
+                raise ValueError(f"equality delete on nested type: {c}")
+        eq_ids = [by_name[c]["id"] for c in equality_cols]
+
+        matches = (self.to_df(spark).where(condition)
+                   .select(*equality_cols).distinct())
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        ddir = os.path.join(self.location, "data",
+                            f"snap-{snap_id:x}-deletes")
+        matches.write.mode("error").parquet(ddir)
+
+        entries = []
+        total_rows = 0
+        for root, _dirs, fns in os.walk(ddir):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fn)
+                info = _parquet_file_info(path, {})
+                if info["record_count"] == 0:
+                    continue
+                total_rows += info["record_count"]
+                entries.append({
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,  # inherited
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2,  # EQUALITY_DELETES
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": info["record_count"],
+                        "file_size_in_bytes": info["file_size_in_bytes"],
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": eq_ids,
+                    }})
+        if total_rows == 0:
+            import shutil
+            shutil.rmtree(ddir, ignore_errors=True)
+            return None
+
+        pf = self._partition_fields()
+        mdir = self._metadata_dir(self.location)
+        muuid = uuid.uuid4()
+        manifest_path = os.path.join(mdir, f"{muuid}-m0.avro")
+        mlen = avro_write_container(
+            manifest_path, manifest_entry_schema(pf), entries,
+            meta={"schema": json.dumps(self.schema()),
+                  "schema-id": str(self.metadata["current-schema-id"]),
+                  "partition-spec": json.dumps(
+                      self.partition_spec()["fields"]),
+                  "partition-spec-id": str(
+                      self.partition_spec()["spec-id"]),
+                  "format-version": "2",
+                  "content": "deletes"})
+        return self._commit_snapshot(
+            manifest_path=manifest_path, mlen=mlen, snap_id=snap_id,
+            muuid=muuid, manifest_content=1, added_files=len(entries),
+            added_rows=total_rows, part_summaries=None,
+            operation="delete",
+            summary={"added-delete-files": str(len(entries)),
+                     "added-equality-deletes": str(total_rows),
+                     **(summary_extra or {})})
+
+
+    # -- metadata tables (the $files / $snapshots / $manifests / $history
+    #    analogues: Iceberg metadata exposed as queryable DataFrames) ----
+
+    def metadata_df(self, spark, kind: str,
+                    snapshot_id: Optional[int] = None):
+        """Iceberg metadata-table reads: ``kind`` in {'snapshots',
+        'history', 'manifests', 'files', 'delete_files'}.  Everything
+        comes from table metadata + avro manifests — no data file is
+        opened (same property as the real metadata tables: planning
+        queries stay O(metadata) however big the data is)."""
+        if kind == "snapshots":
+            rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
+                     s["sequence-number"], s["timestamp-ms"],
+                     s["summary"].get("operation"),
+                     {k: str(v) for k, v in s["summary"].items()
+                      if k != "operation"})
+                    for s in self.metadata["snapshots"]]
+            return spark.createDataFrame(
+                rows, "snapshot_id long, parent_id long, "
+                      "sequence_number long, committed_at_ms long, "
+                      "operation string, summary map<string,string>")
+        if kind == "history":
+            cur_ids = {s["snapshot-id"]
+                       for s in self.metadata["snapshots"]}
+            rows = [(h["timestamp-ms"], h["snapshot-id"],
+                     h["snapshot-id"] in cur_ids)
+                    for h in self.metadata["snapshot-log"]]
+            return spark.createDataFrame(
+                rows, "made_current_at_ms long, snapshot_id long, "
+                      "is_current_ancestor boolean")
+        if kind == "manifests":
+            rows = [(m["manifest_path"], m["manifest_length"],
+                     m.get("content", 0), m["sequence_number"],
+                     m["min_sequence_number"], m["added_snapshot_id"],
+                     m["added_files_count"], m["existing_files_count"],
+                     m["deleted_files_count"], m["added_rows_count"])
+                    for m in self._manifest_files(snapshot_id)]
+            return spark.createDataFrame(
+                rows, "path string, length long, content int, "
+                      "sequence_number long, min_sequence_number long, "
+                      "added_snapshot_id long, added_files_count int, "
+                      "existing_files_count int, deleted_files_count int, "
+                      "added_rows_count long")
+        if kind in ("files", "delete_files"):
+            files = self.scan_files(snapshot_id) if kind == "files" \
+                else self.scan_delete_files(snapshot_id)
+            rows = [(d["file_path"], d["content"], d["file_format"],
+                     {k: str(v) for k, v in (d.get("partition") or {})
+                      .items() if v is not None},
+                     d["record_count"], d["file_size_in_bytes"],
+                     d["_seq"],
+                     list(d.get("equality_ids") or []) or None)
+                    for d in files]
+            return spark.createDataFrame(
+                rows, "file_path string, content int, file_format string, "
+                      "partition map<string,string>, record_count long, "
+                      "file_size_in_bytes long, sequence_number long, "
+                      "equality_ids array<int>")
+        raise ValueError(f"unknown metadata table: {kind}")
+
+    # -- incremental (CDC-style) reads between snapshots ---------------
+
+    def _ancestors(self, snapshot_id: int) -> List[int]:
+        by_id = {s["snapshot-id"]: s for s in self.metadata["snapshots"]}
+        out, cur = [], snapshot_id
+        while cur is not None:
+            out.append(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        return out
+
+    def incremental_files(self, from_snapshot_id: int,
+                          to_snapshot_id: Optional[int] = None
+                          ) -> List[Dict[str, Any]]:
+        """Data files ADDED by snapshots after ``from_snapshot_id`` up
+        to ``to_snapshot_id`` (default: current) — append-only
+        changelog planning from manifests alone.  from must be an
+        ancestor of to (otherwise the delta is undefined — same rule as
+        Iceberg's incremental scan)."""
+        to_id = to_snapshot_id if to_snapshot_id is not None \
+            else self.current_snapshot_id()
+        chain = self._ancestors(to_id)
+        if from_snapshot_id not in chain:
+            raise ValueError(
+                f"{from_snapshot_id} is not an ancestor of {to_id}")
+        new_ids = set(chain[:chain.index(from_snapshot_id)])
+        out = []
+        for mf in self._manifest_files(to_id):
+            if mf.get("content", 0) != 0:
+                continue
+            if mf["added_snapshot_id"] not in new_ids:
+                continue  # manifest written by an already-seen snapshot
+            _s, entries, _m = avro_read_container(mf["manifest_path"])
+            for e in entries:
+                if e["status"] != 1:  # only ADDED rows are the delta
+                    continue
+                if e["snapshot_id"] not in new_ids:
+                    continue
+                out.append(e["data_file"])
+        return out
+
+    def incremental_read(self, spark, from_snapshot_id: int,
+                         to_snapshot_id: Optional[int] = None):
+        """Rows appended strictly after ``from_snapshot_id`` (exclusive)
+        up to ``to_snapshot_id`` (inclusive; default current) as a
+        DataFrame — the consume-new-annotations-since-checkpoint path.
+        Identity-partition values are restored like to_df."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        files = self.incremental_files(from_snapshot_id, to_snapshot_id)
+        file_schema = self.spark_schema()
+        if not files:
+            return spark.createDataFrame([], file_schema)
+        ident = [p for p in self._partition_fields()
+                 if p["transform"] == "identity"]
+        part_names = {p["source_name"] for p in ident}
+        read_schema = T.StructType(
+            [f for f in file_schema.fields if f.name not in part_names])
+        groups: Dict[Tuple, List[str]] = {}
+        for d in files:
+            key = tuple(d["partition"].get(p["name"]) for p in ident)
+            groups.setdefault(key, []).append(d["file_path"])
         parts = []
         for key, paths in sorted(
                 groups.items(),

@@ -592,3 +592,174 @@ def test_iceberg_kg_sink_commit_and_resume(spark, tmp_path):
     ann_t = IcebergTable.load(str(tmp_path / "sink" / "annotations"))
     assert len(ann_t.snapshots()) == 2
     assert sink.read_lineage(spark).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# v2 row-level deletes (equality delete files, merge-on-read)
+# ---------------------------------------------------------------------------
+
+def test_delete_where_merge_on_read(spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_del")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    snap_before = t.current_snapshot_id()
+    dsnap = t.delete_where(spark, F.col("obj") == "cui:C0",
+                           equality_cols=["subj"])
+    assert dsnap is not None
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    # 8 of 40 rows have obj cui:C0 (i % 5 == 0)
+    assert back.count() == 32
+    assert back.where(F.col("obj") == "cui:C0").count() == 0
+    # time travel to before the delete still sees all rows
+    assert t.to_df(spark, snapshot_id=snap_before).count() == 40
+    # apply_deletes=False exposes the raw data files
+    assert t.to_df(spark, apply_deletes=False).count() == 40
+    # snapshot summary records the delete
+    snap = t._snapshot(None)
+    assert snap["summary"]["operation"] == "delete"
+    assert int(snap["summary"]["added-equality-deletes"]) == 8
+
+
+def test_delete_sequence_semantics_reinsert_survives(spark, triples_df,
+                                                     tmp_path):
+    """An equality delete applies only to data files with SMALLER
+    sequence numbers: re-inserting a deleted key afterwards must
+    survive reads (the spec's scan-planning rule)."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_seq")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    t.delete_where(spark, F.col("subj") == "doc:001",
+                   equality_cols=["subj"])
+    assert IcebergTable.load(loc).to_df(spark) \
+        .where(F.col("subj") == "doc:001").count() == 0
+    # re-insert the same key at a later sequence
+    reinsert = triples_df.where(F.col("subj") == "doc:001")
+    t = IcebergTable.load(loc)
+    t.append_dataframe(reinsert)
+    back = IcebergTable.load(loc).to_df(spark)
+    assert back.where(F.col("subj") == "doc:001").count() == 1
+    assert back.count() == 40  # 39 survivors + 1 re-inserted
+
+
+def test_delete_where_nothing_matches_no_snapshot(spark, triples_df,
+                                                  tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_nodel")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    n_snaps = len(t.snapshots())
+    assert t.delete_where(spark, F.col("subj") == "doc:999",
+                          equality_cols=["subj"]) is None
+    assert len(IcebergTable.load(loc).snapshots()) == n_snaps
+
+
+def test_delete_with_identity_partitions(spark, triples_df, tmp_path):
+    """Global (unpartitioned) equality deletes drop matching rows from
+    EVERY partition of an identity-partitioned table."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_del_part")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=["bucket"])
+    t.append_dataframe(triples_df)
+    t.delete_where(spark, F.col("obj") == "cui:C1",
+                   equality_cols=["subj", "obj"])
+    back = IcebergTable.load(loc).to_df(spark)
+    assert back.where(F.col("obj") == "cui:C1").count() == 0
+    assert back.count() == 32
+    # partition columns restored correctly on the survivors
+    assert back.select("bucket").distinct().count() == 4
+
+
+def test_rewrite_manifests_preserves_delete_manifests(spark, triples_df,
+                                                      tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_rw")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df.where(F.col("bucket") != "0"))
+    t.append_dataframe(triples_df.where(F.col("bucket") == "0"))
+    t.delete_where(spark, F.col("obj") == "cui:C2",
+                   equality_cols=["subj"])
+    t = IcebergTable.load(loc)
+    res = t.rewrite_manifests()
+    assert res["manifests_after"] == 2  # 1 folded data + 1 delete
+    back = IcebergTable.load(loc).to_df(spark)
+    assert back.where(F.col("obj") == "cui:C2").count() == 0
+    assert back.count() == 32
+
+
+# ---------------------------------------------------------------------------
+# metadata tables + incremental reads
+# ---------------------------------------------------------------------------
+
+def test_metadata_tables(spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_meta")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=["bucket"])
+    t.append_dataframe(triples_df)
+    t.delete_where(spark, F.col("obj") == "cui:C3",
+                   equality_cols=["subj"])
+    t = IcebergTable.load(loc)
+
+    snaps = t.metadata_df(spark, "snapshots").collect()
+    assert [s["operation"] for s in snaps] == ["append", "delete"]
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+
+    hist = t.metadata_df(spark, "history").collect()
+    assert len(hist) == 2 and all(h["is_current_ancestor"] for h in hist)
+
+    mani = t.metadata_df(spark, "manifests").collect()
+    assert sorted(m["content"] for m in mani) == [0, 1]
+
+    files = t.metadata_df(spark, "files")
+    # record counts in metadata match the per-partition group-by
+    got = {r["partition"]["bucket"]: r["cnt"] for r in
+           files.groupBy(F.col("partition")).agg(
+               F.sum("record_count").alias("cnt")).collect()}
+    want = {r["bucket"]: r["cnt"] for r in
+            triples_df.groupBy("bucket").agg(
+                F.count("*").alias("cnt")).collect()}
+    assert got == want
+
+    dels = t.metadata_df(spark, "delete_files").collect()
+    assert len(dels) >= 1
+    assert all(d["content"] == 2 for d in dels)
+    assert all(d["equality_ids"] for d in dels)
+
+    with pytest.raises(ValueError):
+        t.metadata_df(spark, "nope")
+
+
+def test_incremental_read_between_snapshots(spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_incr")
+    first = triples_df.where(F.col("bucket") != "3")
+    second = triples_df.where(F.col("bucket") == "3")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(first)
+    s2 = t.append_dataframe(second)
+    inc = t.incremental_read(spark, s1)
+    assert sorted(inc.collect()) == sorted(second.collect())
+    # explicit to= bound; delta from s1 to s1 is empty
+    assert t.incremental_read(spark, s1, s1).count() == 0
+    assert t.incremental_read(spark, s1, s2).count() == second.count()
+    # non-ancestor from id raises
+    with pytest.raises((ValueError, KeyError)):
+        t.incremental_files(123456789, s2)
+
+
+def test_incremental_read_restores_identity_partitions(spark, triples_df,
+                                                       tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_incr_part")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=["bucket"])
+    s1 = t.append_dataframe(triples_df.where(F.col("bucket").isin("0", "1")))
+    t.append_dataframe(triples_df.where(F.col("bucket").isin("2", "3")))
+    inc = t.incremental_read(spark, s1)
+    assert sorted(r["bucket"] for r in
+                  inc.select("bucket").distinct().collect()) == ["2", "3"]
+    assert inc.count() == 20
