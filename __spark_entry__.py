@@ -882,6 +882,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return IcebergTable.load(loc).to_df(s)
     q["kg_iceberg_eq_delete"] = _iceberg_eq_delete
 
+    def _iceberg_upsert(s, d):
+        """MERGE INTO analogue: one snapshot that equality-deletes the
+        incoming keys and appends their new versions + brand-new rows —
+        atomic upsert semantics, oracle-checked."""
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "lang", "n_chars")
+        loc = tempfile.mkdtemp(prefix="ice_merge_") + "/docs"
+        t = IcebergTable.create(loc, docs.schema)
+        t.append_dataframe(docs)
+        changes = docs.where(F.col("doc_id") % 10 == 0) \
+            .withColumn("n_chars", F.col("n_chars") + 1000) \
+            .unionByName(docs.where(F.col("doc_id") < 3)
+                         .withColumn("doc_id",
+                                     F.col("doc_id") + 1000000))
+        t.upsert_dataframe(s, changes, key_cols=["doc_id"])
+        return IcebergTable.load(loc).to_df(s)
+    q["kg_iceberg_upsert"] = _iceberg_upsert
+
     def _iceberg_incremental(s, d):
         """Incremental (CDC-style) read: rows appended strictly after a
         checkpoint snapshot — the consume-new-annotations path of a
@@ -1107,6 +1127,16 @@ WHERE doc_id % 7 <> 0
 UNION ALL
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id % 14 = 0
+"""
+
+    o["kg_iceberg_upsert"] = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM documents
+WHERE doc_id < 3
 """
 
     o["kg_iceberg_incremental"] = """

@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--write-index", action="store_true",
                    help="also write the LSH bucket index (<out>_index) "
                         "for incremental assign_to_clusters runs")
+    p.add_argument("--iceberg-delete", default=None, metavar="TABLE",
+                   help="apply the keeper decision to this Iceberg "
+                        "table: non-keeper doc_ids are committed as ONE "
+                        "equality-delete snapshot (merge-on-read; data "
+                        "files untouched)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -68,12 +73,28 @@ def main(argv=None):
          .write.mode("overwrite").partitionBy("band")
          .parquet(args.out + "_index"))
 
+    delete_snapshot = None
+    if args.iceberg_delete:
+        # apply the keeper decision as one Iceberg row-level delete
+        # snapshot: non-keeper doc_ids become equality-delete files,
+        # data files untouched, prior snapshots still time-travelable
+        from medcat_spark.sources.iceberg import IcebergTable
+        t = IcebergTable.load(args.iceberg_delete)
+        key_t = dict((f["name"], f["type"])
+                     for f in t.schema()["fields"])["doc_id"]
+        keys = clusters.where(~F.col("is_keeper")).select(
+            F.col("doc_id").cast(key_t).alias("doc_id"))
+        delete_snapshot = t.delete_keys(
+            spark, keys, equality_cols=["doc_id"],
+            summary_extra={"dedup-min-jaccard": str(args.min_jaccard)})
+
     print(json.dumps({
         "n_docs": n_docs,
         "n_clusters": n_keep,
         "n_duplicates_dropped": n_docs - n_keep,
         "reduction_pct": round(100.0 * (n_docs - n_keep) / max(n_docs, 1),
                                3),
+        "iceberg_delete_snapshot": delete_snapshot,
         "out": args.out}))
     spark.stop()
 

@@ -834,14 +834,25 @@ class IcebergTable:
         atomic metadata commit.  ``overwrite=True`` commits a snapshot
         whose manifest list drops all previous manifests (Iceberg
         REPLACE semantics — old snapshots stay time-travelable)."""
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        data_dir = self._write_data_files(df, snap_id)
+        pend = self._build_data_manifest(data_dir, snap_id, muuid=None)
+        return self._commit_snapshot(
+            pending=[pend], snap_id=snap_id, muuid=pend.pop("_muuid"),
+            operation="overwrite" if overwrite else "append",
+            summary={"added-data-files": str(pend["added_files"]),
+                     "added-records": str(pend["added_rows"]),
+                     **(summary_extra or {})},
+            drop_previous=overwrite)
+
+    def _write_data_files(self, df, snap_id: int) -> str:
+        """One Spark write job into a snapshot-id-addressed dir.
+        Identity partitions: Spark's partitionBy drops the source
+        column from the data files (restored from metadata on read —
+        Iceberg semantics).  bucket/truncate partitions: the partition
+        column is COMPUTED, the source column stays in the data
+        files."""
         pf = self._partition_fields()
-        # identity partitions: Spark's partitionBy drops the source
-        # column from the data files (restored from metadata on read —
-        # Iceberg semantics).  bucket/truncate partitions: the
-        # partition column is COMPUTED, the source column stays in the
-        # data files.
-        identity_srcs = [p["source_name"] for p in pf
-                         if p["transform"] == "identity"]
         out_df = df
         part_dir_cols = []
         for p in pf:
@@ -851,14 +862,63 @@ class IcebergTable:
                 out_df = out_df.withColumn(
                     p["name"], _transform_column(df, p))
                 part_dir_cols.append(p["name"])
-        snap_id = int(uuid.uuid4().int % (1 << 62))
         data_dir = os.path.join(self.location, "data",
                                 f"snap-{snap_id:x}")
         writer = out_df.write.mode("error")
         if part_dir_cols:
             writer = writer.partitionBy(*part_dir_cols)
         writer.parquet(data_dir)
+        return data_dir
 
+    def upsert_dataframe(self, spark, df, key_cols: Sequence[str],
+                         summary_extra: Optional[Dict[str, str]] = None
+                         ) -> int:
+        """MERGE INTO analogue (upsert): ONE snapshot that both
+        equality-deletes the incoming keys from prior data and appends
+        the new rows.  The data manifest (content=0) and the delete
+        manifest (content=1) share the snapshot's sequence number S;
+        since equality deletes apply only to data files with sequence
+        < S, the delete hits prior versions of the keys but never the
+        rows appended by this same commit — exactly MERGE
+        WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT
+        semantics, atomically (readers see either the old table or the
+        fully-merged one)."""
+        by_name = {f["name"]: f for f in self.schema()["fields"]}
+        for c in key_cols:
+            if c not in by_name:
+                raise ValueError(f"key column not in schema: {c}")
+            if not isinstance(by_name[c]["type"], str):
+                raise ValueError(f"upsert key on nested type: {c}")
+        eq_ids = [by_name[c]["id"] for c in key_cols]
+
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        muuid = uuid.uuid4()
+        data_dir = self._write_data_files(df, snap_id)
+        data_pend = self._build_data_manifest(data_dir, snap_id,
+                                              muuid=muuid)
+        data_pend.pop("_muuid")
+        keys = df.select(*key_cols).distinct()
+        del_pend = self._write_delete_manifest(keys, eq_ids, snap_id,
+                                               muuid, suffix="m1")
+        pending = [data_pend] + ([del_pend] if del_pend else [])
+        summary = {"added-data-files": str(data_pend["added_files"]),
+                   "added-records": str(data_pend["added_rows"]),
+                   **(summary_extra or {})}
+        if del_pend:
+            summary["added-delete-files"] = str(del_pend["added_files"])
+            summary["added-equality-deletes"] = str(del_pend["added_rows"])
+        return self._commit_snapshot(
+            pending=pending, snap_id=snap_id, muuid=muuid,
+            operation="overwrite", summary=summary)
+
+    def _build_data_manifest(self, data_dir: str, snap_id: int,
+                             muuid=None) -> Dict[str, Any]:
+        """Walk a written parquet dir, build per-file stats entries and
+        the content=0 manifest; returns a pending-manifest descriptor
+        for _commit_snapshot."""
+        pf = self._partition_fields()
+        identity_srcs = [p["source_name"] for p in pf
+                         if p["transform"] == "identity"]
         bound_types = {f["name"]: f["type"]
                        for f in self.schema()["fields"]
                        if isinstance(f["type"], str)
@@ -945,7 +1005,8 @@ class IcebergTable:
                     p["result_type"], max(part_values[i]))
 
         mdir = self._metadata_dir(self.location)
-        muuid = uuid.uuid4()
+        if muuid is None:
+            muuid = uuid.uuid4()
         manifest_path = os.path.join(mdir, f"{muuid}-m0.avro")
         mlen = avro_write_container(
             manifest_path, manifest_entry_schema(pf), entries,
@@ -957,32 +1018,28 @@ class IcebergTable:
                       self.partition_spec()["spec-id"]),
                   "format-version": "2",
                   "content": "data"})
+        return {"manifest_path": manifest_path, "mlen": mlen,
+                "content": 0, "added_files": len(entries),
+                "added_rows": total_rows,
+                "part_summaries": part_summaries if pf else None,
+                "_muuid": muuid}
 
-        return self._commit_snapshot(
-            manifest_path=manifest_path, mlen=mlen, snap_id=snap_id,
-            muuid=muuid, manifest_content=0, added_files=len(entries),
-            added_rows=total_rows,
-            part_summaries=part_summaries if pf else None,
-            operation="overwrite" if overwrite else "append",
-            summary={"added-data-files": str(len(entries)),
-                     "added-records": str(total_rows),
-                     **(summary_extra or {})},
-            drop_previous=overwrite)
-
-    def _commit_snapshot(self, *, manifest_path: str, mlen: int,
-                         snap_id: int, muuid, manifest_content: int,
-                         added_files: int, added_rows: int,
-                         part_summaries, operation: str,
+    def _commit_snapshot(self, *, pending: List[Dict[str, Any]],
+                         snap_id: int, muuid, operation: str,
                          summary: Dict[str, str],
                          drop_previous: bool = False) -> int:
-        """Optimistic-concurrency commit shared by append_dataframe and
-        delete_where: the data files and the manifest are snapshot-id-
-        addressed (never contended); only the metadata pointer races.
-        On a lost race (_commit_metadata refuses to overwrite vN+1)
-        reload the winner's metadata, re-resolve the parent snapshot
-        (keeping the winner's files), rewrite the tiny manifest list
-        with a fresh sequence number, and retry — real Iceberg's
-        serializable-append semantics."""
+        """Optimistic-concurrency commit shared by append_dataframe,
+        delete_where and upsert_dataframe: the data files and the
+        manifests are snapshot-id-addressed (never contended); only the
+        metadata pointer races.  ``pending`` is one manifest descriptor
+        per new manifest (a MERGE commits a data manifest AND a delete
+        manifest in the SAME snapshot — both get the same sequence
+        number, so the delete applies only to PRIOR data).  On a lost
+        race (_commit_metadata refuses to overwrite vN+1) reload the
+        winner's metadata, re-resolve the parent snapshot (keeping the
+        winner's files), rewrite the tiny manifest list with a fresh
+        sequence number, and retry — real Iceberg's serializable-append
+        semantics."""
         mdir = self._metadata_dir(self.location)
         for attempt in range(10):
             if attempt:
@@ -994,22 +1051,22 @@ class IcebergTable:
             prev_manifests = []
             if parent is not None and not drop_previous:
                 prev_manifests = self._manifest_files(parent)
-            new_manifest = {
-                "manifest_path": manifest_path,
-                "manifest_length": mlen,
+            new_manifests = [{
+                "manifest_path": p["manifest_path"],
+                "manifest_length": p["mlen"],
                 "partition_spec_id": self.partition_spec()["spec-id"],
-                "content": manifest_content,
+                "content": p["content"],
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
-                "added_files_count": added_files,
+                "added_files_count": p["added_files"],
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": added_rows,
+                "added_rows_count": p["added_rows"],
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": part_summaries,
-            }
+                "partitions": p.get("part_summaries"),
+            } for p in pending]
             mlist_path = os.path.join(
                 mdir, f"snap-{snap_id}-{attempt + 1}-{muuid}.avro")
             mlist_meta = {"format-version": "2",
@@ -1019,7 +1076,7 @@ class IcebergTable:
                 mlist_meta["parent-snapshot-id"] = str(parent)
             avro_write_container(
                 mlist_path, MANIFEST_LIST_SCHEMA,
-                [new_manifest] + prev_manifests, meta=mlist_meta)
+                new_manifests + prev_manifests, meta=mlist_meta)
 
             full_summary = {"operation": operation, **summary}
             snapshot = {"snapshot-id": snap_id,
@@ -1515,8 +1572,56 @@ class IcebergTable:
         matches = (self.to_df(spark).where(condition)
                    .select(*equality_cols).distinct())
         snap_id = int(uuid.uuid4().int % (1 << 62))
+        muuid = uuid.uuid4()
+        pend = self._write_delete_manifest(matches, eq_ids, snap_id,
+                                           muuid, suffix="m0")
+        if pend is None:
+            return None
+        return self._commit_snapshot(
+            pending=[pend], snap_id=snap_id, muuid=muuid,
+            operation="delete",
+            summary={"added-delete-files": str(pend["added_files"]),
+                     "added-equality-deletes": str(pend["added_rows"]),
+                     **(summary_extra or {})})
+
+    def delete_keys(self, spark, keys_df, equality_cols: Sequence[str],
+                    summary_extra: Optional[Dict[str, str]] = None
+                    ) -> Optional[int]:
+        """delete_where's scale path: the delete set arrives as a
+        DataFrame of key values (e.g. a dedup run's non-keeper doc_ids)
+        instead of a predicate evaluated against the table — no table
+        scan, the keys flow straight into equality-delete files.  This
+        is how a 100 TB dedup applies its keeper decision: compute
+        clusters once, commit one delete snapshot."""
+        by_name = {f["name"]: f for f in self.schema()["fields"]}
+        for c in equality_cols:
+            if c not in by_name:
+                raise ValueError(f"equality column not in schema: {c}")
+            if not isinstance(by_name[c]["type"], str):
+                raise ValueError(f"equality delete on nested type: {c}")
+        eq_ids = [by_name[c]["id"] for c in equality_cols]
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        muuid = uuid.uuid4()
+        pend = self._write_delete_manifest(
+            keys_df.select(*equality_cols).distinct(), eq_ids, snap_id,
+            muuid, suffix="m0")
+        if pend is None:
+            return None
+        return self._commit_snapshot(
+            pending=[pend], snap_id=snap_id, muuid=muuid,
+            operation="delete",
+            summary={"added-delete-files": str(pend["added_files"]),
+                     "added-equality-deletes": str(pend["added_rows"]),
+                     **(summary_extra or {})})
+
+    def _write_delete_manifest(self, matches, eq_ids: List[int],
+                               snap_id: int, muuid, suffix: str
+                               ) -> Optional[Dict[str, Any]]:
+        """Write equality-delete parquet files + their content=1
+        manifest; returns a pending-manifest descriptor for
+        _commit_snapshot (None when the delete set is empty)."""
         ddir = os.path.join(self.location, "data",
-                            f"snap-{snap_id:x}-deletes")
+                            f"snap-{snap_id:x}-deletes-{suffix}")
         matches.write.mode("error").parquet(ddir)
 
         entries = []
@@ -1555,8 +1660,7 @@ class IcebergTable:
 
         pf = self._partition_fields()
         mdir = self._metadata_dir(self.location)
-        muuid = uuid.uuid4()
-        manifest_path = os.path.join(mdir, f"{muuid}-m0.avro")
+        manifest_path = os.path.join(mdir, f"{muuid}-{suffix}.avro")
         mlen = avro_write_container(
             manifest_path, manifest_entry_schema(pf), entries,
             meta={"schema": json.dumps(self.schema()),
@@ -1567,14 +1671,9 @@ class IcebergTable:
                       self.partition_spec()["spec-id"]),
                   "format-version": "2",
                   "content": "deletes"})
-        return self._commit_snapshot(
-            manifest_path=manifest_path, mlen=mlen, snap_id=snap_id,
-            muuid=muuid, manifest_content=1, added_files=len(entries),
-            added_rows=total_rows, part_summaries=None,
-            operation="delete",
-            summary={"added-delete-files": str(len(entries)),
-                     "added-equality-deletes": str(total_rows),
-                     **(summary_extra or {})})
+        return {"manifest_path": manifest_path, "mlen": mlen,
+                "content": 1, "added_files": len(entries),
+                "added_rows": total_rows, "part_summaries": None}
 
 
     # -- metadata tables (the $files / $snapshots / $manifests / $history

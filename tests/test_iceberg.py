@@ -763,3 +763,68 @@ def test_incremental_read_restores_identity_partitions(spark, triples_df,
     assert sorted(r["bucket"] for r in
                   inc.select("bucket").distinct().collect()) == ["2", "3"]
     assert inc.count() == 20
+
+
+def test_upsert_one_snapshot_merge_semantics(spark, triples_df, tmp_path):
+    """MERGE: updated keys replaced, new keys inserted, ONE snapshot."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_upsert")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(triples_df)
+    changes = spark.createDataFrame(
+        [("doc:000", "mentions", "cui:NEW", "0"),     # update
+         ("doc:100", "mentions", "cui:C9", "1")],     # insert
+        triples_df.schema)
+    t.upsert_dataframe(spark, changes, key_cols=["subj"])
+    t = IcebergTable.load(loc)
+    assert len(t.snapshots()) == 2  # append + ONE merge commit
+    back = t.to_df(spark)
+    assert back.count() == 41  # 40 - 1 replaced + 1 updated + 1 new
+    got = {r["subj"]: r["obj"] for r in back.collect()}
+    assert got["doc:000"] == "cui:NEW"
+    assert got["doc:100"] == "cui:C9"
+    # time travel to before the merge sees the original row
+    before = {r["subj"]: r["obj"]
+              for r in t.to_df(spark, snapshot_id=s1).collect()}
+    assert before["doc:000"] == "cui:C0"
+    assert "doc:100" not in before
+    snap = t._snapshot(None)
+    assert snap["summary"]["operation"] == "overwrite"
+    assert int(snap["summary"]["added-equality-deletes"]) == 2
+
+
+def test_upsert_then_delete_then_upsert_chain(spark, triples_df, tmp_path):
+    """Sequence numbers keep stacked upserts/deletes consistent."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_chain")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    v2 = spark.createDataFrame([("doc:005", "mentions", "cui:V2", "1")],
+                               triples_df.schema)
+    t.upsert_dataframe(spark, v2, key_cols=["subj"])
+    t.delete_where(spark, F.col("subj") == "doc:005",
+                   equality_cols=["subj"])
+    v3 = spark.createDataFrame([("doc:005", "mentions", "cui:V3", "1")],
+                               triples_df.schema)
+    t.upsert_dataframe(spark, v3, key_cols=["subj"])
+    back = IcebergTable.load(loc).to_df(spark)
+    got = {r["subj"]: r["obj"] for r in back.collect()}
+    assert got["doc:005"] == "cui:V3"
+    assert back.count() == 40
+
+
+def test_upsert_partitioned_table(spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_upsert_part")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=["bucket"])
+    t.append_dataframe(triples_df)
+    # move doc:001 to another partition value via upsert — the global
+    # equality delete reaches the old partition
+    moved = spark.createDataFrame([("doc:001", "mentions", "cui:C1", "3")],
+                                  triples_df.schema)
+    t.upsert_dataframe(spark, moved, key_cols=["subj"])
+    back = IcebergTable.load(loc).to_df(spark)
+    rows = back.where(F.col("subj") == "doc:001").collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == "3"
+    assert back.count() == 40
