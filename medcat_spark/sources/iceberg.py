@@ -1273,6 +1273,30 @@ class IcebergTable:
                 continue
         raise RuntimeError("rewrite_manifests lost every commit race")
 
+    def rewrite_data_files(self, spark) -> Dict[str, int]:
+        """Data compaction (the rewrite_data_files maintenance action):
+        materialize the current merge-on-read state — all accumulated
+        equality deletes applied — into fresh data files and commit a
+        REPLACE snapshot that carries no delete manifests.  Run this
+        when the delete-file count makes merge-on-read anti-joins
+        expensive; prior snapshots remain time-travelable until
+        expire_snapshots reclaims them."""
+        n_dels = len(self.scan_delete_files())
+        merged = self.to_df(spark)
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        data_dir = self._write_data_files(merged, snap_id)
+        pend = self._build_data_manifest(data_dir, snap_id, muuid=None)
+        self._commit_snapshot(
+            pending=[pend], snap_id=snap_id, muuid=pend.pop("_muuid"),
+            operation="replace",
+            summary={"added-data-files": str(pend["added_files"]),
+                     "added-records": str(pend["added_rows"]),
+                     "delete-files-removed": str(n_dels)},
+            drop_previous=True)
+        return {"snapshot_id": snap_id,
+                "delete_files_removed": n_dels,
+                "rows": pend["added_rows"]}
+
     def expire_snapshots(self, keep_last: int = 1) -> Dict[str, int]:
         """Snapshot GC: drop all but the newest ``keep_last`` snapshots
         from metadata, then delete manifests and data files no kept

@@ -828,3 +828,23 @@ def test_upsert_partitioned_table(spark, triples_df, tmp_path):
     rows = back.where(F.col("subj") == "doc:001").collect()
     assert len(rows) == 1 and rows[0]["bucket"] == "3"
     assert back.count() == 40
+
+
+def test_rewrite_data_files_materializes_deletes(spark, triples_df,
+                                                 tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_compact")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    t.delete_where(spark, F.col("obj") == "cui:C0",
+                   equality_cols=["subj"])
+    t = IcebergTable.load(loc)
+    res = t.rewrite_data_files(spark)
+    assert res["delete_files_removed"] >= 1 and res["rows"] == 32
+    t = IcebergTable.load(loc)
+    # no delete files remain at the head; reads skip the anti-join
+    assert t.scan_delete_files() == []
+    back = t.to_df(spark)
+    assert back.count() == 32
+    assert back.where(F.col("obj") == "cui:C0").count() == 0
+    assert t._snapshot(None)["summary"]["operation"] == "replace"
