@@ -468,6 +468,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               F.col("gopher_pass").cast("int"))
     q["text_gopher_quality"] = _gopher
 
+    # DSIR data selection (Xie et al. 2023): score every doc by the
+    # hashed-ngram log importance ratio toward a deterministic target
+    # sample (doc_id % 17 == 0)
+    def _dsir(s, d):
+        from medcat_spark.functions.selection import dsir_scores
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        return dsir_scores(docs, docs.where(F.col("doc_id") % 17 == 0))
+    q["dsir_scores"] = _dsir
+
     # --- similarity search over embeddings
     def _topk(s, d):
         emb = demo.load_embeddings(s, d)
@@ -1790,6 +1799,38 @@ ORDER BY s.sim DESC, s.vec_id LIMIT 20
     # the materialized-layout probe computes the same assignment at write
     # time, so its oracle is identical
     o["ann_ivf_pruned"] = o["ann_ivf_topk"]
+
+    o["dsir_scores"] = """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+grams_raw AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(a) AS g FROM raw)
+  UNION ALL
+  SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM raw)
+),
+rf AS (SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS INT)
+           AS bucket
+       FROM grams_raw),
+tf AS (SELECT * FROM rf WHERE doc_id % 17 = 0),
+buckets AS (SELECT CAST(unnest(range(0, 1024)) AS INT) AS bucket),
+pr AS (SELECT b.bucket,
+       ln((COALESCE(c.cnt, 0) + 1.0) / (t.total + 1024.0)) AS logp_raw
+       FROM buckets b
+       LEFT JOIN (SELECT bucket, COUNT(*) AS cnt FROM rf GROUP BY 1) c
+           USING (bucket)
+       CROSS JOIN (SELECT COUNT(*) AS total FROM rf) t),
+pt AS (SELECT b.bucket,
+       ln((COALESCE(c.cnt, 0) + 1.0) / (t.total + 1024.0)) AS logp_tgt
+       FROM buckets b
+       LEFT JOIN (SELECT bucket, COUNT(*) AS cnt FROM tf GROUP BY 1) c
+           USING (bucket)
+       CROSS JOIN (SELECT COUNT(*) AS total FROM tf) t)
+SELECT rf.doc_id, COUNT(*) AS n_feats,
+       ROUND(SUM(pt.logp_tgt - pr.logp_raw), 6) AS dsir_score
+FROM rf JOIN pt USING (bucket) JOIN pr USING (bucket)
+GROUP BY rf.doc_id
+"""
 
     o["dedup_semantic"] = f"""
 WITH RECURSIVE

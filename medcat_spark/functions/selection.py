@@ -1,0 +1,102 @@
+"""DSIR-style training-data selection (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling").
+
+Scores every raw-corpus document by the log importance ratio
+log p_target(x) - log p_raw(x) under hashed-n-gram bag models (the
+paper's feature space: unigrams + bigrams hashed into B buckets,
+add-alpha smoothed category distributions), then selects the top-k.
+
+Scale shape: ONE extra pass over the corpus per distribution (two
+groupBys on the hashed-bucket key — B rows out each, broadcast back),
+one pass for scoring (explode → broadcast join on bucket → per-doc
+sum).  The target sample is small by construction (it's the
+high-quality seed set), the bucket tables are O(B) regardless of corpus
+size, and every aggregation is map-side partial.  No Python in the hot
+path: the feature hash is the engine-portable
+``conv(substr(md5(gram),1,8),16,10) % B`` (same trick as simhash32).
+
+Oracle: ``dsir_scores`` in __spark_entry__ replays the exact math in
+DuckDB (same hash, same smoothing, same log-ratio sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    return (F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
+            .cast("long") % n_buckets).cast("int")
+
+
+def hashed_ngram_features(docs: DataFrame, text_col: str = "text",
+                          n_buckets: int = 1024) -> DataFrame:
+    """(doc_id, bucket) — one row per unigram AND bigram occurrence
+    (duplicates count: these are bag-of-features models)."""
+    arr = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
+                                       F.element_at(arr, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select("doc_id",
+                        F.explode(F.concat(arr, bigrams)).alias("gram"))
+            .select("doc_id", _bucket(F.col("gram"), n_buckets)
+                    .alias("bucket")))
+
+
+def bucket_log_probs(feats: DataFrame, n_buckets: int,
+                     alpha: float = 1.0) -> DataFrame:
+    """(bucket, logp) over ALL buckets 0..B-1: add-alpha smoothed log
+    probabilities.  The corpus total enters via a 1-row cross join (no
+    driver collect)."""
+    spark = feats.sparkSession
+    counts = feats.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    total = feats.agg(F.count("*").alias("total"))
+    full = (spark.range(n_buckets).select(F.col("id").cast("int")
+                                          .alias("bucket"))
+            .join(counts, "bucket", "left")
+            .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+            .crossJoin(F.broadcast(total)))
+    return full.select(
+        "bucket",
+        F.log((F.col("cnt") + F.lit(float(alpha)))
+              / (F.col("total") + F.lit(float(alpha * n_buckets))))
+        .alias("logp"))
+
+
+def dsir_scores(docs: DataFrame, target_docs: DataFrame,
+                text_col: str = "text", n_buckets: int = 1024,
+                alpha: float = 1.0, round_to: int = 6) -> DataFrame:
+    """(doc_id, n_feats, dsir_score) for every raw doc: the summed
+    log importance ratio of its hashed features.  Higher = more
+    target-like."""
+    raw_feats = hashed_ngram_features(docs, text_col, n_buckets)
+    tgt_feats = hashed_ngram_features(target_docs, text_col, n_buckets)
+    p_r = bucket_log_probs(raw_feats, n_buckets, alpha) \
+        .withColumnRenamed("logp", "logp_raw")
+    p_t = bucket_log_probs(tgt_feats, n_buckets, alpha) \
+        .withColumnRenamed("logp", "logp_tgt")
+    ratio = F.broadcast(p_t.join(p_r, "bucket"))
+    return (raw_feats.join(ratio, "bucket")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_feats"),
+                 F.round(F.sum(F.col("logp_tgt") - F.col("logp_raw")),
+                         round_to).alias("dsir_score")))
+
+
+def dsir_select(docs: DataFrame, target_docs: DataFrame, k: int,
+                text_col: str = "text", n_buckets: int = 1024,
+                alpha: float = 1.0, length_normalize: bool = False
+                ) -> DataFrame:
+    """Top-k most target-like docs (deterministic tie-break on doc_id).
+    ``length_normalize`` scores per-feature instead of per-doc (long
+    docs accumulate larger |log ratios|)."""
+    s = dsir_scores(docs, target_docs, text_col, n_buckets, alpha)
+    key = (F.col("dsir_score") / F.col("n_feats")) if length_normalize \
+        else F.col("dsir_score")
+    return (s.withColumn("_key", key)
+            .orderBy(F.col("_key").desc(), "doc_id").limit(k)
+            .drop("_key"))

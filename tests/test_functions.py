@@ -371,3 +371,54 @@ def test_semantic_dedup_max_cluster_size_guard(sem_embeddings):
                          centroids=[[1.0, 0.0], [0.0, 1.0]],
                          eps=0.9, max_cluster_size=2).collect()
     assert all(r["is_keeper"] for r in out)
+
+
+# --- DSIR data selection ----------------------------------------------------
+
+def test_dsir_target_docs_score_highest(spark):
+    from medcat_spark.functions.selection import dsir_scores, dsir_select
+    rows = (
+        [(i, "heart attack acute myocardial infarction") for i in range(4)]
+        + [(i, "lorem ipsum dolor sit amet consectetur") for i in range(4, 12)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id < 4")
+    out = {r["doc_id"]: r["dsir_score"]
+           for r in dsir_scores(docs, target, n_buckets=64).collect()}
+    # every medical doc outranks every lorem doc
+    assert min(out[i] for i in range(4)) > max(out[i] for i in range(4, 12))
+    sel = dsir_select(docs, target, k=4, n_buckets=64).collect()
+    assert sorted(r["doc_id"] for r in sel) == [0, 1, 2, 3]
+
+
+def test_dsir_identical_distributions_score_zero(spark):
+    from medcat_spark.functions.selection import dsir_scores
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(6)],
+        "doc_id long, text string")
+    out = dsir_scores(docs, docs, n_buckets=32).collect()
+    # target == raw -> log ratio identically 0 for every feature
+    assert all(r["dsir_score"] == 0.0 for r in out)
+    # 4 unigrams + 3 bigrams
+    assert all(r["n_feats"] == 7 for r in out)
+
+
+def test_dsir_single_word_doc_has_no_bigrams(spark):
+    from medcat_spark.functions.selection import hashed_ngram_features
+    docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert hashed_ngram_features(docs).count() == 1
+
+
+def test_dsir_length_normalized_select(spark):
+    from medcat_spark.functions.selection import dsir_select
+    # doc 2 contains the target phrase but diluted by noise: the
+    # per-feature (normalized) ranking must prefer the pure doc 1
+    rows = [(1, "heart attack"),
+            (2, "heart attack lorem ipsum dolor sit amet consectetur "
+                "adipiscing elit sed do eiusmod tempor incididunt"),
+            (3, "lorem ipsum dolor")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id = 1")
+    top = dsir_select(docs, target, k=1, n_buckets=64,
+                      length_normalize=True).collect()
+    assert top[0]["doc_id"] == 1
