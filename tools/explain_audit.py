@@ -87,6 +87,38 @@ def main():
         spark, SF_DIR)
     plans["mc_train_test_split"] = __import__("__spark_entry__") \
         .queries()["mc_train_test_split"](spark, SF_DIR)
+    # round-5 session-2 operators: Gopher quality (single exploded
+    # n-gram pass), SemDeDup intra-cluster pairs (components are
+    # driver-looped label propagation), DSIR scoring (bucket-keyed
+    # broadcast ratio join), and the Iceberg merge-on-read read path
+    # (sequence-scoped anti-joins)
+    plans["text_gopher_quality"] = entry_q["text_gopher_quality"](
+        spark, SF_DIR)
+    from medcat_spark.functions.similarity import (ivf_assign,
+                                                   pairwise_cosine_within,
+                                                   _lit_vec, cosine)
+    cen = __import__("__spark_entry__")._ivf_fixed_centroids()
+    assigned = emb.withColumn(
+        "cluster", ivf_assign(F.col("embedding").cast("array<double>"),
+                              cen))
+    plans["semdedup_pairs(intra-cluster)"] = pairwise_cosine_within(
+        assigned, "cluster", min_sim=0.45)
+    from medcat_spark.functions.selection import dsir_scores
+    plans["dsir_scores"] = dsir_scores(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.col("doc_id") % 17 == 0))
+    import tempfile
+    from medcat_spark.sources.iceberg import IcebergTable
+    _docs_ice = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+    _loc = tempfile.mkdtemp(prefix="plan_ice_") + "/docs"
+    _t = IcebergTable.create(_loc, _docs_ice.schema)
+    _t.append_dataframe(_docs_ice)
+    _t.delete_where(spark, F.col("doc_id") % 7 == 0,
+                    equality_cols=["doc_id"])
+    plans["iceberg_merge_on_read"] = IcebergTable.load(_loc).to_df(spark)
+
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
