@@ -7,7 +7,8 @@ Spark-first end to end.
       --concepts-csv /path/concepts.csv        # or --snomed-rf2 <dir>
       --train-docs /path/docs.parquet \
       --out-pack /path/pack \
-      [--vec-dim 100] [--min-count 2] [--no-word2vec] [--master local[8]]
+      [--vec-dim 100] [--min-count 2] [--no-word2vec]
+      [--w2v-engine ml|sgns] [--master local[8]]
 
 Steps (each distributed):
   1. concept rows (CSV or SNOMED RF2 Terminology dir) → CDB tables
@@ -36,6 +37,11 @@ def main(argv=None):
     p.add_argument("--vec-dim", type=int, default=100)
     p.add_argument("--min-count", type=int, default=2)
     p.add_argument("--no-word2vec", action="store_true")
+    p.add_argument("--w2v-engine", choices=["ml", "sgns"], default="ml",
+                   help="embedding trainer: pyspark.ml Word2Vec "
+                        "(hierarchical softmax) or the in-engine numpy "
+                        "SGNS (gensim-objective analogue, "
+                        "medcat_spark/word2vec.py)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -74,6 +80,12 @@ def main(argv=None):
     if args.no_word2vec:
         vecs = None
         joined = counts.withColumn("vec", F.lit(None).cast("array<float>"))
+    elif args.w2v_engine == "sgns":
+        from medcat_spark.word2vec import train_word2vec_sgns
+        vecs = train_word2vec_sgns(
+            spark, docs, dim=args.vec_dim, min_count=args.min_count
+        ).select("word", F.col("vec").cast("array<float>").alias("vec"))
+        joined = counts.join(vecs, "word", "left")
     else:
         vecs = build_vocab_word2vec(docs, dim=args.vec_dim,
                                     min_count=args.min_count)
