@@ -477,6 +477,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_scores(docs, docs.where(F.col("doc_id") % 17 == 0))
     q["dsir_scores"] = _dsir
 
+    # CCNet-style LM perplexity filter (stupid-backoff bigram LM,
+    # Brants et al. 2007): train on the corpus itself, score every doc,
+    # gate at a fixed avg-logprob threshold
+    def _lm(s, d):
+        from medcat_spark.functions.lm import lm_gate
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        return lm_gate(docs, threshold=-6.0)
+    q["lm_perplexity_filter"] = _lm
+
+    # GPT-3/Llama-2-style benchmark decontamination: the "benchmark"
+    # is a deterministic sample (doc_id % 31 == 0, first 25 tokens)
+    def _decontam(s, d):
+        from medcat_spark.functions.lm import decontaminate
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 31 == 0).select(
+            "doc_id",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 25), " ")
+            .alias("text"))
+        return decontaminate(docs, bench, n=8)
+    q["decontaminate_benchmark"] = _decontam
+
+    # GPT-style concat-and-chunk sequence packing (ctx_len=256 token
+    # chunks over the doc_id-ordered corpus; two-pass prefix sum)
+    def _pack(s, d):
+        from medcat_spark.functions.lm import pack_sequences
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        return pack_sequences(docs, ctx_len=256, bucket_width=64)
+    q["pack_sequences"] = _pack
+
+    # Temperature-scaled domain mixing (Arivazhagan et al. 2019 /
+    # mT5 sampling rule) with a deterministic per-row hash gate
+    def _mix(s, d):
+        from medcat_spark.functions.selection import temperature_mix
+        docs = demo.load_docs(s, d).select("doc_id", "source")
+        return temperature_mix(docs, alpha=0.5, target_frac=0.5)
+    q["temperature_mix"] = _mix
+
     # --- similarity search over embeddings
     def _topk(s, d):
         emb = demo.load_embeddings(s, d)
@@ -1830,6 +1867,85 @@ SELECT rf.doc_id, COUNT(*) AS n_feats,
        ROUND(SUM(pt.logp_tgt - pr.logp_raw), 6) AS dsir_score
 FROM rf JOIN pt USING (bucket) JOIN pr USING (bucket)
 GROUP BY rf.doc_id
+"""
+
+    o["lm_perplexity_filter"] = """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+toks AS (
+  SELECT doc_id, i AS pos, a[i+1] AS w,
+         CASE WHEN i > 0 THEN a[i] END AS w_prev
+  FROM (SELECT doc_id, a, unnest(range(0, len(a))) AS i FROM raw)),
+uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+big AS (SELECT w_prev AS w1, w AS w2, COUNT(*) AS c2
+        FROM toks WHERE w_prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+s AS (SELECT t.doc_id,
+      CASE WHEN t.w_prev IS NULL THEN u.c1 * 1.0 / tot.n
+           WHEN b.c2 IS NOT NULL THEN b.c2 * 1.0 / up.c1
+           ELSE 0.4 * u.c1 / tot.n END AS s
+      FROM toks t
+      JOIN uni u ON u.w = t.w
+      LEFT JOIN uni up ON up.w = t.w_prev
+      LEFT JOIN big b ON b.w1 = t.w_prev AND b.w2 = t.w
+      CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_scored,
+       ROUND(AVG(ln(s)), 6) AS avg_logprob,
+       CAST(ROUND(AVG(ln(s)), 6) > -6.0 AS INT) AS lm_pass
+FROM s GROUP BY doc_id
+"""
+
+    o["decontaminate_benchmark"] = """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bench AS (SELECT a[1:25] AS a FROM raw WHERE doc_id % 31 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(a[i:i+7], ' ') AS g
+  FROM (SELECT a, unnest(range(1, len(a) - 6)) AS i
+        FROM bench WHERE len(a) >= 8)),
+dgrams AS (
+  SELECT doc_id, array_to_string(a[i:i+7], ' ') AS g
+  FROM (SELECT doc_id, a, unnest(range(1, len(a) - 6)) AS i
+        FROM raw WHERE len(a) >= 8)),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits
+         FROM dgrams JOIN bgrams USING (g) GROUP BY 1)
+SELECT r.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM raw r LEFT JOIN hits h USING (doc_id)
+"""
+
+    o["pack_sequences"] = """
+WITH c AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+p AS (SELECT doc_id, n_tok,
+      CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start
+      FROM c),
+e AS (SELECT doc_id, start, n_tok,
+      unnest(range(start // 256, (start + n_tok - 1) // 256 + 1))
+          AS chunk_id
+      FROM p WHERE n_tok > 0)
+SELECT chunk_id, doc_id,
+       CAST(GREATEST(start, chunk_id * 256) - chunk_id * 256 AS BIGINT)
+           AS tok_start,
+       CAST(LEAST(start + n_tok, (chunk_id + 1) * 256)
+            - GREATEST(start, chunk_id * 256) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+    o["temperature_mix"] = """
+WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+tot AS (SELECT SUM(ns) AS nt FROM n),
+w AS (SELECT source, ns, nt, POW(ns * 1.0 / nt, 0.5) AS wgt
+      FROM n CROSS JOIN tot),
+z AS (SELECT SUM(wgt) AS z FROM w),
+r AS (SELECT source,
+      LEAST(1.0, 0.5 * nt * (wgt / z.z) / ns) AS rate
+      FROM w CROSS JOIN z)
+SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate,
+       CAST((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000) / 1000000.0 < r.rate AS INT)
+           AS kept
+FROM documents d JOIN r USING (source)
 """
 
     o["dedup_semantic"] = f"""

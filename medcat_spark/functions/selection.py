@@ -100,3 +100,41 @@ def dsir_select(docs: DataFrame, target_docs: DataFrame, k: int,
     return (s.withColumn("_key", key)
             .orderBy(F.col("_key").desc(), "doc_id").limit(k)
             .drop("_key"))
+
+
+def temperature_mix(docs: DataFrame, alpha: float = 0.5,
+                    target_frac: float = 0.5,
+                    source_col: str = "source") -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-sampling rule
+    of Arivazhagan et al. 2019 §4 / mT5: sample domain s with
+    probability ∝ p_s^alpha, p_s the domain's corpus share), realized
+    as a deterministic per-row hash gate so the decision is stable
+    under retries and resumable runs.
+
+    Per-source sampling rate: r_s = min(1, target_frac * N * q_s / n_s)
+    with q_s = p_s^alpha / Σ p^alpha — i.e. a corpus of ~target_frac*N
+    docs whose domain mix follows the flattened distribution.  A row is
+    kept when its uniform hash u(doc_id) < r_s.
+
+    Scale shape: ONE map-side-combined groupBy(source) (the domain
+    table is O(#domains) rows, broadcast back); the keep decision is a
+    pure codegen projection.  Returns (doc_id, source, rate, kept).
+    """
+    n = docs.groupBy(source_col).agg(F.count("*").alias("ns"))
+    tot = n.agg(F.sum("ns").alias("nt"))
+    w = n.crossJoin(F.broadcast(tot)).select(
+        source_col, "ns", "nt",
+        F.pow(F.col("ns") / F.col("nt"), float(alpha)).alias("wgt"))
+    z = w.agg(F.sum("wgt").alias("z"))
+    rates = w.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.least(F.lit(1.0),
+                F.lit(float(target_frac)) * F.col("nt")
+                * (F.col("wgt") / F.col("z")) / F.col("ns"))
+        .alias("rate"))
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("long") % 1_000_000) / F.lit(1_000_000.0))
+    return (docs.join(F.broadcast(rates), source_col)
+            .select("doc_id", source_col,
+                    F.round(F.col("rate"), 6).alias("rate"),
+                    (u < F.col("rate")).cast("int").alias("kept")))
