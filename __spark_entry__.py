@@ -514,6 +514,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return temperature_mix(docs, alpha=0.5, target_frac=0.5)
     q["temperature_mix"] = _mix
 
+    # C4 line/page cleaning rules (Raffel et al. 2020 §2.2).  The
+    # corpus has no newlines/punctuation, so the query deterministically
+    # re-chunks into 10-token lines and stamps punctuation / javascript
+    # / lorem-ipsum / braces by doc_id+line arithmetic (oracle mirrors).
+    def _c4(s, d):
+        from medcat_spark.functions.text import c4_clean
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        arr = F.split(F.col("text"), " ")
+        nchunk = F.ceil(F.size(arr) / F.lit(10.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), nchunk - 1),
+            lambda c: F.array_join(F.slice(arr, c * 10 + 1, 10), " "))
+        lines2 = F.transform(
+            lines,
+            lambda l, i: F.when(i % 5 == 4,
+                                F.concat(l, F.lit(" about javascript.")))
+            .when(i % 3 < 2, F.concat(l, F.lit(".")))
+            .otherwise(l))
+        base = F.array_join(lines2, "\n")
+        text3 = (F.when(F.col("doc_id") % 13 == 0,
+                        F.concat(base,
+                                 F.lit("\nlorem ipsum dolor sit amet.")))
+                 .when(F.col("doc_id") % 17 == 0,
+                       F.concat(base, F.lit("\nsee {config} above.")))
+                 .otherwise(base))
+        return c4_clean(docs.select("doc_id", text3.alias("text")))
+    q["c4_clean"] = _c4
+
+    # Cross-doc paragraph dedup (Lee et al. 2022 ExactSubstr at
+    # paragraph granularity): every doc_id % 7 == 0 doc gets one shared
+    # paragraph appended — only the first occurrence survives.
+    def _paradedup(s, d):
+        from medcat_spark.functions.dedup import paragraph_dedup
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        arr = F.split(F.col("text"), " ")
+        nchunk = F.ceil(F.size(arr) / F.lit(10.0)).cast("int")
+        base = F.array_join(
+            F.transform(F.sequence(F.lit(0), nchunk - 1),
+                        lambda c: F.array_join(
+                            F.slice(arr, c * 10 + 1, 10), " ")),
+            "\n")
+        shared = "the shared canonical paragraph appears in many documents"
+        text3 = F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(base, F.lit("\n" + shared))).otherwise(base)
+        return paragraph_dedup(docs.select("doc_id", text3.alias("text")))
+    q["paragraph_dedup"] = _paradedup
+
     # --- similarity search over embeddings
     def _topk(s, d):
         emb = demo.load_embeddings(s, d)
@@ -1946,6 +1993,72 @@ SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate,
                   AS BIGINT) % 1000000) / 1000000.0 < r.rate AS INT)
            AS kept
 FROM documents d JOIN r USING (source)
+"""
+
+    _chunk10 = """
+raw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+chunk AS (SELECT doc_id,
+          list_transform(range(0, CAST(ceil(len(a) / 10.0) AS INT)),
+                         c -> array_to_string(a[c*10+1 : c*10+10], ' '))
+              AS ls
+          FROM raw)"""
+
+    o["c4_clean"] = "WITH " + _chunk10 + """,
+mut AS (SELECT doc_id,
+        list_transform(range(0, len(ls)), i ->
+          CASE WHEN i % 5 = 4 THEN ls[i+1] || ' about javascript.'
+               WHEN i % 3 < 2 THEN ls[i+1] || '.'
+               ELSE ls[i+1] END) AS ls
+        FROM chunk),
+txt AS (SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0
+               THEN base || chr(10) || 'lorem ipsum dolor sit amet.'
+             WHEN doc_id % 17 = 0
+               THEN base || chr(10) || 'see {config} above.'
+             ELSE base END AS text
+        FROM (SELECT doc_id, array_to_string(ls, chr(10)) AS base
+              FROM mut)),
+f AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+      list_filter(string_split(text, chr(10)), l ->
+        regexp_matches(l, '[.!?"]$')
+        AND len(string_split(l, ' ')) >= 5
+        AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM txt),
+c AS (SELECT doc_id, text, lines, kept,
+      array_to_string(kept, chr(10)) AS c4_text FROM f)
+SELECT doc_id, c4_text,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  CAST(length(c4_text) - length(translate(c4_text, '.!?', ''))
+       AS BIGINT) AS n_sentences,
+  CAST(length(c4_text) - length(translate(c4_text, '.!?', '')) >= 3
+       AND NOT contains(lower(text), '{')
+       AND NOT contains(lower(text), '}')
+       AND NOT contains(lower(text), 'lorem ipsum') AS INT) AS c4_pass
+FROM c
+"""
+
+    o["paragraph_dedup"] = "WITH " + _chunk10 + """,
+txt AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN base || chr(10) ||
+          'the shared canonical paragraph appears in many documents'
+        ELSE base END AS text
+        FROM (SELECT doc_id, array_to_string(ls, chr(10)) AS base
+              FROM chunk)),
+p AS (SELECT doc_id, i AS pos, ls[i+1] AS para
+      FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM txt))),
+r AS (SELECT doc_id, pos, para,
+      ROW_NUMBER() OVER (PARTITION BY md5(para)
+                         ORDER BY doc_id, pos) AS rk
+      FROM p)
+SELECT doc_id,
+  COALESCE(string_agg(para, chr(10) ORDER BY pos)
+           FILTER (WHERE rk = 1), '') AS clean_text,
+  COUNT(*) AS n_paras,
+  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id
 """
 
     o["dedup_semantic"] = f"""

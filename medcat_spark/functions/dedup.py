@@ -369,3 +369,40 @@ def assign_to_clusters(new_docs: DataFrame, index: DataFrame,
             .select("doc_id",
                     F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
                     F.col("cluster_id").isNull().alias("is_new_cluster")))
+
+
+def paragraph_dedup(docs: DataFrame, sep: str = "\n",
+                    text_col: str = "text") -> DataFrame:
+    """Cross-document duplicate-passage removal at paragraph
+    granularity (the scalable approximation of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    ExactSubstr dedup drops repeated spans wherever they recur; Dolma /
+    RefinedWeb apply it at paragraph level exactly like this): every
+    paragraph keeps only its FIRST occurrence corpus-wide (min
+    (doc_id, position) wins, deterministic), later occurrences are
+    dropped and each doc's text is rebuilt from its surviving
+    paragraphs in order.
+
+    Scale shape: one shuffle keyed by paragraph hash (the window — the
+    payload is (hash, doc_id, pos) plus the paragraph once), one
+    groupBy(doc_id) to rebuild.  Both partition cleanly; no driver
+    state.  Returns (doc_id, clean_text, n_paras, n_dropped).
+    """
+    from pyspark.sql.window import Window
+
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "pos")
+    ranked = paras.withColumn("rk", F.row_number().over(w))
+    return (ranked
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("rk") == 1,
+                                    F.struct("pos", "para")))),
+                         lambda s: s["para"]),
+                     sep).alias("clean_text"),
+                 F.count("*").alias("n_paras"),
+                 F.sum((F.col("rk") > 1).cast("long")).alias("n_dropped")))

@@ -128,3 +128,37 @@ def corpus_clean(docs: DataFrame, allow_langs=("en",),
     return (gated.withColumn("dup_rank", F.row_number().over(w))
             .where(F.col("dup_rank") == 1)
             .drop("dup_rank"))
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             min_line_words: int = 5, min_sentences: int = 3) -> DataFrame:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020
+    §2.2, the rules that built the C4 corpus): keep only lines that end
+    in terminal punctuation, have >= ``min_line_words`` words, and do
+    not mention javascript; then gate the page on >= ``min_sentences``
+    retained sentences, no curly braces, and no "lorem ipsum".
+
+    One codegen projection — the line filters are higher-order array
+    functions over split(text, '\\n'), zero Python, no shuffle at all.
+    Returns (doc_id, c4_text, n_lines, n_lines_kept, n_sentences,
+    c4_pass).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"))
+    cleaned = F.array_join(kept, "\n")
+    n_sent = (F.length(cleaned)
+              - F.length(F.translate(cleaned, ".!?", ""))).cast("long")
+    low = F.lower(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("c4_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        ((n_sent >= min_sentences)
+         & ~low.contains("{") & ~low.contains("}")
+         & ~low.contains("lorem ipsum")).cast("int").alias("c4_pass"))
