@@ -286,6 +286,16 @@ def train_bbpe(texts: List[str], vocab_size: int = 500,
         for m in _PRETOK.finditer(t):
             mapped = "".join(_B2U[b] for b in m.group(0).encode("utf-8"))
             words[tuple(mapped)] += 1
+    vocab, merges = learn_merges(words, vocab_size)
+    return BbpeTokenizer(vocab, merges, lowercase=lowercase)
+
+
+def learn_merges(words, vocab_size: int):
+    """Greedy BPE merge learning (Sennrich et al. 2016 alg. 1) over a
+    word-frequency table ``{tuple(byte-unicode symbols): count}`` —
+    O(word types), independent of corpus size, which is exactly why
+    every published trainer counts words first and merges second."""
+    from collections import Counter
     # seed with ALL 256 byte symbols so decode is total
     vocab_syms = sorted(set(_B2U.values()))
     merges: List[Tuple[str, str]] = []
@@ -318,4 +328,4 @@ def train_bbpe(texts: List[str], vocab_size: int = 500,
     vocab = {s: i for i, s in enumerate(vocab_syms)}
     for a, b in merges:
         vocab[a + b] = len(vocab)
-    return BbpeTokenizer(vocab, merges, lowercase=lowercase)
+    return vocab, merges
