@@ -119,6 +119,29 @@ def main():
                     equality_cols=["doc_id"])
     plans["iceberg_merge_on_read"] = IcebergTable.load(_loc).to_df(spark)
 
+    # round-5 session-3 operators: stupid-backoff LM scoring (count
+    # tables joined on the gram keys, one doc agg), packing's two-pass
+    # prefix sum (bucket window + broadcast offsets), decontamination
+    # (broadcast bench grams), paragraph dedup (para-hash window),
+    # C4 rules (pure projection), temperature mixing (broadcast rates)
+    ldocs = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+    from medcat_spark.functions import lm as lmf
+    plans["lm_perplexity_filter"] = lmf.lm_gate(ldocs, threshold=-6.0)
+    plans["pack_sequences"] = lmf.pack_sequences(ldocs, ctx_len=256,
+                                                 bucket_width=64)
+    plans["decontaminate"] = lmf.decontaminate(
+        ldocs, ldocs.where(F.col("doc_id") % 31 == 0), n=8)
+    from medcat_spark.functions.dedup import paragraph_dedup
+    plans["paragraph_dedup"] = paragraph_dedup(ldocs)
+    plans["c4_clean"] = txt.c4_clean(ldocs)
+    from medcat_spark.functions.selection import temperature_mix
+    plans["temperature_mix"] = temperature_mix(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source"))
+    from medcat_spark.functions.bpe_train import corpus_word_counts
+    plans["bpe_word_counts"] = corpus_word_counts(ldocs)
+
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
