@@ -561,6 +561,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return paragraph_dedup(docs.select("doc_id", text3.alias("text")))
     q["paragraph_dedup"] = _paradedup
 
+    # Corpus-trained byte-level BPE (Sennrich et al. 2016): JVM word
+    # counting -> driver merge learning -> Arrow-batched encode.  BPE
+    # is not SQL-expressible, so the oracle is an independently
+    # recomputed golden (pure-re pretok + naive lowest-rank-pair
+    # encode) dispatched on the documents fingerprint —
+    # functions/bpe_oracle.py has the derivation.
+    def _bpe_counts(s, d):
+        from medcat_spark.functions.bpe_oracle import DOC_MOD, VOCAB_SIZE
+        from medcat_spark.functions.bpe_train import (
+            bpe_token_counts, train_bbpe_distributed)
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        tok = train_bbpe_distributed(docs, vocab_size=VOCAB_SIZE)
+        return bpe_token_counts(
+            docs.where(F.col("doc_id") % DOC_MOD == 0), tok)
+    q["bpe_token_count"] = _bpe_counts
+
     # --- similarity search over embeddings
     def _topk(s, d):
         emb = demo.load_embeddings(s, d)
@@ -2060,6 +2076,9 @@ SELECT doc_id,
   CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM r GROUP BY doc_id
 """
+
+    from medcat_spark.functions.bpe_oracle import bpe_oracle_sql
+    o["bpe_token_count"] = bpe_oracle_sql()
 
     o["dedup_semantic"] = f"""
 WITH RECURSIVE

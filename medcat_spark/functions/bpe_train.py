@@ -65,3 +65,26 @@ def train_bbpe_distributed(docs: DataFrame, vocab_size: int = 500,
         words[mapped] += r["cnt"]
     vocab, merges = learn_merges(words, vocab_size)
     return BbpeTokenizer(vocab, merges, lowercase=lowercase)
+
+
+def bpe_token_counts(docs: DataFrame, tokenizer: BbpeTokenizer,
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens, ids_sum) — encode with a (typically
+    corpus-trained) tokenizer via ONE Arrow-batched ``mapInPandas``
+    with the tokenizer broadcast; ids_sum makes the row sensitive to
+    the actual token ids, not just their count."""
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast(tokenizer)
+
+    def fn(it):
+        tok = bc.value
+        for pdf in it:
+            ids = pdf[text_col].map(tok.encode)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bpe_tokens": ids.map(len),
+                "ids_sum": ids.map(sum)})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        fn, "doc_id long, n_bpe_tokens long, ids_sum long")

@@ -72,3 +72,13 @@ def test_max_word_types_cap(spark):
     # highest-frequency types, deterministic ordering
     full = corpus_word_counts(_docs(spark)).collect()
     assert [r["w"] for r in capped] == [r["w"] for r in full[:5]]
+
+
+def test_bpe_token_counts_kernel(spark):
+    from medcat_spark.functions.bpe_train import bpe_token_counts
+    tok = train_bbpe(TEXTS, vocab_size=300)
+    out = {r["doc_id"]: (r["n_bpe_tokens"], r["ids_sum"])
+           for r in bpe_token_counts(_docs(spark), tok).collect()}
+    for i, t in enumerate(TEXTS):
+        ids = tok.encode(t)
+        assert out[i] == (len(ids), sum(ids))
