@@ -102,9 +102,18 @@ def lm_doc_scores(docs: DataFrame, lm=None, text_col: str = "text",
     bit-for-bit after rounding.
     """
     uni, big, total = lm if lm is not None else lm_train(docs, text_col)
-    toks = _pos_tokens(docs, text_col)
-    prev = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = toks.withColumn("w_prev", F.lag("w").over(prev))
+    # (w_prev, w) built as a pure projection from the token array — no
+    # lag window, so the scoring pass carries NO shuffle before the
+    # count-table joins (and stays legal on streaming DataFrames).
+    arr = _words(text_col)
+    pairs = (docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            arr,
+            lambda w, i: F.struct(
+                F.when(i > 0, F.element_at(arr, i)).alias("w_prev"),
+                w.alias("w")))).alias("p"))
+        .select("doc_id", "p.w_prev", "p.w"))
     scored = (
         pairs
         .join(uni.withColumnRenamed("w", "w").withColumnRenamed("c1", "c1_w"),
