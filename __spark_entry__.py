@@ -577,6 +577,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.where(F.col("doc_id") % DOC_MOD == 0), tok)
     q["bpe_token_count"] = _bpe_counts
 
+    # GPT-3-style classifier-based quality filtering (Brown et al.
+    # 2020 appx A): logistic regression over hashed n-gram counts,
+    # positives = the deterministic seed sample (doc_id % 17 == 0),
+    # 3 full-batch GD iterations from w0=0 — the training loop is
+    # replayed iteration-by-iteration in the SQL oracle.
+    def _clf(s, d):
+        from medcat_spark.functions.selection import (
+            quality_classifier_scores)
+        docs = demo.load_docs(s, d).select("doc_id", "text")
+        return quality_classifier_scores(
+            docs, docs.where(F.col("doc_id") % 17 == 0), n_buckets=256)
+    q["quality_classifier"] = _clf
+
     # --- similarity search over embeddings
     def _topk(s, d):
         emb = demo.load_embeddings(s, d)
@@ -2079,6 +2092,52 @@ FROM r GROUP BY doc_id
 
     from medcat_spark.functions.bpe_oracle import bpe_oracle_sql
     o["bpe_token_count"] = bpe_oracle_sql()
+
+    o["quality_classifier"] = """
+WITH raw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+grams_raw AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(a) AS g FROM raw)
+  UNION ALL
+  SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM raw)
+),
+rf AS (SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS INT)
+           AS bucket
+       FROM grams_raw),
+feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rf GROUP BY 1, 2),
+lab AS (SELECT doc_id,
+        CASE WHEN doc_id % 17 = 0 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+nn AS (SELECT COUNT(*) * 1.0 AS n FROM lab),
+r1 AS (SELECT doc_id, y - 0.5 AS r FROM lab),
+w1 AS (SELECT bucket, 0.5 * SUM(cnt * r) / MAX(nn.n) AS w
+       FROM feats JOIN r1 USING (doc_id) CROSS JOIN nn GROUP BY bucket),
+s2 AS (SELECT f.doc_id, SUM(f.cnt * COALESCE(w1.w, 0)) AS logit
+       FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY 1),
+r2 AS (SELECT lab.doc_id,
+       lab.y - 1.0 / (1.0 + exp(-COALESCE(s2.logit, 0))) AS r
+       FROM lab LEFT JOIN s2 USING (doc_id)),
+w2 AS (SELECT bucket,
+       MAX(w1.w) + 0.5 * SUM(cnt * r2.r) / MAX(nn.n) AS w
+       FROM feats JOIN r2 USING (doc_id) JOIN w1 USING (bucket)
+       CROSS JOIN nn GROUP BY bucket),
+s3 AS (SELECT f.doc_id, SUM(f.cnt * COALESCE(w2.w, 0)) AS logit
+       FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY 1),
+r3 AS (SELECT lab.doc_id,
+       lab.y - 1.0 / (1.0 + exp(-COALESCE(s3.logit, 0))) AS r
+       FROM lab LEFT JOIN s3 USING (doc_id)),
+w3 AS (SELECT bucket,
+       MAX(w2.w) + 0.5 * SUM(cnt * r3.r) / MAX(nn.n) AS w
+       FROM feats JOIN r3 USING (doc_id) JOIN w2 USING (bucket)
+       CROSS JOIN nn GROUP BY bucket)
+SELECT f.doc_id,
+       ROUND(SUM(f.cnt * COALESCE(w3.w, 0)), 6) AS clf_score,
+       CAST(ROUND(SUM(f.cnt * COALESCE(w3.w, 0)), 6) > 0.0 AS INT)
+           AS clf_pass
+FROM feats f LEFT JOIN w3 USING (bucket)
+GROUP BY f.doc_id
+"""
 
     o["dedup_semantic"] = f"""
 WITH RECURSIVE

@@ -138,3 +138,82 @@ def temperature_mix(docs: DataFrame, alpha: float = 0.5,
             .select("doc_id", source_col,
                     F.round(F.col("rate"), 6).alias("rate"),
                     (u < F.col("rate")).cast("int").alias("kept")))
+
+
+def quality_classifier_train(docs: DataFrame, positive_docs: DataFrame,
+                             text_col: str = "text",
+                             n_buckets: int = 256, iters: int = 3,
+                             lr: float = 0.5):
+    """Classifier-based quality filtering, the GPT-3 / Llama-2 data
+    selection method (Brown et al. 2020 appx A; palm/llama replicate
+    it): train a logistic-regression quality classifier over hashed
+    n-gram count features to separate a high-quality seed set
+    (``positive_docs``, label 1) from the raw corpus (label 0), then
+    score every document.
+
+    Training is full-batch gradient descent with w0 = 0: each
+    iteration is (1) score join (features × weights on the bucket
+    key), (2) per-bucket gradient groupBy ``g_b = Σ_i cnt_ib (y_i -
+    p_i)``, (3) ``w += lr · g / n`` — the weight table is O(n_buckets)
+    rows, collected and re-broadcast per iteration (the standard
+    full-batch LR shape on Spark; iterations are few and fixed).
+
+    Returns (weights, feats, labels): weights as a {bucket: w} dict,
+    plus the cached feature/label DataFrames for scoring.
+    """
+    import math
+
+    pos_ids = positive_docs.select("doc_id").distinct()
+    labels = (docs.select("doc_id").distinct()
+              .join(pos_ids.withColumn("y", F.lit(1.0)), "doc_id", "left")
+              .select("doc_id", F.coalesce("y", F.lit(0.0)).alias("y")))
+    feats = (hashed_ngram_features(docs, text_col, n_buckets)
+             .groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt")))
+    feats = feats.join(labels, "doc_id").localCheckpoint()
+    n = labels.count()
+    w = {}
+    for _ in range(iters):
+        if w:
+            wdf = F.broadcast(docs.sparkSession.createDataFrame(
+                [(int(b), float(v)) for b, v in sorted(w.items())],
+                "bucket int, w double"))
+            logits = (feats.join(wdf, "bucket", "left")
+                      .groupBy("doc_id", "y")
+                      .agg(F.sum(F.col("cnt") * F.coalesce("w", F.lit(0.0)))
+                           .alias("logit")))
+        else:
+            logits = feats.groupBy("doc_id", "y").agg(
+                F.lit(0.0).alias("logit"))
+        resid = logits.select(
+            "doc_id",
+            (F.col("y") - F.lit(1.0)
+             / (F.lit(1.0) + F.exp(-F.col("logit")))).alias("r"))
+        grad = (feats.join(resid, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("cnt") * F.col("r")).alias("g")))
+        for row in grad.collect():
+            w[row["bucket"]] = w.get(row["bucket"], 0.0) \
+                + lr * row["g"] / n
+    return w, feats, labels
+
+
+def quality_classifier_scores(docs: DataFrame, positive_docs: DataFrame,
+                              text_col: str = "text",
+                              n_buckets: int = 256, iters: int = 3,
+                              lr: float = 0.5,
+                              threshold: float = 0.0) -> DataFrame:
+    """(doc_id, clf_score, clf_pass): final-weight logit per doc,
+    rounded to 6 dp for engine/oracle agreement."""
+    w, feats, _ = quality_classifier_train(
+        docs, positive_docs, text_col, n_buckets, iters, lr)
+    spark = docs.sparkSession
+    wdf = F.broadcast(spark.createDataFrame(
+        [(int(b), float(v)) for b, v in sorted(w.items())],
+        "bucket int, w double"))
+    return (feats.join(wdf, "bucket", "left")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("cnt") * F.coalesce("w", F.lit(0.0))),
+                         6).alias("clf_score"))
+            .withColumn("clf_pass",
+                        (F.col("clf_score") > F.lit(threshold))
+                        .cast("int")))
