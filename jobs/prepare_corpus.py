@@ -50,6 +50,15 @@ def main(argv=None):
                    help="cross-doc paragraph dedup (rewrites text)")
     p.add_argument("--lm-threshold", type=float, default=None,
                    help="stupid-backoff avg-logprob gate; omit to skip")
+    p.add_argument("--clf-seed", default=None,
+                   help="parquet of high-quality seed docs (text col); "
+                        "trains the GPT-3-style LR quality classifier")
+    p.add_argument("--clf-threshold", type=float, default=None,
+                   help="absolute clf_score cutoff")
+    p.add_argument("--clf-keep-frac", type=float, default=0.5,
+                   help="keep the top fraction by clf_score (used when "
+                        "--clf-threshold is not given; cutoff via "
+                        "approxQuantile)")
     p.add_argument("--fuzzy", action="store_true",
                    help="MinHash/LSH fuzzy-dedup keeper filter")
     p.add_argument("--min-jaccard", type=float, default=0.2)
@@ -143,6 +152,29 @@ def main(argv=None):
         docs = stage(docs.join(gate, "doc_id")
                      .where(F.col("lm_pass") == 1)
                      .drop("lm_pass"), "after_lm")
+
+    # 5b. classifier-based quality selection (GPT-3 style)
+    if args.clf_seed:
+        from medcat_spark.functions.selection import (
+            quality_classifier_scores)
+        seed = spark.read.parquet(args.clf_seed)
+        # train on corpus ∪ seed so the positives carry label 1
+        union = docs.select("doc_id", args.text_col).unionByName(
+            seed.select((F.col("doc_id") + F.lit(10 ** 15))
+                        .alias("doc_id"), args.text_col))
+        scores = quality_classifier_scores(
+            union, union.where(F.col("doc_id") >= 10 ** 15),
+            text_col=args.text_col) \
+            .where(F.col("doc_id") < 10 ** 15)
+        if args.clf_threshold is not None:
+            cut = args.clf_threshold
+        else:
+            scores = scores.localCheckpoint()
+            cut = scores.approxQuantile(
+                "clf_score", [1.0 - args.clf_keep_frac], 0.001)[0]
+            metrics["clf_cutoff"] = cut
+        clf = scores.where(F.col("clf_score") >= cut).select("doc_id")
+        docs = stage(docs.join(clf, "doc_id"), "after_classifier")
 
     # 6. fuzzy dedup keeper
     if args.fuzzy:

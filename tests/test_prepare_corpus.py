@@ -60,3 +60,15 @@ def test_iceberg_sink(spark, corpus_path, tmp_path):
     t = IcebergTable.load(out)
     df = t.to_df(spark)
     assert df.count() == m["output_docs"] > 0
+
+
+def test_classifier_stage(spark, corpus_path, tmp_path):
+    from jobs.prepare_corpus import main
+    seed = str(tmp_path / "seed.parquet")
+    spark.read.parquet(corpus_path).where("doc_id % 10 = 0") \
+        .select("doc_id", "text").write.parquet(seed)
+    out = str(tmp_path / "clean_clf")
+    m = main(["--docs", corpus_path, "--out", out, "--min-tokens", "5",
+              "--clf-seed", seed, "--clf-keep-frac", "0.5"])
+    assert 0 < m["after_classifier"] <= m["after_quality_dedup"]
+    assert "clf_cutoff" in m
