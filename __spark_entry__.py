@@ -1004,6 +1004,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return IcebergTable.load(loc).to_df(s)
     q["kg_iceberg_eq_delete"] = _iceberg_eq_delete
 
+    def _iceberg_pos_delete(s, d):
+        """v2 POSITION deletes (content=1 file_path+pos files) — the
+        delete form equality cannot express: the table holds true
+        duplicate rows (the corpus appended twice) and exactly ONE
+        physical copy of each doc_id % 5 == 0 row must go.  The row
+        ordinals come from to_df(with_pos=True) (Spark parquet
+        _metadata.row_index); merge-on-read anti-joins on
+        (file_path, pos)."""
+        import tempfile
+        from pyspark.sql import Window
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "lang", "n_chars")
+        loc = tempfile.mkdtemp(prefix="ice_posdel_") + "/docs"
+        t = IcebergTable.create(loc, docs.schema)
+        t.append_dataframe(docs)
+        t = IcebergTable.load(loc)
+        t.append_dataframe(docs)  # true duplicates, later sequence
+        t = IcebergTable.load(loc)
+        withpos = t.to_df(s, with_pos=True)
+        w = Window.partitionBy("doc_id").orderBy("_file_path", "_pos")
+        one_copy = (withpos.where(F.col("doc_id") % 5 == 0)
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1)
+                    .select(F.col("_file_path").alias("file_path"),
+                            F.col("_pos").alias("pos")))
+        t.delete_positions(s, one_copy)
+        return IcebergTable.load(loc).to_df(s)
+    q["kg_iceberg_pos_delete"] = _iceberg_pos_delete
+
     def _iceberg_upsert(s, d):
         """MERGE INTO analogue: one snapshot that equality-deletes the
         incoming keys and appends their new versions + brand-new rows —
@@ -1249,6 +1279,13 @@ WHERE doc_id % 7 <> 0
 UNION ALL
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id % 14 = 0
+"""
+
+    o["kg_iceberg_pos_delete"] = """
+SELECT doc_id, lang, n_chars FROM documents
+UNION ALL
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 5 <> 0
 """
 
     o["kg_iceberg_upsert"] = """

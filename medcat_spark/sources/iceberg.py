@@ -573,6 +573,11 @@ def manifest_entry_schema(partition_fields: Sequence[Dict[str, Any]]
     ]}
 
 
+# spec reserved field ids for position-delete file columns
+POS_DELETE_PATH_ID = 2147483546   # file_path
+POS_DELETE_POS_ID = 2147483545    # pos
+
+
 FIELD_SUMMARY_SCHEMA = {"type": "record", "name": "r508", "fields": [
     {"name": "contains_null", "type": "boolean", "field-id": 509},
     {"name": "contains_nan", "type": ["null", "boolean"], "default": None,
@@ -1276,7 +1281,7 @@ class IcebergTable:
     def rewrite_data_files(self, spark) -> Dict[str, int]:
         """Data compaction (the rewrite_data_files maintenance action):
         materialize the current merge-on-read state — all accumulated
-        equality deletes applied — into fresh data files and commit a
+        equality AND position deletes applied — into fresh data files and commit a
         REPLACE snapshot that carries no delete manifests.  Run this
         when the delete-file count makes merge-on-read anti-joins
         expensive; prior snapshots remain time-travelable until
@@ -1452,10 +1457,12 @@ class IcebergTable:
 
     def scan_delete_files(self, snapshot_id: Optional[int] = None
                           ) -> List[Dict[str, Any]]:
-        """Plan the DELETE side of a scan: equality-delete files from
-        content=1 manifests, each with its applicability sequence number
-        (an equality delete at sequence S removes matching rows from
-        data files with sequence < S — spec 'Scan Planning')."""
+        """Plan the DELETE side of a scan: delete files (equality,
+        data_file content=2, and position, content=1) from content=1
+        manifests, each with its applicability sequence number (an
+        equality delete at sequence S removes matching rows from data
+        files with sequence < S; a position delete applies to data
+        files with sequence <= S — spec 'Scan Planning')."""
         out: List[Dict[str, Any]] = []
         for mf in self._manifest_files(snapshot_id):
             if mf.get("content", 0) != 1:
@@ -1490,27 +1497,45 @@ class IcebergTable:
 
     def to_df(self, spark, snapshot_id: Optional[int] = None,
               partition_filter: Optional[Dict[str, Any]] = None,
-              apply_deletes: bool = True):
+              apply_deletes: bool = True, with_pos: bool = False):
         """Read the table (optionally time-traveled / partition-pruned)
         as a Spark DataFrame.  File list comes from Iceberg metadata;
         identity-partition columns are restored from the manifest's
         partition tuples (Iceberg semantics: identity values live in
         metadata, readers emit them as constants per file).
 
-        Merge-on-read: when the snapshot carries equality-delete files
+        Merge-on-read: when the snapshot carries delete files
         (content=1 manifests), matching rows are removed via anti-joins
-        scoped by sequence number — a delete at sequence S applies only
-        to data files with sequence < S, so rows re-inserted AFTER the
-        delete survive (spec scan-planning semantics).  Delete sets are
-        typically small; AQE turns the anti-joins into broadcasts."""
+        scoped by sequence number.  Equality deletes at sequence S
+        apply to data files with sequence < S (so rows re-inserted
+        AFTER the delete survive); position deletes at sequence S apply
+        to data files with sequence <= S and match on (file_path, pos)
+        — the row ordinal comes from Spark's parquet ``_metadata``
+        hidden column (``row_index``), i.e. no extra data is stored in
+        the data files.  Delete sets are typically small; AQE turns the
+        anti-joins into broadcasts.
+
+        ``with_pos=True`` keeps two extra columns on the result:
+        ``_file_path`` (the data file, manifest-normalized) and
+        ``_pos`` (row ordinal within it) — the inputs a caller needs to
+        produce position deletes (see delete_where_positions)."""
         from pyspark.sql import functions as F
         files = self.scan_files(snapshot_id, partition_filter)
         deletes = self.scan_delete_files(snapshot_id) \
             if apply_deletes else []
+        pos_deletes = [d for d in deletes if d.get("content") == 1]
         pf = self._partition_fields()
         ident = [p for p in pf if p["transform"] == "identity"]
+        need_pos = with_pos or bool(pos_deletes)
+        from pyspark.sql import types as T
         if not files:
-            return spark.createDataFrame([], self.spark_schema())
+            empty_schema = self.spark_schema()
+            if with_pos:
+                empty_schema = T.StructType(
+                    list(empty_schema.fields)
+                    + [T.StructField("_file_path", T.StringType()),
+                       T.StructField("_pos", T.LongType())])
+            return spark.createDataFrame([], empty_schema)
         # group files by (identity-partition tuple, sequence number);
         # the seq component only matters when deletes exist (it scopes
         # anti-join applicability), so collapse it otherwise to keep
@@ -1522,29 +1547,78 @@ class IcebergTable:
             groups.setdefault((ik, sk), []).append(d["file_path"])
         file_schema = self.spark_schema()
         part_names = {p["source_name"] for p in ident}
-        from pyspark.sql import types as T
         read_schema = T.StructType(
             [f for f in file_schema.fields if f.name not in part_names])
+        out_cols = [f.name for f in file_schema.fields]
+        if need_pos:
+            out_cols = out_cols + ["_file_path", "_pos"]
         parts = []
         for (ik, sk), paths in sorted(
                 groups.items(),
                 key=lambda kv: (tuple(str(x) for x in kv[0][0]),
                                 kv[0][1] or 0)):
             df = spark.read.schema(read_schema).parquet(*paths)
+            if need_pos:
+                # normalize Spark's file:///p URI to the plain path the
+                # manifests (and hence the delete files) record
+                df = df.withColumn(
+                    "_file_path",
+                    F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:/*", "/")) \
+                    .withColumn("_pos", F.col("_metadata.row_index"))
             for p, v in zip(ident, ik):
                 df = df.withColumn(
                     p["source_name"],
                     F.lit(v).cast(dict(
                         (f.name, f.dataType) for f in file_schema.fields
                     )[p["source_name"]]))
-            df = df.select(*[f.name for f in file_schema.fields])
+            df = df.select(*out_cols)
             if deletes:
+                df = self._apply_pos_deletes(spark, df, sk, pos_deletes,
+                                             paths)
                 df = self._apply_eq_deletes(spark, df, sk, deletes)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if need_pos and not with_pos:
+            out = out.drop("_file_path", "_pos")
         return out
+
+    def _apply_pos_deletes(self, spark, df, data_seq: int,
+                           pos_deletes: List[Dict[str, Any]],
+                           data_paths: List[str]):
+        """Anti-join ``df`` (data files at sequence ``data_seq``, which
+        carries _file_path/_pos columns) against applicable position
+        delete files: those with sequence >= data_seq (spec: a position
+        delete must apply to data committed in the SAME sequence, the
+        MERGE case) whose file_path bounds overlap this group's
+        paths."""
+        from pyspark.sql import types as T
+        paths = []
+        for d in pos_deletes:
+            if d["_seq"] < data_seq:
+                continue
+            lower = {e["key"]: e["value"]
+                     for e in (d.get("lower_bounds") or [])}
+            upper = {e["key"]: e["value"]
+                     for e in (d.get("upper_bounds") or [])}
+            lo = deserialize_bound("string", lower.get(POS_DELETE_PATH_ID))
+            hi = deserialize_bound("string", upper.get(POS_DELETE_PATH_ID))
+            # bounds are write-side truncated (lower = prefix, upper =
+            # truncate-incremented), so lo <= p <= hi stays conservative
+            if lo is not None and hi is not None and not any(
+                    lo <= p <= hi for p in data_paths):
+                continue
+            paths.append(d["file_path"])
+        if not paths:
+            return df
+        sub = T.StructType([T.StructField("file_path", T.StringType()),
+                            T.StructField("pos", T.LongType())])
+        dels = (spark.read.schema(sub).parquet(*paths).distinct()
+                .withColumnRenamed("file_path", "_file_path")
+                .withColumnRenamed("pos", "_pos"))
+        return df.join(dels, on=["_file_path", "_pos"], how="left_anti")
 
     def _apply_eq_deletes(self, spark, df, data_seq: int,
                           deletes: List[Dict[str, Any]]):
@@ -1676,6 +1750,137 @@ class IcebergTable:
                         "lower_bounds": None,
                         "upper_bounds": None,
                         "equality_ids": eq_ids,
+                    }})
+        if total_rows == 0:
+            import shutil
+            shutil.rmtree(ddir, ignore_errors=True)
+            return None
+
+        pf = self._partition_fields()
+        mdir = self._metadata_dir(self.location)
+        manifest_path = os.path.join(mdir, f"{muuid}-{suffix}.avro")
+        mlen = avro_write_container(
+            manifest_path, manifest_entry_schema(pf), entries,
+            meta={"schema": json.dumps(self.schema()),
+                  "schema-id": str(self.metadata["current-schema-id"]),
+                  "partition-spec": json.dumps(
+                      self.partition_spec()["fields"]),
+                  "partition-spec-id": str(
+                      self.partition_spec()["spec-id"]),
+                  "format-version": "2",
+                  "content": "deletes"})
+        return {"manifest_path": manifest_path, "mlen": mlen,
+                "content": 1, "added_files": len(entries),
+                "added_rows": total_rows, "part_summaries": None}
+
+    def delete_where_positions(self, spark, condition,
+                               summary_extra: Optional[Dict[str, str]]
+                               = None) -> Optional[int]:
+        """v2 row-level DELETE via POSITION delete files: evaluate
+        ``condition`` against the current merge-on-read state, record
+        each matching row's (file_path, pos) — the row ordinal comes
+        from Spark's parquet ``_metadata.row_index``, so nothing extra
+        is stored in the data files — and commit a ``delete`` snapshot.
+
+        Position deletes are the fine-grained complement to
+        delete_where's equality form: they need no key column (works on
+        tables with no natural key, or when only SOME duplicates of a
+        key must go) and apply to data files with sequence <= S, i.e.
+        they can target rows committed in the same sequence (the MERGE
+        case).  Returns the snapshot id, or None when nothing matched."""
+        from pyspark.sql import functions as F
+        matches = (self.to_df(spark, with_pos=True).where(condition)
+                   .select(F.col("_file_path").alias("file_path"),
+                           F.col("_pos").alias("pos")))
+        return self.delete_positions(spark, matches, summary_extra)
+
+    def delete_positions(self, spark, pos_df,
+                         summary_extra: Optional[Dict[str, str]] = None
+                         ) -> Optional[int]:
+        """Commit a position-delete snapshot from an explicit
+        (file_path string, pos long) DataFrame — the scale path when
+        the caller already knows the ordinals (e.g. from a
+        ``to_df(with_pos=True)`` scan it ran anyway).  Delete files are
+        written sorted by (file_path, pos) as the spec requires, with
+        file_path lower/upper bounds so scans can skip delete files
+        whose path range cannot touch a data-file group."""
+        from pyspark.sql import functions as F
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        muuid = uuid.uuid4()
+        matches = (pos_df
+                   .select(F.col("file_path").cast("string"),
+                           F.col("pos").cast("long"))
+                   .distinct()
+                   .sort("file_path", "pos"))
+        pend = self._write_pos_delete_manifest(matches, snap_id, muuid,
+                                               suffix="m0")
+        if pend is None:
+            return None
+        return self._commit_snapshot(
+            pending=[pend], snap_id=snap_id, muuid=muuid,
+            operation="delete",
+            summary={"added-delete-files": str(pend["added_files"]),
+                     "added-position-deletes": str(pend["added_rows"]),
+                     **(summary_extra or {})})
+
+    def _write_pos_delete_manifest(self, matches, snap_id: int, muuid,
+                                   suffix: str
+                                   ) -> Optional[Dict[str, Any]]:
+        """Write position-delete parquet files (columns file_path/pos,
+        spec reserved ids 2147483546/2147483545) + their content=1
+        manifest; returns a pending-manifest descriptor for
+        _commit_snapshot (None when the delete set is empty)."""
+        ddir = os.path.join(self.location, "data",
+                            f"snap-{snap_id:x}-posdeletes-{suffix}")
+        # sortWithinPartitions survives the write (the spec requires
+        # delete rows sorted by file_path then pos)
+        matches.sortWithinPartitions("file_path", "pos") \
+            .write.mode("error").parquet(ddir)
+
+        entries = []
+        total_rows = 0
+        for root, _dirs, fns in os.walk(ddir):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fn)
+                info = _parquet_file_info(path, {"file_path": "string"})
+                if info["record_count"] == 0:
+                    continue
+                total_rows += info["record_count"]
+                mn = info["mins"].get("file_path")
+                mx = info["maxs"].get("file_path")
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                if isinstance(mx, bytes):
+                    mx = mx.decode("utf-8", "replace")
+                lower = upper = None
+                if mn is not None:
+                    lower = [{"key": POS_DELETE_PATH_ID,
+                              "value": serialize_bound(
+                                  "string", _truncate_lower(mn))}]
+                if mx is not None:
+                    ub = _truncate_upper(mx)
+                    if ub is not None:
+                        upper = [{"key": POS_DELETE_PATH_ID,
+                                  "value": serialize_bound("string", ub)}]
+                entries.append({
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,  # inherited
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": info["record_count"],
+                        "file_size_in_bytes": info["file_size_in_bytes"],
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
+                        "equality_ids": None,
                     }})
         if total_rows == 0:
             import shutil

@@ -848,3 +848,108 @@ def test_rewrite_data_files_materializes_deletes(spark, triples_df,
     assert back.count() == 32
     assert back.where(F.col("obj") == "cui:C0").count() == 0
     assert t._snapshot(None)["summary"]["operation"] == "replace"
+
+
+# ---------------------------------------------------------------------------
+# Position deletes (v2 content=1 delete files: file_path + pos)
+# ---------------------------------------------------------------------------
+
+def test_delete_where_positions_merge_on_read(spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_posdel")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    snap_before = t.current_snapshot_id()
+    dsnap = t.delete_where_positions(spark, F.col("obj") == "cui:C0")
+    assert dsnap is not None
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert back.count() == 32
+    assert back.where(F.col("obj") == "cui:C0").count() == 0
+    # time travel / raw reads still see every row
+    assert t.to_df(spark, snapshot_id=snap_before).count() == 40
+    assert t.to_df(spark, apply_deletes=False).count() == 40
+    snap = t._snapshot(None)
+    assert snap["summary"]["operation"] == "delete"
+    assert int(snap["summary"]["added-position-deletes"]) == 8
+    # the delete files are content=1 with file_path bounds recorded
+    dels = t.scan_delete_files()
+    assert dels and all(d["content"] == 1 for d in dels)
+    assert all(d["lower_bounds"] and d["upper_bounds"] for d in dels)
+    # rows appended AFTER the delete are untouched even when identical
+    again = spark.createDataFrame(
+        [("doc:000", "mentions", "cui:C0", "0")], triples_df.schema)
+    t.append_dataframe(again)
+    t = IcebergTable.load(loc)
+    assert t.to_df(spark).where(F.col("obj") == "cui:C0").count() == 1
+
+
+def test_position_delete_one_duplicate_copy(spark, tmp_path):
+    """The capability equality deletes cannot express: the table has
+    NO key (true duplicate rows) and only one physical copy must go."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_dupdel")
+    df = spark.createDataFrame(
+        [("a", 1)] * 3 + [("b", 2)], "k string, v long").coalesce(1)
+    t = IcebergTable.create(loc, df.schema)
+    t.append_dataframe(df)
+    t = IcebergTable.load(loc)
+    withpos = t.to_df(spark, with_pos=True)
+    assert {"_file_path", "_pos"} <= set(withpos.columns)
+    # keep the first physical copy of each row, delete the rest
+    from pyspark.sql import Window
+    w = Window.partitionBy("k", "v").orderBy("_file_path", "_pos")
+    extras = (withpos.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") > 1)
+              .select(F.col("_file_path").alias("file_path"),
+                      F.col("_pos").alias("pos")))
+    dsnap = t.delete_positions(spark, extras)
+    assert dsnap is not None
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert back.count() == 2
+    assert back.where("k = 'a'").count() == 1
+    # nothing matched -> no empty snapshot
+    assert t.delete_positions(
+        spark, spark.createDataFrame([], "file_path string, pos long")) \
+        is None
+
+
+def test_position_and_equality_deletes_compose(spark, triples_df,
+                                               tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_bothdel")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    t.delete_where(spark, F.col("obj") == "cui:C0",
+                   equality_cols=["subj"])          # 8 rows
+    t = IcebergTable.load(loc)
+    t.delete_where_positions(spark, F.col("obj") == "cui:C1")  # 8 more
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert back.count() == 24
+    assert back.where(F.col("obj").isin("cui:C0", "cui:C1")).count() == 0
+    kinds = {d["content"] for d in t.scan_delete_files()}
+    assert kinds == {1, 2}
+    # compaction materializes BOTH kinds and drops the delete files
+    res = t.rewrite_data_files(spark)
+    assert res["rows"] == 24 and res["delete_files_removed"] >= 2
+    t = IcebergTable.load(loc)
+    assert t.scan_delete_files() == []
+    assert t.to_df(spark).count() == 24
+
+
+def test_pos_delete_metadata_table_and_incremental(spark, triples_df,
+                                                   tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_posmeta")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(triples_df)
+    t.delete_where_positions(spark, F.col("obj") == "cui:C2")
+    t = IcebergTable.load(loc)
+    meta = t.metadata_df(spark, "delete_files").collect()
+    assert len(meta) >= 1 and all(r["content"] == 1 for r in meta)
+    # incremental read between append and delete sees no appended rows
+    s2 = t.current_snapshot_id()
+    inc = t.incremental_read(spark, s1, s2)
+    assert inc.count() == 0
