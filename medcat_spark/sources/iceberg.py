@@ -376,16 +376,19 @@ def serialize_bound(iceberg_type: str, value: Any) -> Optional[bytes]:
 
 
 def deserialize_bound(iceberg_type: str, b: Optional[bytes]) -> Any:
+    # 4-byte buffers under a widened read type are bounds written
+    # BEFORE an int->long / float->double promotion; the spec requires
+    # readers to decode them with the type at write time
     if b is None:
         return None
     if iceberg_type == "int":
         return struct.unpack("<i", b)[0]
     if iceberg_type == "long":
-        return struct.unpack("<q", b)[0]
+        return struct.unpack("<i" if len(b) == 4 else "<q", b)[0]
     if iceberg_type == "float":
         return struct.unpack("<f", b)[0]
     if iceberg_type == "double":
-        return struct.unpack("<d", b)[0]
+        return struct.unpack("<f" if len(b) == 4 else "<d", b)[0]
     if iceberg_type == "boolean":
         return b == b"\x01"
     if iceberg_type == "string":
@@ -862,7 +865,13 @@ class IcebergTable:
         part_dir_cols = []
         for p in pf:
             if p["transform"] == "identity":
-                part_dir_cols.append(p["source_name"])
+                # key dirs (hence manifest partition tuples) by the SPEC
+                # FIELD name, which is stable across source-column
+                # renames
+                if p["name"] != p["source_name"]:
+                    out_df = out_df.withColumnRenamed(
+                        p["source_name"], p["name"])
+                part_dir_cols.append(p["name"])
             else:
                 out_df = out_df.withColumn(
                     p["name"], _transform_column(df, p))
@@ -953,6 +962,14 @@ class IcebergTable:
                             v, dict((p["name"], p["result_type"])
                                     for p in pf).get(k, "string"))
                 info = _parquet_file_info(path, bound_types)
+                if info["record_count"] == 0:
+                    # Spark emits a part file per task even for empty
+                    # partitions; committing them bloats manifests and
+                    # defeats bounds-based skipping (no stats to prune
+                    # by).  The reference Iceberg Spark writer commits
+                    # only non-empty files.
+                    os.remove(path)
+                    continue
                 total_rows += info["record_count"]
                 lower, upper, vcounts, ncounts = [], [], [], []
                 for name, t in bound_types.items():
@@ -1145,16 +1162,84 @@ class IcebergTable:
 
         new_field = dict(tmp["fields"][0], id=base + 1,
                          type=shift(tmp["fields"][0]["type"]))
+        self._commit_schema(self.schema()["fields"] + [new_field],
+                            last_column_id=base + n_new)
+
+    def _commit_schema(self, new_fields: List[Dict[str, Any]],
+                       last_column_id: Optional[int] = None) -> None:
         old = self.schema()
         new_schema = {"type": "struct",
                       "schema-id": old["schema-id"] + 1,
-                      "fields": old["fields"] + [new_field]}
+                      "fields": new_fields}
         version = self._base_version
         self.metadata["schemas"].append(new_schema)
         self.metadata["current-schema-id"] = new_schema["schema-id"]
-        self.metadata["last-column-id"] = base + n_new
+        if last_column_id is not None:
+            self.metadata["last-column-id"] = last_column_id
         self.metadata["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(version + 1)
+
+    def _schema_by_id(self, sid: int) -> Dict[str, Any]:
+        return next(s for s in self.metadata["schemas"]
+                    if s["schema-id"] == sid)
+
+    def rename_column(self, old_name: str, new_name: str) -> None:
+        """Schema evolution: rename a column.  The field ID is the
+        column's identity (spec rule) — it never changes, so existing
+        data files, manifests bounds (id-keyed), partition specs
+        (source-id-keyed), and delete files all keep resolving; reads
+        map each file's write-schema names to the current names by
+        field id."""
+        fields = self.schema()["fields"]
+        if not any(f["name"] == old_name for f in fields):
+            raise ValueError(f"no such column: {old_name}")
+        if any(f["name"] == new_name for f in fields):
+            raise ValueError(f"column exists: {new_name}")
+        self._commit_schema([
+            dict(f, name=new_name) if f["name"] == old_name else f
+            for f in fields])
+
+    def drop_column(self, name: str) -> None:
+        """Schema evolution: drop a column.  Data files keep the bytes
+        (Iceberg never rewrites data for evolution); reads simply stop
+        projecting the field.  The field id is never reused, so a
+        later add_column with the same NAME is a distinct column and
+        old values do not resurface (the spec's delete-then-add
+        safety).  Refuses to drop a partition source column."""
+        fields = self.schema()["fields"]
+        target = next((f for f in fields if f["name"] == name), None)
+        if target is None:
+            raise ValueError(f"no such column: {name}")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the only column")
+        src_ids = {pf["source-id"]
+                   for pf in self.partition_spec()["fields"]}
+        if target["id"] in src_ids:
+            raise ValueError(
+                f"column {name} is a partition source; "
+                "cannot drop it while the spec references it")
+        self._commit_schema([f for f in fields if f["name"] != name])
+
+    _PROMOTIONS = {"int": "long", "float": "double"}
+
+    def promote_column(self, name: str) -> None:
+        """Schema evolution: widen a column's type (the spec's allowed
+        primitive promotions: int -> long, float -> double).  Data
+        files written with the narrow type stay valid; reads cast
+        per-file, and old manifest bounds (4-byte encodings under an
+        8-byte read type) are decoded with the type at write time."""
+        fields = self.schema()["fields"]
+        target = next((f for f in fields if f["name"] == name), None)
+        if target is None:
+            raise ValueError(f"no such column: {name}")
+        t = target["type"]
+        if not isinstance(t, str) or t not in self._PROMOTIONS:
+            raise ValueError(
+                f"type {t!r} has no spec-allowed promotion "
+                f"(allowed: {self._PROMOTIONS})")
+        self._commit_schema([
+            dict(f, type=self._PROMOTIONS[t]) if f["name"] == name
+            else f for f in fields])
 
     def rollback(self, snapshot_id: int) -> None:
         """Point current back at an earlier snapshot (new metadata
@@ -1187,35 +1272,51 @@ class IcebergTable:
             return {"manifests_before": len(all_manifests),
                     "manifests_after": len(all_manifests)}
         pf = self._partition_fields()
-        all_entries: List[Dict[str, Any]] = []
-        total_rows = 0
+        # fold per WRITE-SCHEMA id: a manifest's schema-id tells readers
+        # the names/types its files were written with (schema
+        # evolution's field-id projection) — mixing generations into
+        # one manifest would lose that
+        cur_sid = self.metadata["current-schema-id"]
+        by_sid: Dict[int, List[Dict[str, Any]]] = {}
+        rows_by_sid: Dict[int, int] = {}
         for mf in manifests:
             _s, entries, _m = avro_read_container(mf["manifest_path"])
+            sid = int(_m.get("schema-id", cur_sid))
             for e in entries:
                 if e["status"] == 2:  # DELETED: drop tombstones
                     continue
                 seq = e["sequence_number"]
                 if seq is None:  # was inherited from its adding snapshot
                     seq = mf["sequence_number"]
-                all_entries.append(dict(e, status=0,  # EXISTING
-                                        sequence_number=seq,
-                                        file_sequence_number=seq))
-                total_rows += e["data_file"]["record_count"]
+                by_sid.setdefault(sid, []).append(
+                    dict(e, status=0,  # EXISTING
+                         sequence_number=seq,
+                         file_sequence_number=seq))
+                rows_by_sid[sid] = rows_by_sid.get(sid, 0) \
+                    + e["data_file"]["record_count"]
+        if len(manifests) <= len(by_sid):
+            return {"manifests_before": len(all_manifests),
+                    "manifests_after": len(all_manifests)}
 
         snap_id = int(uuid.uuid4().int % (1 << 62))
         mdir = self._metadata_dir(self.location)
         muuid = uuid.uuid4()
-        manifest_path = os.path.join(mdir, f"{muuid}-m0.avro")
-        mlen = avro_write_container(
-            manifest_path, manifest_entry_schema(pf), all_entries,
-            meta={"schema": json.dumps(self.schema()),
-                  "schema-id": str(self.metadata["current-schema-id"]),
-                  "partition-spec": json.dumps(
-                      self.partition_spec()["fields"]),
-                  "partition-spec-id": str(self.partition_spec()["spec-id"]),
-                  "format-version": "2", "content": "data"})
-        min_seq = min(e["sequence_number"] for e in all_entries) \
-            if all_entries else self.metadata["last-sequence-number"]
+        folded = []  # (path, mlen, n_entries, rows, min_seq, sid)
+        for i, (sid, sid_entries) in enumerate(sorted(by_sid.items())):
+            manifest_path = os.path.join(mdir, f"{muuid}-m{i}.avro")
+            mlen = avro_write_container(
+                manifest_path, manifest_entry_schema(pf), sid_entries,
+                meta={"schema": json.dumps(self._schema_by_id(sid)),
+                      "schema-id": str(sid),
+                      "partition-spec": json.dumps(
+                          self.partition_spec()["fields"]),
+                      "partition-spec-id": str(
+                          self.partition_spec()["spec-id"]),
+                      "format-version": "2", "content": "data"})
+            folded.append((manifest_path, mlen, len(sid_entries),
+                           rows_by_sid[sid],
+                           min(e["sequence_number"]
+                               for e in sid_entries), sid))
 
         for attempt in range(10):
             if attempt:
@@ -1227,27 +1328,27 @@ class IcebergTable:
                 self.metadata = fresh.metadata
                 self._base_version = fresh._base_version
             seq = self.metadata["last-sequence-number"] + 1
-            new_manifest = {
-                "manifest_path": manifest_path,
-                "manifest_length": mlen,
+            new_manifests = [{
+                "manifest_path": mpath,
+                "manifest_length": ml,
                 "partition_spec_id": self.partition_spec()["spec-id"],
                 "content": 0,
                 "sequence_number": seq,
-                "min_sequence_number": min_seq,
+                "min_sequence_number": mseq,
                 "added_snapshot_id": snap_id,
                 "added_files_count": 0,
-                "existing_files_count": len(all_entries),
+                "existing_files_count": n_entries,
                 "deleted_files_count": 0,
                 "added_rows_count": 0,
-                "existing_rows_count": total_rows,
+                "existing_rows_count": rows,
                 "deleted_rows_count": 0,
                 "partitions": None,
-            }
+            } for (mpath, ml, n_entries, rows, mseq, _sid) in folded]
             mlist_path = os.path.join(
                 mdir, f"snap-{snap_id}-{attempt + 1}-{muuid}.avro")
             avro_write_container(
                 mlist_path, MANIFEST_LIST_SCHEMA,
-                [new_manifest] + delete_manifests,
+                new_manifests + delete_manifests,
                 meta={"format-version": "2", "snapshot-id": str(snap_id),
                       "sequence-number": str(seq),
                       "parent-snapshot-id": str(cur["snapshot-id"])})
@@ -1259,7 +1360,7 @@ class IcebergTable:
                         "summary": {
                             "operation": "replace",
                             "manifests-replaced": str(len(manifests)),
-                            "manifests-created": "1"},
+                            "manifests-created": str(len(folded))},
                         "schema-id": self.metadata["current-schema-id"]}
             version = self._base_version
             self.metadata["snapshots"].append(snapshot)
@@ -1272,7 +1373,8 @@ class IcebergTable:
             try:
                 self._commit_metadata(version + 1)
                 return {"manifests_before": len(all_manifests),
-                        "manifests_after": 1 + len(delete_manifests),
+                        "manifests_after":
+                            len(folded) + len(delete_manifests),
                         "snapshot_id": snap_id}
             except FileExistsError:
                 continue
@@ -1438,6 +1540,8 @@ class IcebergTable:
                 if skip:
                     continue  # manifest pruned without reading it
             _schema, entries, _meta = avro_read_container(mf["manifest_path"])
+            sid = int(_meta.get("schema-id",
+                                self.metadata["current-schema-id"]))
             for e in entries:
                 if e["status"] == 2:  # DELETED
                     continue
@@ -1452,7 +1556,7 @@ class IcebergTable:
                 seq = e["sequence_number"]
                 if seq is None:  # inherited from the adding snapshot
                     seq = mf["sequence_number"]
-                out.append(dict(d, _seq=seq))
+                out.append(dict(d, _seq=seq, _sid=sid))
         return out
 
     def scan_delete_files(self, snapshot_id: Optional[int] = None
@@ -1469,6 +1573,8 @@ class IcebergTable:
                 continue
             _schema, entries, _meta = avro_read_container(
                 mf["manifest_path"])
+            sid = int(_meta.get("schema-id",
+                                self.metadata["current-schema-id"]))
             for e in entries:
                 if e["status"] == 2:
                     continue
@@ -1476,7 +1582,7 @@ class IcebergTable:
                 seq = e["sequence_number"]
                 if seq is None:
                     seq = mf["sequence_number"]
-                out.append(dict(d, _seq=seq))
+                out.append(dict(d, _seq=seq, _sid=sid))
         return out
 
     @staticmethod
@@ -1536,28 +1642,66 @@ class IcebergTable:
                     + [T.StructField("_file_path", T.StringType()),
                        T.StructField("_pos", T.LongType())])
             return spark.createDataFrame([], empty_schema)
-        # group files by (identity-partition tuple, sequence number);
-        # the seq component only matters when deletes exist (it scopes
-        # anti-join applicability), so collapse it otherwise to keep
-        # single-read plans
+        # group files by (identity-partition tuple, sequence number,
+        # write-schema id); the seq component only matters when deletes
+        # exist (it scopes anti-join applicability) and the schema
+        # component collapses to one group until the schema evolves, so
+        # the common case keeps single-read plans
+        cur_sid = self.metadata["current-schema-id"]
         groups: Dict[Tuple, List[str]] = {}
         for d in files:
             ik = tuple(d["partition"].get(p["name"]) for p in ident)
             sk = d["_seq"] if deletes else None
-            groups.setdefault((ik, sk), []).append(d["file_path"])
+            groups.setdefault((ik, sk, d.get("_sid", cur_sid)), []) \
+                .append(d["file_path"])
         file_schema = self.spark_schema()
         part_names = {p["source_name"] for p in ident}
         read_schema = T.StructType(
             [f for f in file_schema.fields if f.name not in part_names])
+        spark_by_name = {f.name: f.dataType for f in file_schema.fields}
+        cur_fields = self.schema()["fields"]
         out_cols = [f.name for f in file_schema.fields]
         if need_pos:
             out_cols = out_cols + ["_file_path", "_pos"]
         parts = []
-        for (ik, sk), paths in sorted(
+        for (ik, sk, sid), paths in sorted(
                 groups.items(),
                 key=lambda kv: (tuple(str(x) for x in kv[0][0]),
-                                kv[0][1] or 0)):
-            df = spark.read.schema(read_schema).parquet(*paths)
+                                kv[0][1] or 0, kv[0][2])):
+            if sid == cur_sid:
+                read_schema_g, exprs = read_schema, None
+            else:
+                # files written under an OLDER schema: resolve columns
+                # by FIELD ID (spec projection): read with the names/
+                # types at write time, then rename / cast / null-fill
+                # into the current schema
+                hist_by_id = {f["id"]: f
+                              for f in self._schema_by_id(sid)["fields"]}
+                rfields, exprs = [], []
+                for cf in cur_fields:
+                    cur_dt = spark_by_name[cf["name"]]
+                    if cf["name"] in part_names:
+                        exprs.append(F.col(cf["name"]))
+                        continue
+                    h = hist_by_id.get(cf["id"])
+                    if h is None:  # added after this file was written
+                        exprs.append(
+                            F.lit(None).cast(cur_dt).alias(cf["name"]))
+                        continue
+                    if h["type"] != cf["type"] and not (
+                            isinstance(h["type"], str)
+                            and isinstance(cf["type"], str)):
+                        raise NotImplementedError(
+                            "nested type evolution is not supported")
+                    rfields.append(T.StructField(
+                        h["name"], _iceberg_to_spark_type(h["type"]),
+                        True))
+                    e = F.col(h["name"])
+                    if h["type"] != cf["type"]:  # promoted: widen
+                        e = e.cast(cur_dt)
+                    exprs.append(e.alias(cf["name"]))
+                read_schema_g = T.StructType(rfields)
+            df = spark.read.schema(read_schema_g).parquet(*paths)
             if need_pos:
                 # normalize Spark's file:///p URI to the plain path the
                 # manifests (and hence the delete files) record
@@ -1569,10 +1713,13 @@ class IcebergTable:
             for p, v in zip(ident, ik):
                 df = df.withColumn(
                     p["source_name"],
-                    F.lit(v).cast(dict(
-                        (f.name, f.dataType) for f in file_schema.fields
-                    )[p["source_name"]]))
-            df = df.select(*out_cols)
+                    F.lit(v).cast(spark_by_name[p["source_name"]]))
+            if exprs is None:
+                df = df.select(*out_cols)
+            else:
+                sel = exprs + ([F.col("_file_path"), F.col("_pos")]
+                               if need_pos else [])
+                df = df.select(*sel)
             if deletes:
                 df = self._apply_pos_deletes(spark, df, sk, pos_deletes,
                                              paths)
@@ -1624,22 +1771,44 @@ class IcebergTable:
                           deletes: List[Dict[str, Any]]):
         """Anti-join ``df`` (data files at sequence ``data_seq``)
         against every applicable equality-delete file (those with
-        sequence > data_seq), grouped by equality-id set so each set is
-        one join."""
+        sequence > data_seq), grouped by (equality-id set, write-schema
+        id) so each set is one join.  Delete files are read with the
+        column names/types AT WRITE TIME (field-id resolution), then
+        renamed/cast to the current schema — renames and promotions
+        after a delete keep it applying."""
+        from pyspark.sql import functions as F
         from pyspark.sql import types as T
-        by_id = {f["id"]: f["name"] for f in self.schema()["fields"]}
-        groups: Dict[Tuple[int, ...], List[str]] = {}
+        cur_by_id = {f["id"]: f for f in self.schema()["fields"]}
+        cur_sid = self.metadata["current-schema-id"]
+        groups: Dict[Tuple, List[str]] = {}
         for d in deletes:
             if d["_seq"] > data_seq and d.get("equality_ids"):
-                groups.setdefault(tuple(d["equality_ids"]), []) \
-                    .append(d["file_path"])
-        file_schema = self.spark_schema()
-        for ids, paths in sorted(groups.items()):
-            cols = [by_id[i] for i in ids]
-            sub = T.StructType([f for f in file_schema.fields
-                                if f.name in cols])
-            vals = spark.read.schema(sub).parquet(*paths).distinct()
-            df = df.join(vals, on=cols, how="left_anti")
+                groups.setdefault(
+                    (tuple(d["equality_ids"]), d.get("_sid", cur_sid)),
+                    []).append(d["file_path"])
+        for (ids, sid), paths in sorted(groups.items()):
+            if any(i not in cur_by_id for i in ids):
+                raise NotImplementedError(
+                    "an equality delete references a dropped column; "
+                    "run rewrite_data_files to materialize deletes "
+                    "BEFORE dropping their key column")
+            hist_by_id = {f["id"]: f
+                          for f in self._schema_by_id(sid)["fields"]}
+            sub = T.StructType([
+                T.StructField(hist_by_id[i]["name"],
+                              _iceberg_to_spark_type(hist_by_id[i]["type"]),
+                              True) for i in ids])
+            sel = []
+            for i in ids:
+                h, c = hist_by_id[i], cur_by_id[i]
+                e = F.col(h["name"])
+                if h["type"] != c["type"]:
+                    e = e.cast(_iceberg_to_spark_type(c["type"]))
+                sel.append(e.alias(c["name"]))
+            vals = (spark.read.schema(sub).parquet(*paths)
+                    .select(*sel).distinct())
+            df = df.join(vals, on=[cur_by_id[i]["name"] for i in ids],
+                         how="left_anti")
         return df
 
     def delete_where(self, spark, condition,
@@ -1997,12 +2166,14 @@ class IcebergTable:
             if mf["added_snapshot_id"] not in new_ids:
                 continue  # manifest written by an already-seen snapshot
             _s, entries, _m = avro_read_container(mf["manifest_path"])
+            sid = int(_m.get("schema-id",
+                             self.metadata["current-schema-id"]))
             for e in entries:
                 if e["status"] != 1:  # only ADDED rows are the delta
                     continue
                 if e["snapshot_id"] not in new_ids:
                     continue
-                out.append(e["data_file"])
+                out.append(dict(e["data_file"], _sid=sid))
         return out
 
     def incremental_read(self, spark, from_snapshot_id: int,
@@ -2017,6 +2188,14 @@ class IcebergTable:
         file_schema = self.spark_schema()
         if not files:
             return spark.createDataFrame([], file_schema)
+        cur_sid = self.metadata["current-schema-id"]
+        if any(d.get("_sid", cur_sid) != cur_sid for d in files):
+            # delta files written under an older schema: the rename/
+            # promote mapping lives in to_df; refuse rather than
+            # mis-resolve by name
+            raise NotImplementedError(
+                "incremental range spans a schema change; read the"
+                " snapshots via to_df(snapshot_id=...) instead")
         ident = [p for p in self._partition_fields()
                  if p["transform"] == "identity"]
         part_names = {p["source_name"] for p in ident}

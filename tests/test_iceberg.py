@@ -953,3 +953,154 @@ def test_pos_delete_metadata_table_and_incremental(spark, triples_df,
     s2 = t.current_snapshot_id()
     inc = t.incremental_read(spark, s1, s2)
     assert inc.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: rename / drop / promote (field-id resolution)
+# ---------------------------------------------------------------------------
+
+def test_rename_column_old_files_resolve_by_field_id(spark, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "ev_rename")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)],
+                                "doc_id string, n long")
+    t = IcebergTable.create(loc, df1.schema)
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.rename_column("n", "count")
+    t = IcebergTable.load(loc)
+    # write a new generation under the NEW name
+    t.append_dataframe(spark.createDataFrame(
+        [("c", 3)], "doc_id string, count long"))
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert set(back.columns) == {"doc_id", "count"}
+    assert {r["count"] for r in back.collect()} == {1, 2, 3}
+    # value_filter by the new name prunes OLD manifests too (id-keyed
+    # bounds)
+    assert len(t.scan_files(value_filter={"count": 1})) == 1
+    assert len(t.scan_files(value_filter={"count": 3})) == 1
+
+
+def test_rename_partition_source_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "ev_rename_part")
+    df1 = spark.createDataFrame([("a", "en"), ("b", "de")],
+                                "doc_id string, lang string")
+    t = IcebergTable.create(loc, df1.schema, partition_by=["lang"])
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.rename_column("lang", "language")
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("c", "en")], "doc_id string, language string"))
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert set(back.columns) == {"doc_id", "language"}
+    assert back.where(F.col("language") == "en").count() == 2
+    # pruning by the renamed source column reaches both generations
+    pruned = t.to_df(spark, partition_filter={"language": "en"})
+    assert pruned.count() == 2
+
+
+def test_drop_column_and_no_resurface_on_readd(spark, tmp_path):
+    loc = str(tmp_path / "ev_drop")
+    from pyspark.sql import types as T
+    df1 = spark.createDataFrame([("a", 10), ("b", 20)],
+                                "doc_id string, secret long")
+    t = IcebergTable.create(loc, df1.schema)
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.drop_column("secret")
+    t = IcebergTable.load(loc)
+    assert t.to_df(spark).columns == ["doc_id"]
+    # re-adding the NAME mints a fresh field id: old values must NOT
+    # resurface (spec delete-then-add safety)
+    t.add_column("secret", T.LongType())
+    t = IcebergTable.load(loc)
+    rows = t.to_df(spark).collect()
+    assert all(r["secret"] is None for r in rows)
+    # dropping a partition source or the last column is refused
+    df2 = spark.createDataFrame([("x", "en")],
+                                "doc_id string, lang string")
+    loc2 = str(tmp_path / "ev_drop2")
+    t2 = IcebergTable.create(loc2, df2.schema, partition_by=["lang"])
+    with pytest.raises(ValueError):
+        t2.drop_column("lang")
+    with pytest.raises(ValueError):
+        IcebergTable.load(loc).drop_column("nope")
+
+
+def test_promote_column_int_to_long(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    loc = str(tmp_path / "ev_promote")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n", T.IntegerType())]))
+    t = IcebergTable.create(loc, df1.schema)
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.promote_column("n")
+    t = IcebergTable.load(loc)
+    big = 1 << 40
+    t.append_dataframe(spark.createDataFrame(
+        [("c", big)], "doc_id string, n long"))
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert dict(back.dtypes)["n"] == "bigint"
+    assert {r["n"] for r in back.collect()} == {1, 2, big}
+    # old manifests carry 4-byte bounds; value_filter under the widened
+    # type must still decode them (promoted-bound rule)
+    assert len(t.scan_files(value_filter={"n": 2})) == 1
+    with pytest.raises(ValueError):
+        t.promote_column("doc_id")
+
+
+def test_rewrite_manifests_folds_per_schema_generation(spark, tmp_path):
+    loc = str(tmp_path / "ev_fold")
+    df1 = spark.createDataFrame([("a", 1)], "doc_id string, n long")
+    t = IcebergTable.create(loc, df1.schema)
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("b", 2)], "doc_id string, n long"))
+    t = IcebergTable.load(loc)
+    t.rename_column("n", "count")
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("c", 3)], "doc_id string, count long"))
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("d", 4)], "doc_id string, count long"))
+    t = IcebergTable.load(loc)
+    res = t.rewrite_manifests()
+    # 4 manifests -> one folded manifest PER schema generation
+    assert res["manifests_before"] == 4
+    assert res["manifests_after"] == 2
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert {r["count"] for r in back.collect()} == {1, 2, 3, 4}
+
+
+def test_eq_delete_survives_rename_and_promote(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    loc = str(tmp_path / "ev_del")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)],
+                                T.StructType([
+                                    T.StructField("doc_id", T.StringType()),
+                                    T.StructField("n", T.IntegerType())]))
+    t = IcebergTable.create(loc, df1.schema)
+    t.append_dataframe(df1)
+    t.delete_where(spark, F.col("n") == 2, equality_cols=["n"])
+    t = IcebergTable.load(loc)
+    t.rename_column("n", "count")
+    t = IcebergTable.load(loc)
+    t.promote_column("count")
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert dict(back.dtypes)["count"] == "bigint"
+    # the delete file was written under the old name/type; field-id
+    # resolution keeps it applying
+    assert {r["count"] for r in back.collect()} == {1, 3}
