@@ -489,6 +489,54 @@ def transform_result_type(transform: str, source_type: str) -> str:
     return "int" if transform.startswith("bucket[") else source_type
 
 
+def _build_spec_fields(schema_fields: Sequence[Dict[str, Any]],
+                       partition_by: Sequence[Any],
+                       next_field_id: int,
+                       prev_specs: Sequence[Dict[str, Any]]
+                       ) -> Tuple[List[Dict[str, Any]], int]:
+    """Build partition-spec fields from ``partition_by`` entries
+    ("col" = identity; ("col", "bucket[8]") / ("col", "truncate[4]") =
+    transform partitions, spec section 4.2).  A (source-id, transform)
+    pair that already exists in ANY previous spec reuses its field-id
+    (v2 rule: partition field ids are assigned once per transform so
+    manifests from different specs stay comparable); new pairs mint ids
+    past ``next_field_id``.  Returns (fields, last_partition_id)."""
+    by_name = {f["name"]: f for f in schema_fields}
+    reuse = {(pf["source-id"], pf.get("transform", "identity")):
+             pf["field-id"]
+             for spec in prev_specs for pf in spec["fields"]}
+    last_pid = max([next_field_id - 1] + list(reuse.values()))
+    spec_fields = []
+    for spec in partition_by:
+        col, transform = (spec, "identity") if isinstance(spec, str) \
+            else (spec[0], spec[1])
+        if col not in by_name:
+            raise ValueError(f"partition column not in schema: {col}")
+        src = by_name[col]
+        if not isinstance(src["type"], str):
+            raise ValueError(f"partition on nested type: {col}")
+        if transform != "identity":
+            if not (transform.startswith("bucket[")
+                    or transform.startswith("truncate[")):
+                raise ValueError(f"unsupported transform: {transform}")
+            if src["type"] not in ("int", "long", "string"):
+                raise ValueError(
+                    f"{transform} unsupported on {src['type']}")
+        suffix = {"identity": ""}.get(transform)
+        if suffix is None:
+            suffix = "_bucket" if transform.startswith("bucket[") \
+                else "_trunc"
+        fid = reuse.get((src["id"], transform))
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        spec_fields.append({"name": col + suffix,
+                            "transform": transform,
+                            "source-id": src["id"],
+                            "field-id": fid})
+    return spec_fields, last_pid
+
+
 def _transform_column(df, p: Dict[str, Any]):
     """Spark column computing the partition value for a transform
     field.  truncate stays JVM-side (substring / floor-mod); bucket
@@ -690,33 +738,9 @@ class IcebergTable:
             raise FileExistsError(f"iceberg table exists: {location}")
         schema = spark_schema_to_iceberg(spark_schema)
         last_col = schema.pop("last-column-id")
-        by_name = {f["name"]: f for f in schema["fields"]}
-        spec_fields = []
-        for i, spec in enumerate(partition_by):
-            # "col" = identity; ("col", "bucket[8]") / ("col",
-            # "truncate[4]") = transform partitions (spec section 4.2)
-            col, transform = (spec, "identity") if isinstance(spec, str) \
-                else (spec[0], spec[1])
-            if col not in by_name:
-                raise ValueError(f"partition column not in schema: {col}")
-            src = by_name[col]
-            if not isinstance(src["type"], str):
-                raise ValueError(f"partition on nested type: {col}")
-            if transform != "identity":
-                if not (transform.startswith("bucket[")
-                        or transform.startswith("truncate[")):
-                    raise ValueError(f"unsupported transform: {transform}")
-                if src["type"] not in ("int", "long", "string"):
-                    raise ValueError(
-                        f"{transform} unsupported on {src['type']}")
-            suffix = {"identity": ""}.get(transform)
-            if suffix is None:
-                suffix = "_bucket" if transform.startswith("bucket[") \
-                    else "_trunc"
-            spec_fields.append({"name": col + suffix,
-                                "transform": transform,
-                                "source-id": src["id"],
-                                "field-id": 1000 + i})
+        spec_fields, last_pid = _build_spec_fields(
+            schema["fields"], partition_by, next_field_id=1000,
+            prev_specs=())
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -728,7 +752,7 @@ class IcebergTable:
             "schemas": [schema],
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "last-partition-id": 999 + len(spec_fields),
+            "last-partition-id": last_pid,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": dict(properties or {}),
@@ -804,15 +828,18 @@ class IcebergTable:
                           not f["required"])
             for f in self.schema()["fields"]])
 
-    def partition_spec(self) -> Dict[str, Any]:
-        sid = self.metadata["default-spec-id"]
+    def partition_spec(self, spec_id: Optional[int] = None
+                       ) -> Dict[str, Any]:
+        sid = self.metadata["default-spec-id"] if spec_id is None \
+            else spec_id
         return next(s for s in self.metadata["partition-specs"]
                     if s["spec-id"] == sid)
 
-    def _partition_fields(self) -> List[Dict[str, Any]]:
+    def _partition_fields(self, spec_id: Optional[int] = None
+                          ) -> List[Dict[str, Any]]:
         by_id = {f["id"]: f for f in self.schema()["fields"]}
         out = []
-        for pf in self.partition_spec()["fields"]:
+        for pf in self.partition_spec(spec_id)["fields"]:
             src = by_id[pf["source-id"]]
             transform = pf.get("transform", "identity")
             out.append({"name": pf["name"], "field-id": pf["field-id"],
@@ -1213,11 +1240,13 @@ class IcebergTable:
         if len(fields) == 1:
             raise ValueError("cannot drop the only column")
         src_ids = {pf["source-id"]
-                   for pf in self.partition_spec()["fields"]}
+                   for spec in self.metadata["partition-specs"]
+                   for pf in spec["fields"]}
         if target["id"] in src_ids:
             raise ValueError(
-                f"column {name} is a partition source; "
-                "cannot drop it while the spec references it")
+                f"column {name} is a partition source (in the current "
+                "or a historical spec); cannot drop it while manifests "
+                "may reference it")
         self._commit_schema([f for f in fields if f["name"] != name])
 
     _PROMOTIONS = {"int": "long", "float": "double"}
@@ -1240,6 +1269,30 @@ class IcebergTable:
         self._commit_schema([
             dict(f, type=self._PROMOTIONS[t]) if f["name"] == name
             else f for f in fields])
+
+    def evolve_partition_spec(self, partition_by: Sequence[Any]) -> int:
+        """Partition-spec evolution: change how NEW data is laid out
+        without rewriting a byte of old data (the operation that makes
+        re-partitioning a 100 TB table an O(metadata) commit).  Appends
+        a new spec and makes it the default; every existing manifest
+        keeps its own ``partition_spec_id``, and scans plan each
+        manifest with the spec it was written under.  Identical
+        (source-id, transform) fields reuse their partition field id
+        across specs (v2 rule).  Returns the new spec-id."""
+        specs = self.metadata["partition-specs"]
+        spec_fields, last_pid = _build_spec_fields(
+            self.schema()["fields"], partition_by,
+            next_field_id=1000, prev_specs=specs)
+        new_id = max(s["spec-id"] for s in specs) + 1
+        version = self._base_version
+        self.metadata["partition-specs"] = specs + [
+            {"spec-id": new_id, "fields": spec_fields}]
+        self.metadata["default-spec-id"] = new_id
+        self.metadata["last-partition-id"] = max(
+            self.metadata["last-partition-id"], last_pid)
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(version + 1)
+        return new_id
 
     def rollback(self, snapshot_id: int) -> None:
         """Point current back at an earlier snapshot (new metadata
@@ -1271,52 +1324,55 @@ class IcebergTable:
         if len(manifests) <= 1:
             return {"manifests_before": len(all_manifests),
                     "manifests_after": len(all_manifests)}
-        pf = self._partition_fields()
-        # fold per WRITE-SCHEMA id: a manifest's schema-id tells readers
-        # the names/types its files were written with (schema
-        # evolution's field-id projection) — mixing generations into
-        # one manifest would lose that
+        # fold per (WRITE-SCHEMA id, PARTITION-SPEC id): a manifest's
+        # schema-id tells readers the names/types its files were
+        # written with (schema evolution's field-id projection) and its
+        # spec-id fixes the partition tuple layout (spec evolution) —
+        # mixing generations into one manifest would lose both
         cur_sid = self.metadata["current-schema-id"]
-        by_sid: Dict[int, List[Dict[str, Any]]] = {}
-        rows_by_sid: Dict[int, int] = {}
+        default_spec = self.metadata["default-spec-id"]
+        by_key: Dict[Tuple[int, int], List[Dict[str, Any]]] = {}
+        rows_by_key: Dict[Tuple[int, int], int] = {}
         for mf in manifests:
             _s, entries, _m = avro_read_container(mf["manifest_path"])
             sid = int(_m.get("schema-id", cur_sid))
+            spec = mf.get("partition_spec_id", default_spec)
             for e in entries:
                 if e["status"] == 2:  # DELETED: drop tombstones
                     continue
                 seq = e["sequence_number"]
                 if seq is None:  # was inherited from its adding snapshot
                     seq = mf["sequence_number"]
-                by_sid.setdefault(sid, []).append(
+                by_key.setdefault((sid, spec), []).append(
                     dict(e, status=0,  # EXISTING
                          sequence_number=seq,
                          file_sequence_number=seq))
-                rows_by_sid[sid] = rows_by_sid.get(sid, 0) \
+                rows_by_key[(sid, spec)] = rows_by_key.get((sid, spec), 0) \
                     + e["data_file"]["record_count"]
-        if len(manifests) <= len(by_sid):
+        if len(manifests) <= len(by_key):
             return {"manifests_before": len(all_manifests),
                     "manifests_after": len(all_manifests)}
 
         snap_id = int(uuid.uuid4().int % (1 << 62))
         mdir = self._metadata_dir(self.location)
         muuid = uuid.uuid4()
-        folded = []  # (path, mlen, n_entries, rows, min_seq, sid)
-        for i, (sid, sid_entries) in enumerate(sorted(by_sid.items())):
+        folded = []  # (path, mlen, n_entries, rows, min_seq, spec)
+        for i, ((sid, spec), key_entries) in enumerate(
+                sorted(by_key.items())):
+            pf_k = self._partition_fields(spec)
             manifest_path = os.path.join(mdir, f"{muuid}-m{i}.avro")
             mlen = avro_write_container(
-                manifest_path, manifest_entry_schema(pf), sid_entries,
+                manifest_path, manifest_entry_schema(pf_k), key_entries,
                 meta={"schema": json.dumps(self._schema_by_id(sid)),
                       "schema-id": str(sid),
                       "partition-spec": json.dumps(
-                          self.partition_spec()["fields"]),
-                      "partition-spec-id": str(
-                          self.partition_spec()["spec-id"]),
+                          self.partition_spec(spec)["fields"]),
+                      "partition-spec-id": str(spec),
                       "format-version": "2", "content": "data"})
-            folded.append((manifest_path, mlen, len(sid_entries),
-                           rows_by_sid[sid],
+            folded.append((manifest_path, mlen, len(key_entries),
+                           rows_by_key[(sid, spec)],
                            min(e["sequence_number"]
-                               for e in sid_entries), sid))
+                               for e in key_entries), spec))
 
         for attempt in range(10):
             if attempt:
@@ -1331,7 +1387,7 @@ class IcebergTable:
             new_manifests = [{
                 "manifest_path": mpath,
                 "manifest_length": ml,
-                "partition_spec_id": self.partition_spec()["spec-id"],
+                "partition_spec_id": spec,
                 "content": 0,
                 "sequence_number": seq,
                 "min_sequence_number": mseq,
@@ -1343,7 +1399,7 @@ class IcebergTable:
                 "existing_rows_count": rows,
                 "deleted_rows_count": 0,
                 "partitions": None,
-            } for (mpath, ml, n_entries, rows, mseq, _sid) in folded]
+            } for (mpath, ml, n_entries, rows, mseq, spec) in folded]
             mlist_path = os.path.join(
                 mdir, f"snap-{snap_id}-{attempt + 1}-{muuid}.avro")
             avro_write_container(
@@ -1501,33 +1557,45 @@ class IcebergTable:
                 if not isinstance(f["type"], str):
                     raise ValueError(f"value_filter on nested type: {col}")
                 vf.append((f["id"], f["type"], want))
-        pf = self._partition_fields()
-        pidx = {p["name"]: i for i, p in enumerate(pf)}
-        ptype = {p["name"]: p["result_type"] for p in pf}
-        # resolve filter keys given as SOURCE columns through the
-        # field's transform (an equality predicate on doc_id prunes a
-        # bucket[N] partitioning to one bucket — spec predicate
-        # transformation); keys matching a partition field name pass
-        # through as already-transformed values
-        if partition_filter:
-            by_src = {p["source_name"]: p for p in pf}
-            resolved: Dict[str, Any] = {}
-            for col, want in partition_filter.items():
-                if col in pidx and (col not in by_src
-                                    or by_src[col]["name"] == col):
-                    resolved[col] = want
-                elif col in by_src:
-                    p = by_src[col]
-                    resolved[p["name"]] = apply_transform(
-                        p["transform"], want, p["source_type"])
-            partition_filter = resolved
+        default_spec = self.metadata["default-spec-id"]
+        # per-spec state: a manifest is planned with the spec it was
+        # written under (partition-spec evolution); filter keys given
+        # as SOURCE columns resolve through that spec's transform (an
+        # equality predicate on doc_id prunes a bucket[N] partitioning
+        # to one bucket — spec predicate transformation), keys matching
+        # a partition field name pass through as already-transformed
+        # values, and keys the spec does not partition by simply don't
+        # prune its manifests (conservative)
+        spec_state: Dict[int, Tuple] = {}
+
+        def state(spec_id: int) -> Tuple:
+            if spec_id not in spec_state:
+                pf = self._partition_fields(spec_id)
+                pidx = {p["name"]: i for i, p in enumerate(pf)}
+                ptype = {p["name"]: p["result_type"] for p in pf}
+                resolved: Dict[str, Any] = {}
+                if partition_filter:
+                    by_src = {p["source_name"]: p for p in pf}
+                    for col, want in partition_filter.items():
+                        if col in pidx and (col not in by_src
+                                            or by_src[col]["name"] == col):
+                            resolved[col] = want
+                        elif col in by_src:
+                            p = by_src[col]
+                            resolved[p["name"]] = apply_transform(
+                                p["transform"], want, p["source_type"])
+                spec_state[spec_id] = (pidx, ptype, resolved)
+            return spec_state[spec_id]
+
         out: List[Dict[str, Any]] = []
         for mf in self._manifest_files(snapshot_id):
             if mf.get("content", 0) != 0:
                 continue  # delete manifests planned by scan_delete_files
-            if partition_filter and mf.get("partitions"):
+            spec_id = mf.get("partition_spec_id", default_spec)
+            pidx, ptype, resolved = state(spec_id)
+            if resolved and mf.get("partitions"):
                 skip = False
-                for col, want in partition_filter.items():
+                for col, want in resolved.items():
                     if col not in pidx:
                         continue
                     s = mf["partitions"][pidx[col]]
@@ -1546,9 +1614,9 @@ class IcebergTable:
                 if e["status"] == 2:  # DELETED
                     continue
                 d = e["data_file"]
-                if partition_filter:
+                if resolved:
                     if any(d["partition"].get(c) != v
-                           for c, v in partition_filter.items()
+                           for c, v in resolved.items()
                            if c in pidx):
                         continue
                 if vf and self._bounds_exclude(d, vf):
@@ -1556,7 +1624,7 @@ class IcebergTable:
                 seq = e["sequence_number"]
                 if seq is None:  # inherited from the adding snapshot
                     seq = mf["sequence_number"]
-                out.append(dict(d, _seq=seq, _sid=sid))
+                out.append(dict(d, _seq=seq, _sid=sid, _spec=spec_id))
         return out
 
     def scan_delete_files(self, snapshot_id: Optional[int] = None
@@ -1630,8 +1698,15 @@ class IcebergTable:
         deletes = self.scan_delete_files(snapshot_id) \
             if apply_deletes else []
         pos_deletes = [d for d in deletes if d.get("content") == 1]
-        pf = self._partition_fields()
-        ident = [p for p in pf if p["transform"] == "identity"]
+        default_spec = self.metadata["default-spec-id"]
+        # identity fields per partition spec: files keep the spec they
+        # were written under (spec evolution), and a file's identity
+        # columns — absent from its bytes, restored from metadata — are
+        # the ones of ITS spec, not the table's current default
+        ident_of = {
+            s["spec-id"]: [p for p in self._partition_fields(s["spec-id"])
+                           if p["transform"] == "identity"]
+            for s in self.metadata["partition-specs"]}
         need_pos = with_pos or bool(pos_deletes)
         from pyspark.sql import types as T
         if not files:
@@ -1650,26 +1725,30 @@ class IcebergTable:
         cur_sid = self.metadata["current-schema-id"]
         groups: Dict[Tuple, List[str]] = {}
         for d in files:
-            ik = tuple(d["partition"].get(p["name"]) for p in ident)
+            spec = d.get("_spec", default_spec)
+            ik = tuple(d["partition"].get(p["name"])
+                       for p in ident_of[spec])
             sk = d["_seq"] if deletes else None
-            groups.setdefault((ik, sk, d.get("_sid", cur_sid)), []) \
-                .append(d["file_path"])
+            groups.setdefault((ik, sk, d.get("_sid", cur_sid), spec),
+                              []).append(d["file_path"])
         file_schema = self.spark_schema()
-        part_names = {p["source_name"] for p in ident}
-        read_schema = T.StructType(
-            [f for f in file_schema.fields if f.name not in part_names])
         spark_by_name = {f.name: f.dataType for f in file_schema.fields}
         cur_fields = self.schema()["fields"]
         out_cols = [f.name for f in file_schema.fields]
         if need_pos:
             out_cols = out_cols + ["_file_path", "_pos"]
         parts = []
-        for (ik, sk, sid), paths in sorted(
+        for (ik, sk, sid, spec), paths in sorted(
                 groups.items(),
                 key=lambda kv: (tuple(str(x) for x in kv[0][0]),
-                                kv[0][1] or 0, kv[0][2])):
+                                kv[0][1] or 0, kv[0][2], kv[0][3])):
+            ident = ident_of[spec]
+            part_names = {p["source_name"] for p in ident}
             if sid == cur_sid:
-                read_schema_g, exprs = read_schema, None
+                read_schema_g = T.StructType(
+                    [f for f in file_schema.fields
+                     if f.name not in part_names])
+                exprs = None
             else:
                 # files written under an OLDER schema: resolve columns
                 # by FIELD ID (spec projection): read with the names/
@@ -2159,6 +2238,7 @@ class IcebergTable:
             raise ValueError(
                 f"{from_snapshot_id} is not an ancestor of {to_id}")
         new_ids = set(chain[:chain.index(from_snapshot_id)])
+        default_spec = self.metadata["default-spec-id"]
         out = []
         for mf in self._manifest_files(to_id):
             if mf.get("content", 0) != 0:
@@ -2168,12 +2248,13 @@ class IcebergTable:
             _s, entries, _m = avro_read_container(mf["manifest_path"])
             sid = int(_m.get("schema-id",
                              self.metadata["current-schema-id"]))
+            spec = mf.get("partition_spec_id", default_spec)
             for e in entries:
                 if e["status"] != 1:  # only ADDED rows are the delta
                     continue
                 if e["snapshot_id"] not in new_ids:
                     continue
-                out.append(dict(e["data_file"], _sid=sid))
+                out.append(dict(e["data_file"], _sid=sid, _spec=spec))
         return out
 
     def incremental_read(self, spark, from_snapshot_id: int,
@@ -2189,13 +2270,16 @@ class IcebergTable:
         if not files:
             return spark.createDataFrame([], file_schema)
         cur_sid = self.metadata["current-schema-id"]
-        if any(d.get("_sid", cur_sid) != cur_sid for d in files):
-            # delta files written under an older schema: the rename/
-            # promote mapping lives in to_df; refuse rather than
-            # mis-resolve by name
+        cur_spec = self.metadata["default-spec-id"]
+        if any(d.get("_sid", cur_sid) != cur_sid
+               or d.get("_spec", cur_spec) != cur_spec for d in files):
+            # delta files written under an older schema or partition
+            # spec: the field-id / spec mapping lives in to_df; refuse
+            # rather than mis-resolve by name
             raise NotImplementedError(
-                "incremental range spans a schema change; read the"
-                " snapshots via to_df(snapshot_id=...) instead")
+                "incremental range spans a schema or partition-spec "
+                "change; read the snapshots via to_df(snapshot_id=...) "
+                "instead")
         ident = [p for p in self._partition_fields()
                  if p["transform"] == "identity"]
         part_names = {p["source_name"] for p in ident}

@@ -1104,3 +1104,161 @@ def test_eq_delete_survives_rename_and_promote(spark, tmp_path):
     # the delete file was written under the old name/type; field-id
     # resolution keeps it applying
     assert {r["count"] for r in back.collect()} == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution: files keep their write-time spec
+# ---------------------------------------------------------------------------
+
+def test_evolve_spec_identity_to_bucket(spark, tmp_path):
+    """lang-identity table re-partitioned to bucket[4] on doc_id: old
+    files restore lang from metadata, new files carry it in-data; both
+    generations read back as one DataFrame and each prunes by ITS
+    spec."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "spec_ev1")
+    df1 = spark.createDataFrame([("a", "en"), ("b", "de")],
+                                "doc_id string, lang string")
+    t = IcebergTable.create(loc, df1.schema, partition_by=["lang"])
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    new_id = t.evolve_partition_spec([("doc_id", "bucket[4]")])
+    assert new_id == 1
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("c", "en"), ("d", "fr")], "doc_id string, lang string"))
+    t = IcebergTable.load(loc)
+    back = t.to_df(spark)
+    assert sorted((r.doc_id, r.lang) for r in back.collect()) == \
+        [("a", "en"), ("b", "de"), ("c", "en"), ("d", "fr")]
+    # old-spec manifests prune by lang; new-spec ones cannot (they are
+    # not partitioned by lang) so they pass through conservatively
+    files = t.scan_files(partition_filter={"lang": "de"})
+    specs = {d["_spec"] for d in files}
+    old_spec_files = [d for d in files if d["_spec"] == 0]
+    assert len(old_spec_files) == 1  # only the de file from spec 0
+    assert old_spec_files[0]["partition"]["lang"] == "de"
+    assert specs == {0, 1}
+    # doc_id equality prunes NEW-spec manifests to one bucket; all
+    # old-spec files pass through
+    from medcat_spark.sources.iceberg import bucket_value
+    hit = t.scan_files(partition_filter={"doc_id": "c"})
+    new_hits = [d for d in hit if d["_spec"] == 1]
+    assert {d["partition"]["doc_id_bucket"] for d in new_hits} == \
+        {bucket_value("c", 4, "string")}
+    assert len([d for d in hit if d["_spec"] == 0]) == 2
+
+
+def test_evolve_spec_unpartitioned_to_identity(spark, tmp_path):
+    """Adding identity partitioning later: pre-evolution files carry
+    the column in-data, post-evolution files restore it from the
+    partition tuple."""
+    loc = str(tmp_path / "spec_ev2")
+    df1 = spark.createDataFrame([("a", "x"), ("b", "y")],
+                                "doc_id string, kind string")
+    t = IcebergTable.create(loc, df1.schema)
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.evolve_partition_spec(["kind"])
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("c", "x")], "doc_id string, kind string"))
+    t = IcebergTable.load(loc)
+    assert sorted((r.doc_id, r.kind) for r in t.to_df(spark).collect()) \
+        == [("a", "x"), ("b", "y"), ("c", "x")]
+    new_files = [d for d in t.scan_files() if d["_spec"] == 1]
+    assert all(d["partition"].get("kind") == "x" for d in new_files)
+
+
+def test_evolve_spec_field_id_reuse_and_compaction(spark, tmp_path):
+    """A re-added (source, transform) pair keeps its partition field
+    id across specs; rewrite_manifests folds per (schema, spec) and
+    the folded table still round-trips."""
+    loc = str(tmp_path / "spec_ev3")
+    df1 = spark.createDataFrame([("a", "en", 1), ("b", "de", 2)],
+                                "doc_id string, lang string, n long")
+    t = IcebergTable.create(loc, df1.schema, partition_by=["lang"])
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.evolve_partition_spec([("doc_id", "bucket[4]")])
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("c", "en", 3)], "doc_id string, lang string, n long"))
+    t = IcebergTable.load(loc)
+    # back to lang identity (plus keeping the bucket): lang reuses
+    # field-id 1000, the bucket keeps its id from spec 1
+    t.evolve_partition_spec(["lang", ("doc_id", "bucket[4]")])
+    t = IcebergTable.load(loc)
+    specs = {s["spec-id"]: s for s in t.metadata["partition-specs"]}
+    lang_ids = {pf["field-id"] for s in (0, 2)
+                for pf in specs[s]["fields"] if pf["name"] == "lang"}
+    assert len(lang_ids) == 1
+    bucket_ids = {pf["field-id"] for s in (1, 2)
+                  for pf in specs[s]["fields"]
+                  if pf["name"] == "doc_id_bucket"}
+    assert len(bucket_ids) == 1
+    t.append_dataframe(spark.createDataFrame(
+        [("d", "fr", 4)], "doc_id string, lang string, n long"))
+    t = IcebergTable.load(loc)
+    res = t.rewrite_manifests()
+    assert res["manifests_before"] == 3
+    assert res["manifests_after"] == 3  # one per spec generation
+    t = IcebergTable.load(loc)
+    assert {r.n for r in t.to_df(spark).collect()} == {1, 2, 3, 4}
+    # post-compaction pruning by lang still reaches specs 0 and 2
+    hit = t.scan_files(partition_filter={"lang": "en"})
+    assert {(d["_spec"], d["partition"].get("lang")) for d in hit} \
+        >= {(0, "en"), (1, None)}
+
+
+def test_evolve_spec_with_rename_of_partition_source(spark, tmp_path):
+    """Spec evolution composed with schema evolution: renaming the old
+    spec's identity source still restores old files' values under the
+    new name (source-id resolution)."""
+    loc = str(tmp_path / "spec_ev4")
+    df1 = spark.createDataFrame([("a", "en")],
+                                "doc_id string, lang string")
+    t = IcebergTable.create(loc, df1.schema, partition_by=["lang"])
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    t.evolve_partition_spec([])  # unpartition new data
+    t = IcebergTable.load(loc)
+    t.rename_column("lang", "language")
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("b", "de")], "doc_id string, language string"))
+    t = IcebergTable.load(loc)
+    assert sorted((r.doc_id, r.language)
+                  for r in t.to_df(spark).collect()) == \
+        [("a", "en"), ("b", "de")]
+    # dropping the historic partition source stays refused
+    with pytest.raises(ValueError):
+        t.drop_column("language")
+
+
+def test_evolve_spec_incremental_guard(spark, tmp_path):
+    """A delta entirely under the current spec reads incrementally
+    (identity restored per the new spec); a delta that spans the spec
+    change refuses instead of mis-resolving."""
+    loc = str(tmp_path / "spec_ev5")
+    df1 = spark.createDataFrame([("a", "en")],
+                                "doc_id string, lang string")
+    t = IcebergTable.create(loc, df1.schema)
+    t.append_dataframe(df1)
+    t = IcebergTable.load(loc)
+    s1 = t.current_snapshot_id()
+    t.append_dataframe(spark.createDataFrame(
+        [("b", "fr")], "doc_id string, lang string"))  # old spec
+    t = IcebergTable.load(loc)
+    s2 = t.current_snapshot_id()
+    t.evolve_partition_spec(["lang"])
+    t = IcebergTable.load(loc)
+    t.append_dataframe(spark.createDataFrame(
+        [("c", "de")], "doc_id string, lang string"))  # new spec
+    t = IcebergTable.load(loc)
+    # delta s2->current is all new-spec: works, identity restored
+    inc = t.incremental_read(spark, s2)
+    assert [(r.doc_id, r.lang) for r in inc.collect()] == [("c", "de")]
+    # delta s1->current mixes spec 0 and spec 1 files: refuse
+    with pytest.raises(NotImplementedError):
+        t.incremental_read(spark, s1)
