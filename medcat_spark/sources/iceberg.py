@@ -1520,6 +1520,53 @@ class IcebergTable:
                 pass
         return deleted
 
+    def remove_orphan_files(self, older_than_sec: float = 86400.0
+                            ) -> Dict[str, int]:
+        """Orphan GC (the remove_orphan_files maintenance action):
+        delete files under the table location that NO snapshot
+        references — leftovers from writers that crashed or lost the
+        commit race after staging data.  Only files older than
+        ``older_than_sec`` are removed so in-flight writers keep their
+        staging files (the real action's retention-interval guard);
+        metadata json and the version hint are never candidates.
+        Returns {'orphans_deleted': n, 'bytes_reclaimed': b}."""
+        referenced: set = set()
+        for s in self.metadata["snapshots"]:
+            referenced.add(s["manifest-list"])
+            try:
+                _s, mfs, _m = avro_read_container(s["manifest-list"])
+            except OSError:
+                continue
+            for mf in mfs:
+                referenced.add(mf["manifest_path"])
+                try:
+                    _s2, entries, _m2 = avro_read_container(
+                        mf["manifest_path"])
+                except OSError:
+                    continue
+                referenced.update(e["data_file"]["file_path"]
+                                  for e in entries)
+        cutoff = time.time() - older_than_sec
+        mdir = self._metadata_dir(self.location)
+        deleted = {"orphans_deleted": 0, "bytes_reclaimed": 0}
+        for root, _dirs, files in os.walk(self.location):
+            for fn in files:
+                path = os.path.join(root, fn)
+                if root == mdir and not fn.endswith(".avro"):
+                    continue  # table metadata: never an orphan candidate
+                if path in referenced:
+                    continue
+                try:
+                    st = os.stat(path)
+                    if st.st_mtime > cutoff:
+                        continue  # possibly a writer still in flight
+                    os.unlink(path)
+                    deleted["orphans_deleted"] += 1
+                    deleted["bytes_reclaimed"] += st.st_size
+                except OSError:
+                    pass
+        return deleted
+
     # -- scan planning (metadata only) ---------------------------------------
 
     def _snapshot(self, snapshot_id: Optional[int]) -> Optional[Dict[str, Any]]:

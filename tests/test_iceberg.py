@@ -1262,3 +1262,42 @@ def test_evolve_spec_incremental_guard(spark, tmp_path):
     # delta s1->current mixes spec 0 and spec 1 files: refuse
     with pytest.raises(NotImplementedError):
         t.incremental_read(spark, s1)
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Staged-but-uncommitted files are reclaimed once old enough;
+    referenced files and young (possibly in-flight) files survive."""
+    import os, time
+    loc = str(tmp_path / "orphans")
+    df = spark.createDataFrame([("a", 1), ("b", 2)],
+                               "doc_id string, n long")
+    t = IcebergTable.create(loc, df.schema)
+    t.append_dataframe(df)
+    t = IcebergTable.load(loc)
+    # a crashed writer's staging leftovers: data + a manifest avro
+    orphan_data = os.path.join(loc, "data", "snap-dead",
+                               "part-orphan.parquet")
+    os.makedirs(os.path.dirname(orphan_data), exist_ok=True)
+    with open(orphan_data, "wb") as f:
+        f.write(b"x" * 64)
+    orphan_manifest = os.path.join(loc, "metadata", "dead-m0.avro")
+    with open(orphan_manifest, "wb") as f:
+        f.write(b"y" * 32)
+    young_orphan = os.path.join(loc, "data", "snap-dead", "fresh.parquet")
+    with open(young_orphan, "wb") as f:
+        f.write(b"z")
+    old = time.time() - 7 * 86400
+    os.utime(orphan_data, (old, old))
+    os.utime(orphan_manifest, (old, old))
+    res = t.remove_orphan_files(older_than_sec=86400)
+    assert res["orphans_deleted"] == 2
+    assert res["bytes_reclaimed"] == 96
+    assert not os.path.exists(orphan_data)
+    assert not os.path.exists(orphan_manifest)
+    assert os.path.exists(young_orphan)  # retention guard
+    # the table itself is untouched
+    t = IcebergTable.load(loc)
+    assert {r.n for r in t.to_df(spark).collect()} == {1, 2}
+    # metadata json / version hint never considered
+    assert os.path.exists(os.path.join(loc, "metadata",
+                                       "version-hint.text"))
