@@ -1740,10 +1740,21 @@ class IcebergTable:
         ``_file_path`` (the data file, manifest-normalized) and
         ``_pos`` (row ordinal within it) — the inputs a caller needs to
         produce position deletes (see delete_where_positions)."""
-        from pyspark.sql import functions as F
         files = self.scan_files(snapshot_id, partition_filter)
         deletes = self.scan_delete_files(snapshot_id) \
             if apply_deletes else []
+        return self._read_files_df(spark, files, deletes, with_pos)
+
+    def _read_files_df(self, spark, files: List[Dict[str, Any]],
+                       deletes: List[Dict[str, Any]], with_pos: bool):
+        """Shared file-list → DataFrame resolution used by both full
+        scans (to_df) and incremental scans (incremental_read): group
+        data files by (identity-partition tuple, sequence, write-schema
+        id, spec), read each group with its WRITE-time schema, map to
+        the current schema by field id (rename / widen-cast /
+        null-fill), restore identity-partition constants from metadata,
+        and apply position + equality deletes scoped by sequence."""
+        from pyspark.sql import functions as F
         pos_deletes = [d for d in deletes if d.get("content") == 1]
         default_spec = self.metadata["default-spec-id"]
         # identity fields per partition spec: files keep the spec they
@@ -2309,49 +2320,16 @@ class IcebergTable:
         """Rows appended strictly after ``from_snapshot_id`` (exclusive)
         up to ``to_snapshot_id`` (inclusive; default current) as a
         DataFrame — the consume-new-annotations-since-checkpoint path.
-        Identity-partition values are restored like to_df."""
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+
+        Shares to_df's per-(write-schema, spec) resolution, so a delta
+        that spans a schema or partition-spec change reads each delta
+        file with its write-time schema and maps it to the CURRENT
+        schema by field id — a consumer checkpointed before an
+        ``add_column``/``rename_column``/``evolve_partition_spec`` keeps
+        working across it.  Iceberg's incremental append scan semantics:
+        only ADDED rows, deletes in the range are not replayed."""
         files = self.incremental_files(from_snapshot_id, to_snapshot_id)
-        file_schema = self.spark_schema()
-        if not files:
-            return spark.createDataFrame([], file_schema)
-        cur_sid = self.metadata["current-schema-id"]
-        cur_spec = self.metadata["default-spec-id"]
-        if any(d.get("_sid", cur_sid) != cur_sid
-               or d.get("_spec", cur_spec) != cur_spec for d in files):
-            # delta files written under an older schema or partition
-            # spec: the field-id / spec mapping lives in to_df; refuse
-            # rather than mis-resolve by name
-            raise NotImplementedError(
-                "incremental range spans a schema or partition-spec "
-                "change; read the snapshots via to_df(snapshot_id=...) "
-                "instead")
-        ident = [p for p in self._partition_fields()
-                 if p["transform"] == "identity"]
-        part_names = {p["source_name"] for p in ident}
-        read_schema = T.StructType(
-            [f for f in file_schema.fields if f.name not in part_names])
-        groups: Dict[Tuple, List[str]] = {}
-        for d in files:
-            key = tuple(d["partition"].get(p["name"]) for p in ident)
-            groups.setdefault(key, []).append(d["file_path"])
-        parts = []
-        for key, paths in sorted(
-                groups.items(),
-                key=lambda kv: tuple(str(x) for x in kv[0])):
-            df = spark.read.schema(read_schema).parquet(*paths)
-            for p, v in zip(ident, key):
-                df = df.withColumn(
-                    p["source_name"],
-                    F.lit(v).cast(dict(
-                        (f.name, f.dataType) for f in file_schema.fields
-                    )[p["source_name"]]))
-            parts.append(df.select(*[f.name for f in file_schema.fields]))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return self._read_files_df(spark, files, [], False)
 
 
 def _parse_partition_value(v: str, iceberg_type: str) -> Any:

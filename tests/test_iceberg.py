@@ -765,6 +765,54 @@ def test_incremental_read_restores_identity_partitions(spark, triples_df,
     assert inc.count() == 20
 
 
+def test_incremental_read_across_schema_evolution(spark, triples_df,
+                                                  tmp_path):
+    """A consumer checkpointed BEFORE a rename/add keeps reading the
+    delta: old-schema delta files resolve by field id into the current
+    schema (rename carries data, added column null-fills)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    loc = str(tmp_path / "kg_incr_evo")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(triples_df.where(F.col("bucket") == "0"))
+    t.append_dataframe(triples_df.where(F.col("bucket") == "1"))
+    t.rename_column("obj", "object")
+    t.add_column("conf", T.DoubleType())
+    new = (triples_df.where(F.col("bucket") == "2")
+           .withColumnRenamed("obj", "object")
+           .withColumn("conf", F.lit(0.9)))
+    t.append_dataframe(new)
+    inc = t.incremental_read(spark, s1)
+    assert set(inc.columns) == {"subj", "pred", "object", "bucket", "conf"}
+    assert inc.count() == 20
+    old_leg = inc.where(F.col("bucket") == "1")
+    assert old_leg.count() == 10
+    assert old_leg.where(F.col("conf").isNull()).count() == 10
+    assert old_leg.where(F.col("object").startswith("cui:")).count() == 10
+    assert inc.where((F.col("bucket") == "2")
+                     & (F.col("conf") == 0.9)).count() == 10
+
+
+def test_incremental_read_across_spec_evolution(spark, triples_df,
+                                                tmp_path):
+    """A delta spanning evolve_partition_spec reads each file with ITS
+    spec: identity values of the old spec are still restored from
+    metadata, new-spec files read their own layout."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "kg_incr_spec")
+    t = IcebergTable.create(loc, triples_df.schema,
+                            partition_by=["bucket"])
+    s1 = t.append_dataframe(triples_df.where(F.col("bucket") == "0"))
+    t.append_dataframe(triples_df.where(F.col("bucket") == "1"))
+    t.evolve_partition_spec(["pred"])
+    t.append_dataframe(triples_df.where(F.col("bucket") == "2"))
+    inc = t.incremental_read(spark, s1)
+    assert inc.count() == 20
+    assert sorted(r["bucket"] for r in
+                  inc.select("bucket").distinct().collect()) == ["1", "2"]
+    assert inc.where(F.col("pred") == "mentions").count() == 20
+
+
 def test_upsert_one_snapshot_merge_semantics(spark, triples_df, tmp_path):
     """MERGE: updated keys replaced, new keys inserted, ONE snapshot."""
     from pyspark.sql import functions as F
@@ -1239,7 +1287,7 @@ def test_evolve_spec_with_rename_of_partition_source(spark, tmp_path):
 def test_evolve_spec_incremental_guard(spark, tmp_path):
     """A delta entirely under the current spec reads incrementally
     (identity restored per the new spec); a delta that spans the spec
-    change refuses instead of mis-resolving."""
+    change resolves each file with ITS write-time spec."""
     loc = str(tmp_path / "spec_ev5")
     df1 = spark.createDataFrame([("a", "en")],
                                 "doc_id string, lang string")
@@ -1259,9 +1307,11 @@ def test_evolve_spec_incremental_guard(spark, tmp_path):
     # delta s2->current is all new-spec: works, identity restored
     inc = t.incremental_read(spark, s2)
     assert [(r.doc_id, r.lang) for r in inc.collect()] == [("c", "de")]
-    # delta s1->current mixes spec 0 and spec 1 files: refuse
-    with pytest.raises(NotImplementedError):
-        t.incremental_read(spark, s1)
+    # delta s1->current mixes spec 0 and spec 1 files: both legs read,
+    # each with its own spec's identity restoration
+    inc2 = t.incremental_read(spark, s1)
+    assert sorted((r.doc_id, r.lang) for r in inc2.collect()) \
+        == [("b", "fr"), ("c", "de")]
 
 
 def test_remove_orphan_files(spark, tmp_path):
