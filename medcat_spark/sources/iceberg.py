@@ -352,6 +352,114 @@ def _iceberg_to_spark_type(t: Any):
 
 
 # ---------------------------------------------------------------------------
+# Nested schema navigation (dotted paths: 'spans.element.kind' — struct
+# fields by name, list elements as 'element', map sides as 'key'/'value')
+# ---------------------------------------------------------------------------
+
+def _edit_struct_fields(node_type: Any, parts: Sequence[str], edit) -> Any:
+    """Rebuild an Iceberg type tree with ``edit(field_list)`` applied to
+    the STRUCT addressed by ``parts`` (empty parts = this node).  Pure —
+    returns a new tree; every untouched node is shared."""
+    if not parts:
+        if not (isinstance(node_type, dict)
+                and node_type["type"] == "struct"):
+            raise ValueError("path does not address a struct")
+        return dict(node_type, fields=edit(node_type["fields"]))
+    seg, rest = parts[0], parts[1:]
+    if isinstance(node_type, dict) and node_type["type"] == "struct":
+        out, hit = [], False
+        for f in node_type["fields"]:
+            if f["name"] == seg:
+                hit = True
+                out.append(dict(f, type=_edit_struct_fields(
+                    f["type"], rest, edit)))
+            else:
+                out.append(f)
+        if not hit:
+            raise ValueError(f"no such field: {seg!r}")
+        return dict(node_type, fields=out)
+    if isinstance(node_type, dict) and node_type["type"] == "list" \
+            and seg == "element":
+        return dict(node_type, element=_edit_struct_fields(
+            node_type["element"], rest, edit))
+    if isinstance(node_type, dict) and node_type["type"] == "map" \
+            and seg in ("key", "value"):
+        return dict(node_type, **{seg: _edit_struct_fields(
+            node_type[seg], rest, edit)})
+    raise ValueError(f"cannot descend into {seg!r} (not a struct field, "
+                     "list 'element', or map 'key'/'value')")
+
+
+def _collect_field_ids(t: Any) -> List[int]:
+    """Every field/element/key/value id in an Iceberg type subtree."""
+    if isinstance(t, str):
+        return []
+    if t["type"] == "struct":
+        out = []
+        for f in t["fields"]:
+            out.append(f["id"])
+            out.extend(_collect_field_ids(f["type"]))
+        return out
+    if t["type"] == "list":
+        return [t["element-id"]] + _collect_field_ids(t["element"])
+    if t["type"] == "map":
+        return ([t["key-id"], t["value-id"]]
+                + _collect_field_ids(t["key"])
+                + _collect_field_ids(t["value"]))
+    return []
+
+
+def _evolve_expr(hist_t: Any, cur_t: Any, expr):
+    """Column expression resolving a value READ under write-time type
+    ``hist_t`` into current type ``cur_t`` by FIELD ID — the read-side
+    of nested schema evolution.  Identical subtrees pass through
+    untouched (single-column plan); primitives widen by cast; structs
+    rebuild per current field list (renames read the historical name,
+    added fields null-fill, dropped fields stop being projected) with
+    null structs preserved; lists/maps recurse through transform()."""
+    from pyspark.sql import functions as F
+    if hist_t == cur_t:
+        return expr
+    if isinstance(hist_t, str) and isinstance(cur_t, str):
+        return expr.cast(_iceberg_to_spark_type(cur_t))
+    if not (isinstance(hist_t, dict) and isinstance(cur_t, dict)
+            and hist_t["type"] == cur_t["type"]):
+        raise ValueError(
+            f"illegal type evolution: {hist_t!r} -> {cur_t!r}")
+    kind = cur_t["type"]
+    if kind == "struct":
+        hist_by_id = {f["id"]: f for f in hist_t["fields"]}
+        children = []
+        for cf in cur_t["fields"]:
+            h = hist_by_id.get(cf["id"])
+            if h is None:
+                children.append(F.lit(None).cast(
+                    _iceberg_to_spark_type(cf["type"])).alias(cf["name"]))
+            else:
+                children.append(_evolve_expr(
+                    h["type"], cf["type"],
+                    expr[h["name"]]).alias(cf["name"]))
+        rebuilt = F.struct(*children)
+        # F.struct over a NULL struct yields a struct of nulls; keep
+        # row-level nullness intact
+        return F.when(expr.isNull(), F.lit(None).cast(
+            _iceberg_to_spark_type(cur_t))).otherwise(rebuilt)
+    if kind == "list":
+        return F.transform(
+            expr, lambda x: _evolve_expr(hist_t["element"],
+                                         cur_t["element"], x))
+    if kind == "map":
+        return F.map_from_arrays(
+            F.transform(F.map_keys(expr),
+                        lambda k: _evolve_expr(hist_t["key"],
+                                               cur_t["key"], k)),
+            F.transform(F.map_values(expr),
+                        lambda v: _evolve_expr(hist_t["value"],
+                                               cur_t["value"], v)))
+    raise ValueError(f"unsupported type node: {kind}")
+
+
+# ---------------------------------------------------------------------------
 # Single-value serialization for bounds (spec Appendix D)
 # ---------------------------------------------------------------------------
 
@@ -1160,12 +1268,17 @@ class IcebergTable:
         """Schema evolution: append an optional column (new schema-id,
         fresh field-id — Iceberg's safe evolution subset).  Existing
         data files simply lack the column; reads resolve it to null,
-        matching Iceberg's field-id projection of absent columns."""
-        if any(f["name"] == name for f in self.schema()["fields"]):
-            raise ValueError(f"column exists: {name}")
+        matching Iceberg's field-id projection of absent columns.
+
+        ``name`` may be a dotted path addressing a NESTED struct —
+        ``spans.element.lang`` appends a field to the struct inside the
+        ``spans`` array (list elements as 'element', map sides as
+        'key'/'value'); old rows read the new field as null inside
+        every span."""
+        *parts, leaf = name.split(".")
         from pyspark.sql import types as T
         tmp = spark_schema_to_iceberg(
-            T.StructType([T.StructField(name, spark_type, True)]))
+            T.StructType([T.StructField(leaf, spark_type, True)]))
         n_new = tmp["last-column-id"]
         base = self.metadata["last-column-id"]
 
@@ -1189,8 +1302,16 @@ class IcebergTable:
 
         new_field = dict(tmp["fields"][0], id=base + 1,
                          type=shift(tmp["fields"][0]["type"]))
-        self._commit_schema(self.schema()["fields"] + [new_field],
-                            last_column_id=base + n_new)
+
+        def edit(fields: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+            if any(f["name"] == leaf for f in fields):
+                raise ValueError(f"column exists: {name}")
+            return fields + [new_field]
+
+        top = _edit_struct_fields(
+            {"type": "struct", "fields": self.schema()["fields"]},
+            parts, edit)
+        self._commit_schema(top["fields"], last_column_id=base + n_new)
 
     def _commit_schema(self, new_fields: List[Dict[str, Any]],
                        last_column_id: Optional[int] = None) -> None:
@@ -1216,15 +1337,25 @@ class IcebergTable:
         data files, manifests bounds (id-keyed), partition specs
         (source-id-keyed), and delete files all keep resolving; reads
         map each file's write-schema names to the current names by
-        field id."""
-        fields = self.schema()["fields"]
-        if not any(f["name"] == old_name for f in fields):
-            raise ValueError(f"no such column: {old_name}")
-        if any(f["name"] == new_name for f in fields):
-            raise ValueError(f"column exists: {new_name}")
-        self._commit_schema([
-            dict(f, name=new_name) if f["name"] == old_name else f
-            for f in fields])
+        field id.  ``old_name`` may be a dotted path into nested
+        structs ('spans.element.media_ref'); ``new_name`` is the bare
+        new field name."""
+        *parts, leaf = old_name.split(".")
+        if "." in new_name:
+            raise ValueError("new_name is a bare field name, not a path")
+
+        def edit(fields: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+            if not any(f["name"] == leaf for f in fields):
+                raise ValueError(f"no such column: {old_name}")
+            if any(f["name"] == new_name for f in fields):
+                raise ValueError(f"column exists: {new_name}")
+            return [dict(f, name=new_name) if f["name"] == leaf else f
+                    for f in fields]
+
+        top = _edit_struct_fields(
+            {"type": "struct", "fields": self.schema()["fields"]},
+            parts, edit)
+        self._commit_schema(top["fields"])
 
     def drop_column(self, name: str) -> None:
         """Schema evolution: drop a column.  Data files keep the bytes
@@ -1232,22 +1363,33 @@ class IcebergTable:
         projecting the field.  The field id is never reused, so a
         later add_column with the same NAME is a distinct column and
         old values do not resurface (the spec's delete-then-add
-        safety).  Refuses to drop a partition source column."""
-        fields = self.schema()["fields"]
-        target = next((f for f in fields if f["name"] == name), None)
-        if target is None:
-            raise ValueError(f"no such column: {name}")
-        if len(fields) == 1:
-            raise ValueError("cannot drop the only column")
+        safety).  Refuses to drop a partition source column.  ``name``
+        may be a dotted path into nested structs."""
+        *parts, leaf = name.split(".")
         src_ids = {pf["source-id"]
                    for spec in self.metadata["partition-specs"]
                    for pf in spec["fields"]}
-        if target["id"] in src_ids:
-            raise ValueError(
-                f"column {name} is a partition source (in the current "
-                "or a historical spec); cannot drop it while manifests "
-                "may reference it")
-        self._commit_schema([f for f in fields if f["name"] != name])
+
+        def edit(fields: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+            target = next((f for f in fields if f["name"] == leaf), None)
+            if target is None:
+                raise ValueError(f"no such column: {name}")
+            if len(fields) == 1:
+                raise ValueError(
+                    "cannot drop the only field of a struct")
+            dropped = {target["id"],
+                       *_collect_field_ids(target["type"])}
+            if dropped & src_ids:
+                raise ValueError(
+                    f"column {name} is a partition source (in the "
+                    "current or a historical spec); cannot drop it "
+                    "while manifests may reference it")
+            return [f for f in fields if f["name"] != leaf]
+
+        top = _edit_struct_fields(
+            {"type": "struct", "fields": self.schema()["fields"]},
+            parts, edit)
+        self._commit_schema(top["fields"])
 
     _PROMOTIONS = {"int": "long", "float": "double"}
 
@@ -1256,19 +1398,26 @@ class IcebergTable:
         primitive promotions: int -> long, float -> double).  Data
         files written with the narrow type stay valid; reads cast
         per-file, and old manifest bounds (4-byte encodings under an
-        8-byte read type) are decoded with the type at write time."""
-        fields = self.schema()["fields"]
-        target = next((f for f in fields if f["name"] == name), None)
-        if target is None:
-            raise ValueError(f"no such column: {name}")
-        t = target["type"]
-        if not isinstance(t, str) or t not in self._PROMOTIONS:
-            raise ValueError(
-                f"type {t!r} has no spec-allowed promotion "
-                f"(allowed: {self._PROMOTIONS})")
-        self._commit_schema([
-            dict(f, type=self._PROMOTIONS[t]) if f["name"] == name
-            else f for f in fields])
+        8-byte read type) are decoded with the type at write time.
+        ``name`` may be a dotted path into nested structs."""
+        *parts, leaf = name.split(".")
+
+        def edit(fields: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+            target = next((f for f in fields if f["name"] == leaf), None)
+            if target is None:
+                raise ValueError(f"no such column: {name}")
+            t = target["type"]
+            if not isinstance(t, str) or t not in self._PROMOTIONS:
+                raise ValueError(
+                    f"type {t!r} has no spec-allowed promotion "
+                    f"(allowed: {self._PROMOTIONS})")
+            return [dict(f, type=self._PROMOTIONS[t])
+                    if f["name"] == leaf else f for f in fields]
+
+        top = _edit_struct_fields(
+            {"type": "struct", "fields": self.schema()["fields"]},
+            parts, edit)
+        self._commit_schema(top["fields"])
 
     def evolve_partition_spec(self, partition_by: Sequence[Any]) -> int:
         """Partition-spec evolution: change how NEW data is laid out
@@ -1825,17 +1974,13 @@ class IcebergTable:
                         exprs.append(
                             F.lit(None).cast(cur_dt).alias(cf["name"]))
                         continue
-                    if h["type"] != cf["type"] and not (
-                            isinstance(h["type"], str)
-                            and isinstance(cf["type"], str)):
-                        raise NotImplementedError(
-                            "nested type evolution is not supported")
                     rfields.append(T.StructField(
                         h["name"], _iceberg_to_spark_type(h["type"]),
                         True))
-                    e = F.col(h["name"])
-                    if h["type"] != cf["type"]:  # promoted: widen
-                        e = e.cast(cur_dt)
+                    # field-id resolution of the whole subtree: nested
+                    # rename / add / drop / promote handled recursively
+                    e = _evolve_expr(h["type"], cf["type"],
+                                     F.col(h["name"]))
                     exprs.append(e.alias(cf["name"]))
                 read_schema_g = T.StructType(rfields)
             df = spark.read.schema(read_schema_g).parquet(*paths)

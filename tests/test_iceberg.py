@@ -1351,3 +1351,135 @@ def test_remove_orphan_files(spark, tmp_path):
     # metadata json / version hint never considered
     assert os.path.exists(os.path.join(loc, "metadata",
                                        "version-hint.text"))
+
+
+# ---------------------------------------------------------------------------
+# Nested-type evolution (struct fields inside array<struct> — the spans
+# shape of the interleaved documents table)
+# ---------------------------------------------------------------------------
+
+def test_nested_add_field_in_span_struct(spark, docs_df, tmp_path):
+    """add_column('spans.element.lang'): old files read the new nested
+    field as null inside every span; new files carry values; row- and
+    element-level nulls survive the struct rebuild."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    loc = str(tmp_path / "nest_add")
+    t = IcebergTable.create(loc, docs_df.schema)
+    t.append_dataframe(docs_df.limit(5))
+    t.add_column("spans.element.lang", T.StringType())
+    new = spark.createDataFrame(
+        [("docX", [("text", "hola", None, 0, "es")])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int,lang:string>>")
+    t.append_dataframe(new)
+    back = t.to_df(spark)
+    assert back.schema["spans"].dataType.elementType.names \
+        == ["kind", "text", "media_ref", "offset", "lang"]
+    old_rows = back.where(F.col("doc_id") != "docX")
+    assert old_rows.count() == 5
+    # every span of every old row null-fills lang but keeps its text
+    exploded = old_rows.select(F.explode("spans").alias("s"))
+    assert exploded.where(F.col("s.lang").isNotNull()).count() == 0
+    assert exploded.where(F.col("s.kind").isNull()).count() == 0
+    got = back.where(F.col("doc_id") == "docX").collect()[0]
+    assert got.spans[0].lang == "es" and got.spans[0].text == "hola"
+
+
+def test_nested_rename_and_promote(spark, docs_df, tmp_path):
+    """rename media_ref -> media_uri and promote offset int -> long
+    inside the span struct: old files resolve by nested field id."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "nest_ren")
+    t = IcebergTable.create(loc, docs_df.schema)
+    t.append_dataframe(docs_df.limit(8))
+    t.rename_column("spans.element.media_ref", "media_uri")
+    t.promote_column("spans.element.offset")
+    back = t.to_df(spark)
+    el = back.schema["spans"].dataType.elementType
+    assert el.names == ["kind", "text", "media_uri", "offset"]
+    assert el["offset"].dataType.typeName() == "long"
+    # old media_ref values surface under the new name
+    n_media = docs_df.limit(8).select(F.explode("spans").alias("s")) \
+        .where(F.col("s.media_ref").isNotNull()).count()
+    got = back.select(F.explode("spans").alias("s")) \
+        .where(F.col("s.media_uri").isNotNull()).count()
+    assert got == n_media
+    # offsets intact through the widen-cast
+    a = sorted(r[0] for r in docs_df.limit(8)
+               .select(F.explode("spans").alias("s"))
+               .select("s.offset").collect())
+    b = sorted(r[0] for r in back.select(F.explode("spans").alias("s"))
+               .select("s.offset").collect())
+    assert a == b
+
+
+def test_nested_drop_and_no_resurface_on_readd(spark, docs_df, tmp_path):
+    """Dropping a nested field and re-adding the same NAME mints a new
+    field id: old per-span values do not resurface."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    loc = str(tmp_path / "nest_drop")
+    t = IcebergTable.create(loc, docs_df.schema)
+    t.append_dataframe(docs_df.limit(5))
+    t.drop_column("spans.element.media_ref")
+    el = t.to_df(spark).schema["spans"].dataType.elementType
+    assert el.names == ["kind", "text", "offset"]
+    t.add_column("spans.element.media_ref", T.StringType())
+    back = t.to_df(spark).select(F.explode("spans").alias("s"))
+    assert back.where(F.col("s.media_ref").isNotNull()).count() == 0
+
+
+def test_nested_evolution_null_handling(spark, tmp_path):
+    """Null arrays, null struct elements, and null docs survive the
+    rebuild: nullness is preserved at every level."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    schema = ("doc_id string, spans array<struct<kind:string,"
+              "text:string>>")
+    df = spark.createDataFrame(
+        [("a", [("text", "x"), None]), ("b", None), ("c", [])], schema)
+    loc = str(tmp_path / "nest_null")
+    t = IcebergTable.create(loc, df.schema)
+    t.append_dataframe(df)
+    t.add_column("spans.element.lang", T.StringType())
+    rows = {r.doc_id: r.spans for r in t.to_df(spark).collect()}
+    assert rows["b"] is None
+    assert rows["c"] == []
+    assert rows["a"][1] is None              # null element preserved
+    assert rows["a"][0].text == "x" and rows["a"][0].lang is None
+
+
+def test_nested_evolution_map_value(spark, tmp_path):
+    """Evolution inside a map value struct resolves through
+    map_from_arrays + transform."""
+    from pyspark.sql import types as T
+    df = spark.createDataFrame(
+        [("a", {"k1": (1,)})],
+        "doc_id string, attrs map<string,struct<n:int>>")
+    loc = str(tmp_path / "nest_map")
+    t = IcebergTable.create(loc, df.schema)
+    t.append_dataframe(df)
+    t.rename_column("attrs.value.n", "count")
+    t.promote_column("attrs.value.count")
+    got = t.to_df(spark).collect()[0]
+    assert got.attrs["k1"]["count"] == 1
+    vt = t.to_df(spark).schema["attrs"].dataType.valueType
+    assert vt.names == ["count"]
+    assert vt["count"].dataType.typeName() == "long"
+
+
+def test_nested_evolution_incremental_read(spark, docs_df, tmp_path):
+    """The CDC path resolves nested evolution too (shared reader)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    loc = str(tmp_path / "nest_incr")
+    t = IcebergTable.create(loc, docs_df.schema)
+    s1 = t.append_dataframe(docs_df.limit(3))
+    t.append_dataframe(docs_df.limit(6).subtract(docs_df.limit(3)))
+    t.add_column("spans.element.lang", T.StringType())
+    inc = t.incremental_read(spark, s1)
+    assert inc.count() == 3
+    assert "lang" in inc.schema["spans"].dataType.elementType.names
+    assert inc.select(F.explode("spans").alias("s")) \
+        .where(F.col("s.lang").isNotNull()).count() == 0
