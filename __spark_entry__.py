@@ -1085,6 +1085,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum("record_count").alias("n_rows")))
     q["kg_iceberg_files_meta"] = _iceberg_files_meta
 
+    def _iceberg_nested_evolution(s, d):
+        """Nested-type evolution on the interleaved spans shape: write
+        docs as array<struct> spans, rename spans.element.media_ref →
+        media_uri, add spans.element.span_lang, promote offset
+        int→long, append a second batch under the NEW schema, read the
+        union back.  Old files must resolve by nested field id (rename
+        carries values, added field null-fills, offsets widen-cast)."""
+        import tempfile
+        from pyspark.sql import types as T
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "lang", "n_chars")
+        media = F.when(F.col("doc_id") % 2 == 0,
+                       F.concat(F.lit("m://"),
+                                F.col("doc_id").cast("string")))
+        old = docs.where(F.col("doc_id") < 250).select(
+            "doc_id",
+            F.array(F.struct(
+                F.lit("text").alias("kind"),
+                media.alias("media_ref"),
+                F.col("n_chars").cast("int").alias("offset"),
+            )).alias("spans"))
+        loc = tempfile.mkdtemp(prefix="ice_nest_") + "/docs"
+        t = IcebergTable.create(loc, old.schema)
+        t.append_dataframe(old)
+        t.rename_column("spans.element.media_ref", "media_uri")
+        t.add_column("spans.element.span_lang", T.StringType())
+        t.promote_column("spans.element.offset")
+        new = docs.where(F.col("doc_id") >= 250).select(
+            "doc_id",
+            F.array(F.struct(
+                F.lit("text").alias("kind"),
+                media.alias("media_uri"),
+                F.col("n_chars").cast("long").alias("offset"),
+                F.col("lang").alias("span_lang"),
+            )).alias("spans"))
+        t.append_dataframe(new)
+        ex = IcebergTable.load(loc).to_df(s) \
+            .select("doc_id", F.explode("spans").alias("sp"))
+        return (ex.groupBy(F.col("sp.span_lang").alias("span_lang"))
+                .agg(F.count("*").alias("n_spans"),
+                     F.sum("sp.offset").alias("sum_offset"),
+                     F.count("sp.media_uri").alias("n_media")))
+    q["kg_iceberg_nested_evolution"] = _iceberg_nested_evolution
+
     return q
 
 
@@ -1304,6 +1349,19 @@ SELECT doc_id, lang FROM documents WHERE doc_id >= 250
 
     o["kg_iceberg_files_meta"] = """
 SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang
+"""
+
+    # nested evolution: old-batch spans (doc_id < 250) were written
+    # BEFORE span_lang existed (null) and with media_uri under its old
+    # name media_ref (values must survive the rename); offsets were
+    # int32 at write time and widen to long on read
+    o["kg_iceberg_nested_evolution"] = """
+SELECT CASE WHEN doc_id >= 250 THEN lang END AS span_lang,
+       COUNT(*) AS n_spans,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_offset,
+       COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_media
+FROM documents
+GROUP BY 1
 """
 
     o["cdb_names"] = f"""
