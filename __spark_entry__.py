@@ -21,8 +21,10 @@ from medcat_spark.config import EngineConfig
 from medcat_spark.functions import dedup as ddp
 from medcat_spark.functions import similarity as simf
 from medcat_spark.functions import text as txt
-from medcat_spark.functions.graph import (concept_degree, knn_graph,
-                                          pagerank, two_hop_neighbors)
+from medcat_spark.functions.graph import (bfs_distances, concept_degree,
+                                          knn_graph, pagerank,
+                                          triangle_counts,
+                                          two_hop_neighbors)
 from medcat_spark.functions.media import media_features
 from medcat_spark.stats import per_cui_stats
 from medcat_spark.triples import cooccurrence_triples, mention_triples
@@ -939,6 +941,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dictionary approaches completeness, where 2-hop is trivially empty
     q["kg_two_hop"] = lambda s, d: two_hop_neighbors(
         knn_graph(_cooc(s, d), k=2))
+    # triangle census via degree-ordered orientation (hub-safe) and
+    # bounded BFS from the smallest subject — both recomputed by the
+    # oracle in pure SQL (BFS as a RECURSIVE CTE, like the
+    # connected-components certification)
+    q["kg_triangles"] = lambda s, d: triangle_counts(_cooc(s, d))
+    q["kg_bfs_distances"] = lambda s, d: bfs_distances(_cooc(s, d),
+                                                       max_hops=4)
 
     # --- Iceberg graph tables (sources/iceberg.py): the north rule's
     #     materialization target, spec v2 metadata + avro manifests in
@@ -1290,6 +1299,47 @@ paths AS (SELECT a.src AS node_a, b.dst AS node_b,
 SELECT p.node_a, p.node_b, p.n_paths FROM paths p
 WHERE NOT EXISTS (SELECT 1 FROM e2 d
                   WHERE d.src = p.node_a AND d.dst = p.node_b)
+"""
+
+    # triangle census: the oracle enumerates each triangle once at its
+    # name-ordered corner (the engine orients by (degree, name) — the
+    # RESULT is orientation-independent); clustering = 2T/(d(d-1))
+    o["kg_triangles"] = f"""
+{_sym_cte},
+und AS (SELECT subj AS a, obj AS b FROM cooc),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+tn AS (SELECT x AS node FROM tri UNION ALL
+       SELECT y FROM tri UNION ALL
+       SELECT z FROM tri),
+tc AS (SELECT node, COUNT(*) AS n_triangles FROM tn GROUP BY 1),
+deg AS (SELECT src AS node, COUNT(DISTINCT dst) AS degree
+        FROM sym GROUP BY 1)
+SELECT d.node, d.degree,
+       COALESCE(tc.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN CAST(2 AS DOUBLE)
+                       * COALESCE(tc.n_triangles, CAST(0 AS BIGINT))
+                       / (d.degree * (d.degree - 1))
+                  ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+FROM deg d LEFT JOIN tc ON d.node = tc.node
+"""
+
+    # bounded BFS as a RECURSIVE CTE (min hop distance from the
+    # smallest subject) — same certification pattern as the
+    # connected-components oracle
+    o["kg_bfs_distances"] = _sym_cte.replace(
+        "WITH ", "WITH RECURSIVE ", 1) + """,
+seed AS (SELECT MIN(subj) AS node FROM cooc),
+walk(node, dist) AS (
+    SELECT node, 0 FROM seed
+    UNION
+    SELECT s.dst, w.dist + 1
+    FROM walk w JOIN sym s ON s.src = w.node
+    WHERE w.dist < 4
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1
 """
 
     # Iceberg round-trip: the engine writes spans to a real Iceberg v2

@@ -140,3 +140,94 @@ def pagerank(cooc: DataFrame, iterations: int = 3,
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+def triangle_counts(cooc: DataFrame) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over the undirected co-occurrence graph.
+
+    Degree-ordered orientation (the node-iterator++ / compact-forward
+    scheme): every undirected edge points from its lower-(degree, name)
+    endpoint to the higher, wedges are enumerated only at each
+    triangle's lowest-ordered corner, and the closing edge is matched
+    with ONE equi-join back against the oriented edge list.  The
+    orientation is what makes this survive hubs at scale: out-degree
+    after orienting is O(sqrt(m)) no matter how skewed the raw degrees,
+    so a degree-10⁵ stop-concept contributes sqrt-bounded wedges
+    instead of 10¹⁰ — the same blow-up the two_hop max_degree cap
+    guards, solved here without dropping any node.
+
+    Returns EVERY node: (node, degree, n_triangles, clustering) with
+    clustering = 2T / (d(d-1)) rounded to 6 dp, 0.0 when d < 2 — the
+    oracle contract (values are join-order independent)."""
+    und = (cooc.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+           .distinct())
+    deg = (_symmetrize(cooc).select("src", "dst").distinct()
+           .groupBy(F.col("src").alias("node"))
+           .agg(F.count("*").alias("degree")))
+    # total order (degree, name) as a comparable struct; 1 row/node →
+    # both rank joins broadcast under AQE
+    r = deg.select("node", F.struct("degree", "node").alias("r"))
+    ra = r.select(F.col("node").alias("a"), F.col("r").alias("r_a"))
+    rb = r.select(F.col("node").alias("b"), F.col("r").alias("r_b"))
+    lo_first = F.col("r_a") < F.col("r_b")
+    oriented = (und.join(ra, "a").join(rb, "b")
+                .select(F.when(lo_first, F.col("a")).otherwise(F.col("b"))
+                        .alias("src"),
+                        F.when(lo_first, F.col("b")).otherwise(F.col("a"))
+                        .alias("dst"),
+                        F.when(lo_first, F.col("r_b")).otherwise(F.col("r_a"))
+                        .alias("r_dst")))
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                         F.col("r_dst").alias("r_v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                         F.col("r_dst").alias("r_w"))
+    wedges = (e1.join(e2, "u").where(F.col("r_v") < F.col("r_w"))
+              .select("u", "v", "w"))
+    close = oriented.select(F.col("src").alias("v"),
+                            F.col("dst").alias("w"))
+    tri = wedges.join(close, ["v", "w"])  # one row per triangle
+    per_node = (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").alias("n_triangles")))
+    t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    d = F.col("degree")
+    return (deg.join(per_node, "node", "left")
+            .select("node", "degree", t.alias("n_triangles"),
+                    F.round(F.when(d >= 2, F.lit(2.0) * t / (d * (d - 1)))
+                            .otherwise(F.lit(0.0)), 6).alias("clustering")))
+
+
+def bfs_distances(cooc: DataFrame, seeds: DataFrame | None = None,
+                  max_hops: int = 4) -> DataFrame:
+    """Minimum hop distance from a seed set, bounded at ``max_hops``
+    (BFS over the undirected co-occurrence graph) — the n-hop
+    generalization of the reference's filter_by_cui 2-hop subset
+    (/root/reference/medcat/cdb.py most-similar neighbourhood uses the
+    same reachability notion).
+
+    ``seeds``: DataFrame with a ``node`` column; default is the
+    lexicographically smallest subject (deterministic, shared with the
+    SQL oracle).  Each round is frontier ⋈ edges + one anti-join
+    against the settled set; both relations are 1 row/node, so every
+    round is broadcast-sized next to the edge list, and lineage is cut
+    per round with localCheckpoint (connected_components policy).
+    Unreached nodes are absent from the result (dist would be ∞)."""
+    edges = _symmetrize(cooc).select("src", "dst").distinct()
+    if seeds is None:
+        seeds = cooc.select(F.min("subj").alias("node"))
+    known = seeds.select("node").distinct() \
+        .withColumn("dist", F.lit(0))
+    frontier = known.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src"),
+                          "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(known.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(h))
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        known = known.unionByName(nxt)
+        frontier = nxt.select("node")
+    return known

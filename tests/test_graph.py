@@ -88,3 +88,68 @@ def test_pagerank_weight_sensitivity(spark):
         "subj string, pred string, obj string, n_docs long")
     got = {r["node"]: r["pr"] for r in pagerank(cooc).collect()}
     assert got["D"] > got["A"] and got["D"] > got["B"]
+
+
+# ---------------------------------------------------------------------------
+# triangle census + clustering coefficient
+# ---------------------------------------------------------------------------
+
+def test_triangle_counts_hand_graph(cooc):
+    # one triangle A-B-C; D is a pendant off C
+    from medcat_spark.functions.graph import triangle_counts
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+           for r in triangle_counts(cooc).collect()}
+    assert got == {"A": (2, 1, 1.0), "B": (2, 1, 1.0),
+                   "C": (3, 1, round(2 * 1 / (3 * 2), 6)),
+                   "D": (1, 0, 0.0)}
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    """Degree-ordered enumeration equals the O(n^3) definition on a
+    deterministic pseudo-random graph (hash-gated edges, incl. hubs)."""
+    from itertools import combinations
+    from medcat_spark.functions.graph import triangle_counts
+    nodes = [f"n{i:02d}" for i in range(14)]
+    edges = [(a, b) for a, b in combinations(nodes, 2)
+             if (hash((a, b)) & 7) < 3]            # ~3/8 density
+    adj = set(edges)
+    brute = {n: 0 for n in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= adj:
+            for n in (x, y, z):
+                brute[n] += 1
+    cooc = spark.createDataFrame(
+        [(a, "cooccurs_with", b, 1) for a, b in edges],
+        "subj string, pred string, obj string, n_docs long")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(cooc).collect()}
+    touched = {n for e in edges for n in e}
+    assert got == {n: brute[n] for n in touched}
+
+
+# ---------------------------------------------------------------------------
+# bounded BFS distances
+# ---------------------------------------------------------------------------
+
+def test_bfs_distances_default_seed(cooc):
+    # default seed = MIN(subj) = 'A': A0, B1, C1, D2
+    from medcat_spark.functions.graph import bfs_distances
+    got = {r["node"]: r["dist"] for r in bfs_distances(cooc).collect()}
+    assert got == {"A": 0, "B": 1, "C": 1, "D": 2}
+
+
+def test_bfs_distances_hop_bound_and_seed_set(spark, cooc):
+    from medcat_spark.functions.graph import bfs_distances
+    # path graph A-B, B-C, C-D seeded at D with max_hops=2: A unreachable
+    path = spark.createDataFrame(
+        [("A", "p", "B", 1), ("B", "p", "C", 1), ("C", "p", "D", 1)],
+        "subj string, pred string, obj string, n_docs long")
+    seeds = spark.createDataFrame([("D",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(path, seeds, max_hops=2).collect()}
+    assert got == {"D": 0, "C": 1, "B": 2}
+    # two seeds: distances are the min over the seed set
+    seeds2 = spark.createDataFrame([("A",), ("D",)], "node string")
+    got2 = {r["node"]: r["dist"]
+            for r in bfs_distances(path, seeds2, max_hops=4).collect()}
+    assert got2 == {"A": 0, "D": 0, "B": 1, "C": 1}
