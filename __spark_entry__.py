@@ -1139,6 +1139,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count("sp.media_uri").alias("n_media")))
     q["kg_iceberg_nested_evolution"] = _iceberg_nested_evolution
 
+    def _iceberg_wap(s, d):
+        """Write-audit-publish via refs: risky appends stage on an
+        'audit' branch (main unmoved), a validation reads the branch,
+        then fast_forward publishes it to main as one metadata commit.
+        The final main read must contain exactly the union."""
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "lang", "n_chars")
+        loc = tempfile.mkdtemp(prefix="ice_wap_") + "/docs"
+        t = IcebergTable.create(loc, docs.schema)
+        t.append_dataframe(docs.where(F.col("doc_id") < 250))
+        t.create_branch("audit")
+        t.append_dataframe(docs.where(F.col("doc_id") >= 250),
+                           branch="audit")
+        # audit gate: the staged branch must not shrink the corpus
+        n_main = t.to_df(s).count()
+        n_audit = t.to_df(s, ref="audit").count()
+        assert n_audit >= n_main, "audit branch lost rows"
+        t.fast_forward("main", "audit")
+        pub = IcebergTable.load(loc).to_df(s)
+        return (pub.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars")))
+    q["kg_iceberg_wap"] = _iceberg_wap
+
     return q
 
 
@@ -1412,6 +1438,15 @@ SELECT CASE WHEN doc_id >= 250 THEN lang END AS span_lang,
        COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_media
 FROM documents
 GROUP BY 1
+"""
+
+    # write-audit-publish: after fast_forward the main branch is the
+    # full corpus — any row lost or duplicated by branch commits or
+    # the publish step mismatches here
+    o["kg_iceberg_wap"] = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
 """
 
     o["cdb_names"] = f"""

@@ -865,6 +865,7 @@ class IcebergTable:
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": dict(properties or {}),
             "current-snapshot-id": -1,
+            "refs": {},
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
@@ -971,12 +972,15 @@ class IcebergTable:
     # -- append --------------------------------------------------------------
 
     def append_dataframe(self, df, summary_extra: Optional[Dict[str, str]]
-                         = None, overwrite: bool = False) -> int:
+                         = None, overwrite: bool = False,
+                         branch: str = "main") -> int:
         """Write ``df`` as parquet data files + one manifest + a new
         snapshot; returns the snapshot id.  One Spark write job, one
         atomic metadata commit.  ``overwrite=True`` commits a snapshot
         whose manifest list drops all previous manifests (Iceberg
-        REPLACE semantics — old snapshots stay time-travelable)."""
+        REPLACE semantics — old snapshots stay time-travelable).
+        ``branch`` commits onto a named branch (create_branch first)
+        without moving main — the staging side of write-audit-publish."""
         snap_id = int(uuid.uuid4().int % (1 << 62))
         data_dir = self._write_data_files(df, snap_id)
         pend = self._build_data_manifest(data_dir, snap_id, muuid=None)
@@ -986,7 +990,7 @@ class IcebergTable:
             summary={"added-data-files": str(pend["added_files"]),
                      "added-records": str(pend["added_rows"]),
                      **(summary_extra or {})},
-            drop_previous=overwrite)
+            drop_previous=overwrite, branch=branch)
 
     def _write_data_files(self, df, snap_id: int) -> str:
         """One Spark write job into a snapshot-id-addressed dir.
@@ -1184,7 +1188,8 @@ class IcebergTable:
     def _commit_snapshot(self, *, pending: List[Dict[str, Any]],
                          snap_id: int, muuid, operation: str,
                          summary: Dict[str, str],
-                         drop_previous: bool = False) -> int:
+                         drop_previous: bool = False,
+                         branch: str = "main") -> int:
         """Optimistic-concurrency commit shared by append_dataframe,
         delete_where and upsert_dataframe: the data files and the
         manifests are snapshot-id-addressed (never contended); only the
@@ -1204,7 +1209,18 @@ class IcebergTable:
                 self.metadata = fresh.metadata
                 self._base_version = fresh._base_version
             seq = self.metadata["last-sequence-number"] + 1
-            parent = self.current_snapshot_id()
+            if branch == "main":
+                parent = self.current_snapshot_id()
+            else:
+                ref = self.metadata.get("refs", {}).get(branch)
+                if ref is None:
+                    raise ValueError(
+                        f"no such branch: {branch!r} (create_branch "
+                        "first)")
+                if ref.get("type") != "branch":
+                    raise ValueError(
+                        f"ref {branch!r} is a tag — tags are immutable")
+                parent = ref["snapshot-id"]
             prev_manifests = []
             if parent is not None and not drop_previous:
                 prev_manifests = self._manifest_files(parent)
@@ -1246,12 +1262,21 @@ class IcebergTable:
                 snapshot["parent-snapshot-id"] = parent
             version = self._base_version
             self.metadata["snapshots"].append(snapshot)
-            self.metadata["current-snapshot-id"] = snap_id
+            refs = self.metadata.setdefault("refs", {})
+            if branch == "main":
+                # main IS the table's current pointer; the snapshot-log
+                # (timestamp time-travel history) tracks main only
+                self.metadata["current-snapshot-id"] = snap_id
+                refs["main"] = {"snapshot-id": snap_id,
+                                "type": "branch"}
+                self.metadata["snapshot-log"].append(
+                    {"snapshot-id": snap_id,
+                     "timestamp-ms": snapshot["timestamp-ms"]})
+            else:
+                refs[branch] = {"snapshot-id": snap_id,
+                                "type": "branch"}
             self.metadata["last-sequence-number"] = seq
             self.metadata["last-updated-ms"] = snapshot["timestamp-ms"]
-            self.metadata["snapshot-log"].append(
-                {"snapshot-id": snap_id,
-                 "timestamp-ms": snapshot["timestamp-ms"]})
             self.metadata["metadata-log"].append(
                 {"metadata-file": os.path.join(
                     mdir, f"v{version}.metadata.json"),
@@ -1451,8 +1476,98 @@ class IcebergTable:
             raise ValueError(f"unknown snapshot: {snapshot_id}")
         version = self._base_version
         self.metadata["current-snapshot-id"] = snapshot_id
+        self.metadata.setdefault("refs", {})["main"] = {
+            "snapshot-id": snapshot_id, "type": "branch"}
         self.metadata["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(version + 1)
+
+    # -- refs: named branches and tags (spec v2 `refs` map) ------------
+
+    def refs(self) -> Dict[str, Dict[str, Any]]:
+        """The refs map: name → {snapshot-id, type: branch|tag}.  main
+        mirrors current-snapshot-id (synthesized for pre-refs tables)."""
+        out = dict(self.metadata.get("refs", {}))
+        cur = self.current_snapshot_id()
+        if "main" not in out and cur is not None:
+            out["main"] = {"snapshot-id": cur, "type": "branch"}
+        return out
+
+    def ref_snapshot(self, name: str) -> int:
+        ref = self.refs().get(name)
+        if ref is None:
+            raise ValueError(f"no such ref: {name!r}")
+        return ref["snapshot-id"]
+
+    def _create_ref(self, name: str, kind: str,
+                    snapshot_id: Optional[int]) -> int:
+        if name == "main":
+            raise ValueError("main is managed by commits/rollback")
+        if name in self.metadata.get("refs", {}):
+            raise ValueError(f"ref exists: {name!r}")
+        sid = snapshot_id if snapshot_id is not None \
+            else self.current_snapshot_id()
+        if sid is None or not any(s["snapshot-id"] == sid
+                                  for s in self.metadata["snapshots"]):
+            raise ValueError(f"unknown snapshot: {sid}")
+        version = self._base_version
+        self.metadata.setdefault("refs", {})[name] = {
+            "snapshot-id": sid, "type": kind}
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(version + 1)
+        return sid
+
+    def create_branch(self, name: str,
+                      snapshot_id: Optional[int] = None) -> int:
+        """Create a named branch at ``snapshot_id`` (default: current).
+        Commits with ``branch=name`` advance it independently of main —
+        the write side of write-audit-publish: stage risky appends on an
+        audit branch, validate, then ``fast_forward('main', name)``."""
+        return self._create_ref(name, "branch", snapshot_id)
+
+    def create_tag(self, name: str,
+                   snapshot_id: Optional[int] = None) -> int:
+        """Create an immutable named tag (e.g. a certified corpus
+        release); committing to a tag raises."""
+        return self._create_ref(name, "tag", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        if name not in self.metadata.get("refs", {}):
+            raise ValueError(f"no such ref: {name!r}")
+        version = self._base_version
+        del self.metadata["refs"][name]
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(version + 1)
+
+    def fast_forward(self, target: str, source: str) -> int:
+        """Move branch ``target`` to ``source``'s head — allowed only
+        when target's head is an ancestor of source's (a true fast
+        forward, never a silent merge).  The publish step of
+        write-audit-publish: audited snapshots become main atomically,
+        without rewriting a byte."""
+        refs = self.refs()
+        if target != "main" and refs.get(target, {}).get("type") != \
+                "branch":
+            raise ValueError(f"target {target!r} is not a branch")
+        src_head = self.ref_snapshot(source)
+        tgt_head = refs.get(target, {}).get("snapshot-id")
+        if tgt_head is not None and tgt_head not in \
+                self._ancestors(src_head):
+            raise ValueError(
+                f"{target!r} (at {tgt_head}) is not an ancestor of "
+                f"{source!r} (at {src_head}); fast-forward impossible")
+        version = self._base_version
+        self.metadata.setdefault("refs", {})[target] = {
+            "snapshot-id": src_head, "type": "branch"}
+        if target == "main":
+            self.metadata["current-snapshot-id"] = src_head
+            self.metadata["snapshot-log"].append(
+                {"snapshot-id": src_head,
+                 "timestamp-ms": int(time.time() * 1000)})
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(version + 1)
+        return src_head
 
     def rewrite_manifests(self) -> Dict[str, int]:
         """Manifest compaction: fold the current snapshot's N manifests
@@ -1618,12 +1733,16 @@ class IcebergTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         snaps = self.metadata["snapshots"]
-        if len(snaps) <= keep_last:
+        # every named ref head (branch or tag) is always retained —
+        # expiring under a ref would break reads at it
+        ref_heads = {r["snapshot-id"] for r in self.refs().values()}
+        keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} \
+            | ref_heads
+        keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        expire = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+        if not expire:
             return {"expired": 0, "data_files_deleted": 0,
                     "manifests_deleted": 0}
-        keep = snaps[-keep_last:]
-        expire = snaps[:-keep_last]
-        keep_ids = {s["snapshot-id"] for s in keep}
         if self.current_snapshot_id() not in keep_ids:
             raise ValueError("cannot expire the current snapshot")
 
@@ -1867,7 +1986,8 @@ class IcebergTable:
 
     def to_df(self, spark, snapshot_id: Optional[int] = None,
               partition_filter: Optional[Dict[str, Any]] = None,
-              apply_deletes: bool = True, with_pos: bool = False):
+              apply_deletes: bool = True, with_pos: bool = False,
+              ref: Optional[str] = None):
         """Read the table (optionally time-traveled / partition-pruned)
         as a Spark DataFrame.  File list comes from Iceberg metadata;
         identity-partition columns are restored from the manifest's
@@ -1888,7 +2008,14 @@ class IcebergTable:
         ``with_pos=True`` keeps two extra columns on the result:
         ``_file_path`` (the data file, manifest-normalized) and
         ``_pos`` (row ordinal within it) — the inputs a caller needs to
-        produce position deletes (see delete_where_positions)."""
+        produce position deletes (see delete_where_positions).
+
+        ``ref`` reads at a named branch/tag head (mutually exclusive
+        with ``snapshot_id``)."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            snapshot_id = self.ref_snapshot(ref)
         files = self.scan_files(snapshot_id, partition_filter)
         deletes = self.scan_delete_files(snapshot_id) \
             if apply_deletes else []
@@ -2362,10 +2489,15 @@ class IcebergTable:
     def metadata_df(self, spark, kind: str,
                     snapshot_id: Optional[int] = None):
         """Iceberg metadata-table reads: ``kind`` in {'snapshots',
-        'history', 'manifests', 'files', 'delete_files'}.  Everything
-        comes from table metadata + avro manifests — no data file is
-        opened (same property as the real metadata tables: planning
-        queries stay O(metadata) however big the data is)."""
+        'history', 'manifests', 'files', 'delete_files', 'refs'}.
+        Everything comes from table metadata + avro manifests — no data
+        file is opened (same property as the real metadata tables:
+        planning queries stay O(metadata) however big the data is)."""
+        if kind == "refs":
+            rows = [(name, r["type"], r["snapshot-id"])
+                    for name, r in sorted(self.refs().items())]
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long")
         if kind == "snapshots":
             rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
                      s["sequence-number"], s["timestamp-ms"],
@@ -2421,7 +2553,9 @@ class IcebergTable:
     def _ancestors(self, snapshot_id: int) -> List[int]:
         by_id = {s["snapshot-id"]: s for s in self.metadata["snapshots"]}
         out, cur = [], snapshot_id
-        while cur is not None:
+        while cur is not None and cur in by_id:
+            # stop at expired history (a kept ref head whose ancestors
+            # were reclaimed) — the chain is simply truncated there
             out.append(cur)
             cur = by_id[cur].get("parent-snapshot-id")
         return out

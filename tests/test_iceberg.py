@@ -1483,3 +1483,73 @@ def test_nested_evolution_incremental_read(spark, docs_df, tmp_path):
     assert "lang" in inc.schema["spans"].dataType.elementType.names
     assert inc.select(F.explode("spans").alias("s")) \
         .where(F.col("s.lang").isNotNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# refs: branches, tags, write-audit-publish
+# ---------------------------------------------------------------------------
+
+def test_branch_commit_isolated_then_fast_forward(spark, triples_df,
+                                                  tmp_path):
+    """WAP: stage appends on an audit branch (main unmoved), validate,
+    fast_forward main — the publish is one metadata commit."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "refs_wap")
+    first = triples_df.where(F.col("bucket") != "3")
+    second = triples_df.where(F.col("bucket") == "3")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(first)
+    t.create_branch("audit")
+    s2 = t.append_dataframe(second, branch="audit")
+    t = IcebergTable.load(loc)  # refs persisted
+    assert t.current_snapshot_id() == s1          # main unmoved
+    assert t.to_df(spark).count() == first.count()
+    assert t.to_df(spark, ref="audit").count() == triples_df.count()
+    refs = {r["name"]: (r["type"], r["snapshot_id"])
+            for r in t.metadata_df(spark, "refs").collect()}
+    assert refs == {"main": ("branch", s1), "audit": ("branch", s2)}
+    # publish
+    assert t.fast_forward("main", "audit") == s2
+    t = IcebergTable.load(loc)
+    assert t.current_snapshot_id() == s2
+    assert t.to_df(spark).count() == triples_df.count()
+    # CDC from the pre-branch checkpoint now sees the published rows
+    assert t.incremental_read(spark, s1).count() == second.count()
+
+
+def test_fast_forward_requires_ancestor(spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "refs_div")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df.where(F.col("bucket") == "0"))
+    t.create_branch("audit")
+    t.append_dataframe(triples_df.where(F.col("bucket") == "1"),
+                       branch="audit")
+    # main advances independently -> histories diverge
+    t.append_dataframe(triples_df.where(F.col("bucket") == "2"))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("main", "audit")
+
+
+def test_tag_immutable_and_expire_keeps_ref_heads(spark, triples_df,
+                                                  tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "refs_tag")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(triples_df.where(F.col("bucket") == "0"))
+    t.create_tag("v1")
+    t.append_dataframe(triples_df.where(F.col("bucket") == "1"))
+    s3 = t.append_dataframe(triples_df.where(F.col("bucket") == "2"))
+    with pytest.raises(ValueError, match="immutable"):
+        t.append_dataframe(triples_df.limit(1), branch="v1")
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired"] == 1                    # middle snapshot only
+    t = IcebergTable.load(loc)
+    assert t.current_snapshot_id() == s3
+    # the tagged release still reads in full after expiry
+    assert t.to_df(spark, ref="v1").count() == 10
+    assert t.ref_snapshot("v1") == s1
+    t.drop_ref("v1")
+    assert "v1" not in IcebergTable.load(loc).refs()
+    with pytest.raises(ValueError):
+        t.drop_ref("main")
