@@ -1165,6 +1165,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("n_chars").alias("sum_chars")))
     q["kg_iceberg_wap"] = _iceberg_wap
 
+    def _iceberg_changelog(s, d):
+        """Row-level CDC between snapshots (create_changelog_view
+        analogue): after a checkpoint, the range commits an equality
+        delete (doc_id % 5 == 0) and an append; the changelog must
+        emit exactly those as DELETE / INSERT rows."""
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "lang")
+        loc = tempfile.mkdtemp(prefix="ice_cdc_") + "/docs"
+        t = IcebergTable.create(loc, docs.schema)
+        s1 = t.append_dataframe(docs.where(F.col("doc_id") < 250))
+        t.delete_where(s, F.col("doc_id") % 5 == 0,
+                       equality_cols=["doc_id"])
+        t.append_dataframe(docs.where(F.col("doc_id") >= 250))
+        cl = IcebergTable.load(loc).changelog(s, s1)
+        return (cl.groupBy("_change_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("doc_id").alias("sum_id")))
+    q["kg_iceberg_changelog"] = _iceberg_changelog
+
     return q
 
 
@@ -1447,6 +1468,19 @@ GROUP BY 1
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
+"""
+
+    # CDC: deletes hit the pre-checkpoint rows with doc_id % 5 == 0
+    # (the eq delete ran before the second append), inserts are the
+    # appended batch
+    o["kg_iceberg_changelog"] = """
+SELECT 'DELETE' AS _change_type, COUNT(*) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM documents WHERE doc_id < 250 AND doc_id % 5 = 0
+UNION ALL
+SELECT 'INSERT' AS _change_type, COUNT(*) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM documents WHERE doc_id >= 250
 """
 
     o["cdb_names"] = f"""

@@ -2196,29 +2196,40 @@ class IcebergTable:
                     (tuple(d["equality_ids"]), d.get("_sid", cur_sid)),
                     []).append(d["file_path"])
         for (ids, sid), paths in sorted(groups.items()):
-            if any(i not in cur_by_id for i in ids):
-                raise NotImplementedError(
-                    "an equality delete references a dropped column; "
-                    "run rewrite_data_files to materialize deletes "
-                    "BEFORE dropping their key column")
-            hist_by_id = {f["id"]: f
-                          for f in self._schema_by_id(sid)["fields"]}
-            sub = T.StructType([
-                T.StructField(hist_by_id[i]["name"],
-                              _iceberg_to_spark_type(hist_by_id[i]["type"]),
-                              True) for i in ids])
-            sel = []
-            for i in ids:
-                h, c = hist_by_id[i], cur_by_id[i]
-                e = F.col(h["name"])
-                if h["type"] != c["type"]:
-                    e = e.cast(_iceberg_to_spark_type(c["type"]))
-                sel.append(e.alias(c["name"]))
-            vals = (spark.read.schema(sub).parquet(*paths)
-                    .select(*sel).distinct())
-            df = df.join(vals, on=[cur_by_id[i]["name"] for i in ids],
-                         how="left_anti")
+            vals, keys = self._eq_delete_values(spark, paths, ids, sid)
+            df = df.join(vals, on=keys, how="left_anti")
         return df
+
+    def _eq_delete_values(self, spark, paths: List[str],
+                          ids: Tuple[int, ...], sid: int):
+        """Read equality-delete files with their WRITE-time column
+        names/types (field-id resolution), renamed/cast to the current
+        schema; returns (distinct key values DataFrame, key col names).
+        Renames and promotions after a delete keep it applying."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        cur_by_id = {f["id"]: f for f in self.schema()["fields"]}
+        if any(i not in cur_by_id for i in ids):
+            raise NotImplementedError(
+                "an equality delete references a dropped column; "
+                "run rewrite_data_files to materialize deletes "
+                "BEFORE dropping their key column")
+        hist_by_id = {f["id"]: f
+                      for f in self._schema_by_id(sid)["fields"]}
+        sub = T.StructType([
+            T.StructField(hist_by_id[i]["name"],
+                          _iceberg_to_spark_type(hist_by_id[i]["type"]),
+                          True) for i in ids])
+        sel = []
+        for i in ids:
+            h, c = hist_by_id[i], cur_by_id[i]
+            e = F.col(h["name"])
+            if h["type"] != c["type"]:
+                e = e.cast(_iceberg_to_spark_type(c["type"]))
+            sel.append(e.alias(c["name"]))
+        vals = (spark.read.schema(sub).parquet(*paths)
+                .select(*sel).distinct())
+        return vals, [cur_by_id[i]["name"] for i in ids]
 
     def delete_where(self, spark, condition,
                      equality_cols: Sequence[str],
@@ -2591,7 +2602,11 @@ class IcebergTable:
                     continue
                 if e["snapshot_id"] not in new_ids:
                     continue
-                out.append(dict(e["data_file"], _sid=sid, _spec=spec))
+                seq = e["sequence_number"]
+                if seq is None:
+                    seq = mf["sequence_number"]
+                out.append(dict(e["data_file"], _sid=sid, _spec=spec,
+                                _seq=seq))
         return out
 
     def incremental_read(self, spark, from_snapshot_id: int,
@@ -2609,6 +2624,101 @@ class IcebergTable:
         only ADDED rows, deletes in the range are not replayed."""
         files = self.incremental_files(from_snapshot_id, to_snapshot_id)
         return self._read_files_df(spark, files, [], False)
+
+    def _delete_files_added_in(self, new_ids: set,
+                               to_snapshot_id: int
+                               ) -> List[Dict[str, Any]]:
+        """Delete files COMMITTED by snapshots in ``new_ids`` (planned
+        from content=1 manifests added in the range)."""
+        out: List[Dict[str, Any]] = []
+        for mf in self._manifest_files(to_snapshot_id):
+            if mf.get("content", 0) != 1:
+                continue
+            if mf["added_snapshot_id"] not in new_ids:
+                continue
+            _s, entries, _m = avro_read_container(mf["manifest_path"])
+            sid = int(_m.get("schema-id",
+                             self.metadata["current-schema-id"]))
+            for e in entries:
+                if e["status"] != 1 or e["snapshot_id"] not in new_ids:
+                    continue
+                seq = e["sequence_number"]
+                if seq is None:
+                    seq = mf["sequence_number"]
+                out.append(dict(e["data_file"], _seq=seq, _sid=sid))
+        return out
+
+    def changelog(self, spark, from_snapshot_id: int,
+                  to_snapshot_id: Optional[int] = None):
+        """Row-level change stream between two snapshots (the
+        create_changelog_view analogue, net-changes form): a DataFrame
+        of ``_change_type`` ('INSERT' | 'DELETE') + the table columns.
+
+        INSERT rows are the data appended in the range that still
+        survives at ``to`` (deletes committed within the range apply,
+        so an insert-then-delete nets out).  DELETE rows are the rows
+        present at ``from`` that delete files committed in the range
+        removed (equality deletes matched by key, position deletes by
+        (file, pos); a physical row hit by both is emitted once).
+
+        Planning stays O(manifests): appended data files and new delete
+        files are enumerated from manifests; pre-existing data is read
+        only to materialize the removed rows.  Rows physically
+        rewritten by compaction (REPLACE snapshots) are not changes and
+        do not appear."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        to_id = to_snapshot_id if to_snapshot_id is not None \
+            else self.current_snapshot_id()
+        chain = self._ancestors(to_id)
+        if from_snapshot_id not in chain:
+            raise ValueError(
+                f"{from_snapshot_id} is not an ancestor of {to_id}")
+        new_ids = set(chain[:chain.index(from_snapshot_id)])
+        cols = [f.name for f in self.spark_schema().fields]
+        new_dels = self._delete_files_added_in(new_ids, to_id)
+        ins_files = self.incremental_files(from_snapshot_id, to_id)
+        inserts = self._read_files_df(spark, ins_files, new_dels, False)
+        out = inserts.select(F.lit("INSERT").alias("_change_type"),
+                             *cols)
+        base_files = self.scan_files(from_snapshot_id)
+        if new_dels and base_files:
+            before = self._read_files_df(spark, base_files, [], True)
+            hits = []
+            pos_paths = [d["file_path"] for d in new_dels
+                         if d.get("content") == 1]
+            if pos_paths:
+                sub = T.StructType(
+                    [T.StructField("file_path", T.StringType()),
+                     T.StructField("pos", T.LongType())])
+                dels = (spark.read.schema(sub).parquet(*pos_paths)
+                        .distinct()
+                        .withColumnRenamed("file_path", "_file_path")
+                        .withColumnRenamed("pos", "_pos"))
+                hits.append(before.join(dels, ["_file_path", "_pos"],
+                                        "left_semi"))
+            eq_groups: Dict[Tuple, List[str]] = {}
+            cur_sid = self.metadata["current-schema-id"]
+            for d in new_dels:
+                if d.get("content") != 1 and d.get("equality_ids"):
+                    eq_groups.setdefault(
+                        (tuple(d["equality_ids"]),
+                         d.get("_sid", cur_sid)),
+                        []).append(d["file_path"])
+            for (ids, sid), paths in sorted(eq_groups.items()):
+                vals, keys = self._eq_delete_values(spark, paths, ids,
+                                                    sid)
+                hits.append(before.join(vals, keys, "left_semi"))
+            if hits:
+                removed = hits[0]
+                for h in hits[1:]:
+                    removed = removed.unionByName(h)
+                # (_file_path, _pos) is the physical row identity — a
+                # row hit by several delete files is one DELETE
+                removed = removed.dropDuplicates(["_file_path", "_pos"])
+                out = out.unionByName(removed.select(
+                    F.lit("DELETE").alias("_change_type"), *cols))
+        return out
 
 
 def _parse_partition_value(v: str, iceberg_type: str) -> Any:

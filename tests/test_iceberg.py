@@ -1553,3 +1553,70 @@ def test_tag_immutable_and_expire_keeps_ref_heads(spark, triples_df,
     assert "v1" not in IcebergTable.load(loc).refs()
     with pytest.raises(ValueError):
         t.drop_ref("main")
+
+
+# ---------------------------------------------------------------------------
+# row-level changelog (CDC with deletes)
+# ---------------------------------------------------------------------------
+
+def test_changelog_inserts_and_deletes(spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "cdc1")
+    base = triples_df.where(F.col("bucket").isin("0", "1"))
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(base)
+    t.delete_where(spark, F.col("bucket") == "0",
+                   equality_cols=["subj"])
+    t.append_dataframe(triples_df.where(F.col("bucket") == "2"))
+    cl = t.changelog(spark, s1)
+    got_del = sorted(r.subj for r in
+                     cl.where(F.col("_change_type") == "DELETE")
+                     .collect())
+    want_del = sorted(r.subj for r in
+                      base.where(F.col("bucket") == "0").collect())
+    assert got_del == want_del
+    got_ins = sorted(r.subj for r in
+                     cl.where(F.col("_change_type") == "INSERT")
+                     .collect())
+    want_ins = sorted(
+        r.subj for r in
+        triples_df.where(F.col("bucket") == "2").collect())
+    assert got_ins == want_ins
+
+
+def test_changelog_insert_then_delete_nets_out(spark, triples_df,
+                                               tmp_path):
+    """A row appended and deleted INSIDE the range is no net change."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "cdc2")
+    t = IcebergTable.create(loc, triples_df.schema)
+    s1 = t.append_dataframe(triples_df.where(F.col("bucket") == "0"))
+    t.append_dataframe(triples_df.where(F.col("bucket") == "2"))
+    t.delete_where(spark, F.col("bucket") == "2",
+                   equality_cols=["subj"])
+    cl = t.changelog(spark, s1).collect()
+    assert cl == []   # nothing net-changed vs s1
+
+
+def test_changelog_position_deletes_once_per_physical_row(
+        spark, triples_df, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    loc = str(tmp_path / "cdc3")
+    docs = triples_df.where(F.col("bucket") == "1")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(docs)
+    s1 = t.append_dataframe(docs)       # true duplicates
+    # remove exactly one physical copy of each subject
+    withpos = t.to_df(spark, with_pos=True)
+    w = Window.partitionBy("subj").orderBy("_file_path", "_pos")
+    one = (withpos.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select(F.col("_file_path").alias("file_path"),
+                   F.col("_pos").alias("pos")))
+    t.delete_positions(spark, one)
+    cl = t.changelog(spark, s1)
+    assert cl.where(F.col("_change_type") == "INSERT").count() == 0
+    dels = cl.where(F.col("_change_type") == "DELETE")
+    assert dels.count() == docs.count()          # one per subject
+    assert dels.select("subj").distinct().count() == docs.count()
