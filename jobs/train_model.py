@@ -82,6 +82,17 @@ def _train_meta_head(spark, args, cfg):
         from medcat_spark.functions.bert_train import train_bert_meta
         report = train_bert_meta(model, data, nepochs=args.meta_epochs,
                                  lr=args.meta_lr)
+    elif getattr(args, "meta_distributed", False):
+        # data-parallel gradient shards across executors; combined
+        # gradient == the sequential full-batch gradient (exact), so
+        # this path needs the large-macro-batch regime to pay off
+        from medcat_spark.functions.lstm_train import \
+            train_lstm_meta_spark
+        report = train_lstm_meta_spark(
+            spark, model, data,
+            n_shards=getattr(args, "meta_shards", 8),
+            nepochs=args.meta_epochs, lr=args.meta_lr,
+            batch_size=max(1000, args.meta_shards * 250))
     elif args.meta_two_phase:
         report = train_lstm_meta_two_phase(
             model, data, nepochs=args.meta_epochs, lr=args.meta_lr)
@@ -160,6 +171,11 @@ def main(argv=None):
                         "meta_cat.py:200-358 train loop in numpy")
     p.add_argument("--meta-epochs", type=int, default=50)
     p.add_argument("--meta-lr", type=float, default=1e-3)
+    p.add_argument("--meta-distributed", action="store_true",
+                   help="compute each macro-batch gradient data-parallel "
+                        "across executors (exact: equals the sequential "
+                        "full-batch gradient)")
+    p.add_argument("--meta-shards", type=int, default=8)
     p.add_argument("--meta-two-phase", action="store_true",
                    help="phase 1 on the class-undersampled set, phase 2 "
                         "on the full set (meta_cat.py:274-301)")

@@ -491,9 +491,17 @@ def train_lstm_meta(model: LstmMetaModel, data: Sequence[Sample], *,
                     seed: int = 42, emb_grad: bool = True,
                     clip_norm: float = 0.15,
                     weight_decay: float = 1e-5,
-                    shuffle_data: bool = True) -> Dict:
+                    shuffle_data: bool = True,
+                    grad_fn=None) -> Dict:
     """One training phase (reference ml_utils.train_model).  Mutates
-    ``model`` to the winner-epoch weights and returns the report."""
+    ``model`` to the winner-epoch weights and returns the report.
+
+    ``grad_fn(model, batch, cw, emb_grad) -> (loss, grads)`` overrides
+    the gradient computation for one macro-batch — the hook the
+    Spark data-parallel trainer (train_lstm_meta_spark) plugs into;
+    the surrounding loop (shuffling, clip, Adam, winner selection,
+    early stopping) is shared so the two trainers differ ONLY in where
+    the gradient sum is computed."""
     rng = np.random.RandomState(seed)
     data = list(data)
     if shuffle_data:
@@ -522,7 +530,11 @@ def train_lstm_meta(model: LstmMetaModel, data: Sequence[Sample], *,
         losses = []
         for ofs in range(0, len(train), batch_size):
             batch = [train[i] for i in order[ofs:ofs + batch_size]]
-            loss, grads, _ = _forward_backward(model, batch, cw, emb_grad)
+            if grad_fn is None:
+                loss, grads, _ = _forward_backward(model, batch, cw,
+                                                   emb_grad)
+            else:
+                loss, grads = grad_fn(model, batch, cw, emb_grad)
             _clip_total_norm(grads, clip_norm)
             opt.step(grads)
             losses.append(loss)
@@ -552,6 +564,77 @@ def train_lstm_meta(model: LstmMetaModel, data: Sequence[Sample], *,
     winner["class_weights"] = (None if cw is None
                                else [round(float(x), 4) for x in cw])
     return winner
+
+
+def _spark_batch_grad(spark, model: LstmMetaModel,
+                      batch: Sequence[Sample],
+                      cw: Optional[np.ndarray], emb_grad: bool,
+                      n_shards: int):
+    """One synchronous data-parallel gradient: the macro-batch is split
+    across executors, each shard runs _forward_backward on ITS rows
+    against the broadcast model, and the driver recombines the shard
+    means weighted by their CE weight mass (wsum): because the batch
+    loss is Σw·ce / Σw, grad_total = Σᵢ wsumᵢ·gradᵢ / Σᵢ wsumᵢ EXACTLY
+    equals the sequential full-batch gradient (linearity) — scaling out
+    changes wall-clock, not the math (pytest-asserted to 1e-8).
+
+    RDD mapPartitions is deliberate here: a gradient shard is opaque
+    per-partition imperative numpy (the SURVEY-sanctioned exception),
+    not a columnar relation — there is no schema for Catalyst to
+    optimize and the payload is a dict of ndarrays.
+
+    Scale notes: the model broadcast is per STEP (params changed), so
+    the efficient regime is large macro-batches (few steps/epoch);
+    with emb_grad the full dE matrix returns from every shard — at
+    production vocab sizes the shard would return (touched-row-index,
+    rows) pairs instead, an O(batch·window) payload."""
+    sc = spark.sparkContext
+    bc = sc.broadcast(model)
+    cw_list = None if cw is None else [float(x) for x in cw]
+
+    def part(rows_iter):
+        rows = list(rows_iter)
+        if not rows:
+            return
+        cw_np = None if cw_list is None else np.asarray(cw_list)
+        wsum = (float(len(rows)) if cw_np is None
+                else float(cw_np[[y for _, _, y in rows]].sum()))
+        loss, grads, _ = _forward_backward(bc.value, rows, cw_np,
+                                           emb_grad)
+        yield (wsum, loss, grads)
+
+    shards = (sc.parallelize(list(batch),
+                             numSlices=max(1, min(n_shards, len(batch))))
+              .mapPartitions(part).collect())
+    bc.unpersist()
+    tw = sum(s[0] for s in shards)
+    loss = sum(s[0] * s[1] for s in shards) / tw
+    grads: Dict[str, np.ndarray] = {}
+    for k in shards[0][2]:
+        acc = None
+        for wsum, _, g in shards:
+            t = g[k] * (wsum / tw)
+            acc = t if acc is None else acc + t
+        grads[k] = acc
+    return loss, grads
+
+
+def train_lstm_meta_spark(spark, model: LstmMetaModel,
+                          data: Sequence[Sample], *,
+                          n_shards: int = 8, **kw) -> Dict:
+    """Distributed fine-tuning of the LSTM meta head: the exact
+    train_lstm_meta loop (shuffle, weighted CE, clip, Adam, winner
+    epoch, early stopping — reference ml_utils.train_model semantics)
+    with each macro-batch's gradient computed data-parallel across the
+    cluster (_spark_batch_grad).  Unlike the parameter-averaging path
+    documented for the context model (L7), this is NOT a divergence:
+    the combined gradient is bit-for-bit the sequential full-batch
+    gradient up to float summation order."""
+    return train_lstm_meta(
+        model, data,
+        grad_fn=lambda m, batch, cw, eg: _spark_batch_grad(
+            spark, m, batch, cw, eg, n_shards),
+        **kw)
 
 
 def train_lstm_meta_two_phase(model: LstmMetaModel, data: Sequence[Sample],

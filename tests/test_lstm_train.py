@@ -312,7 +312,8 @@ def test_train_meta_job_surface(spark, tmp_path):
     args = argparse.Namespace(
         mct=str(mct), model_pack=str(tmp_path / "absent"),
         out_pack=str(out_pack), train_meta="Negation",
-        meta_epochs=25, meta_lr=0.02, meta_two_phase=False)
+        meta_epochs=25, meta_lr=0.02, meta_two_phase=False,
+        meta_distributed=False, meta_shards=8)
     report = _train_meta_head(spark, args, None)
     assert report["n_samples"] == 16
     assert report["report"]["weighted_f1"] >= 0.75
@@ -322,3 +323,47 @@ def test_train_meta_job_surface(spark, tmp_path):
     ids, _ = m.tokenizer.encode_with_offsets(pos)
     assert m.predict_batch_ids([ids], [(2, 2)])[0][0] in {"present",
                                                           "negated"}
+
+
+# ---------------------------------------------------------------------------
+# Spark data-parallel trainer
+# ---------------------------------------------------------------------------
+
+def _clone_model(m):
+    import copy
+    return copy.deepcopy(m)
+
+
+def test_spark_trainer_matches_sequential_exactly(spark):
+    """Shard-combined gradients ARE the sequential full-batch gradient
+    (linearity of the weighted-CE sum): with full-batch steps, the
+    distributed trainer lands on the same weights as the driver-side
+    trainer up to float summation order."""
+    from medcat_spark.functions.lstm_train import train_lstm_meta_spark
+    from medcat_spark.functions.lstm_train import _params
+    data, tok2id, labels = order_task_id_samples(n_pairs=40)
+    m_seq = init_lstm_meta(labels, tok2id, input_size=8, hidden_size=10,
+                           seed=11)
+    m_dist = _clone_model(m_seq)
+    kw = dict(nepochs=3, lr=0.01, batch_size=10 ** 9,  # full-batch steps
+              test_size=0.2, seed=42, patience=0)
+    train_lstm_meta(m_seq, data, **kw)
+    train_lstm_meta_spark(spark, m_dist, data, n_shards=3, **kw)
+    p_seq, p_dist = _params(m_seq, True), _params(m_dist, True)
+    assert set(p_seq) == set(p_dist)
+    for k in p_seq:
+        np.testing.assert_allclose(p_dist[k], p_seq[k], atol=1e-8,
+                                   err_msg=k)
+
+
+def test_spark_trainer_minibatch_converges(spark):
+    """Distributed minibatch training solves the order task end-to-end
+    (the recurrence-required benchmark the sequential trainer uses)."""
+    from medcat_spark.functions.lstm_train import train_lstm_meta_spark
+    data, tok2id, labels = order_task_id_samples(n_pairs=80)
+    model = init_lstm_meta(labels, tok2id, input_size=12, hidden_size=24,
+                           seed=11)
+    report = train_lstm_meta_spark(spark, model, data, n_shards=4,
+                                   nepochs=25, lr=0.01, batch_size=32,
+                                   test_size=0.2, patience=10, seed=42)
+    assert report["weighted_f1"] >= 0.9, report
