@@ -138,8 +138,16 @@ def _train_rel_head(spark, args):
     data, labels = collect_relation_samples(df, labels=model.labels)
     if not data:
         raise ValueError("no relation training samples in the export")
-    report = train_relcat(model, data, nepochs=args.rel_epochs,
-                          lr=args.rel_lr)
+    if getattr(args, "rel_distributed", False):
+        from medcat_spark.functions.bert_train import train_relcat_spark
+        report = train_relcat_spark(
+            spark, model, data,
+            n_shards=getattr(args, "meta_shards", 8),
+            nepochs=args.rel_epochs, lr=args.rel_lr,
+            batch_size=max(500, getattr(args, "meta_shards", 8) * 125))
+    else:
+        report = train_relcat(model, data, nepochs=args.rel_epochs,
+                              lr=args.rel_lr)
     out_dir = os.path.join(args.out_pack, f"rel_{name}")
     n_heads = getattr(model.encoder, "n_heads", 8)
     write_reference_rel_component(out_dir, model, n_heads=n_heads)
@@ -186,6 +194,10 @@ def main(argv=None):
                         "rel_cat.py:174-420 loop)")
     p.add_argument("--rel-epochs", type=int, default=10)
     p.add_argument("--rel-lr", type=float, default=1e-4)
+    p.add_argument("--rel-distributed", action="store_true",
+                   help="data-parallel macro-batch gradients for the "
+                        "relation head (exact combine; shares "
+                        "--meta-shards)")
     p.add_argument("--rel-other-per-doc", type=int, default=0,
                    help="sample up to N 'Other' pairs per document from "
                         "validated annotations (rel_dataset.py:516-559)")

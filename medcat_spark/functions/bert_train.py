@@ -383,10 +383,11 @@ def train_relcat(model: RelCatBertModel, data: Sequence[Sample], *,
                  multistep_milestones: Optional[List[int]] = None,
                  multistep_lr_gamma: float = 0.8,
                  seed: int = 42, shuffle_data: bool = True,
-                 patience: int = 0) -> Dict:
+                 patience: int = 0, grad_fn=None) -> Dict:
     """Reference RelCAT.train loop (rel_cat.py:174-420) in numpy.
     Mutates ``model`` to the best-F1 epoch's weights, returns the
-    report."""
+    report.  ``grad_fn(model, batch, cw) -> (loss, grads)`` overrides
+    the per-macro-batch gradient (the train_relcat_spark hook)."""
     rng = np.random.RandomState(seed)
     data = list(data)
     if shuffle_data:
@@ -417,7 +418,10 @@ def train_relcat(model: RelCatBertModel, data: Sequence[Sample], *,
         losses = []
         for ofs in range(0, len(train), batch_size):
             batch = [train[i] for i in order[ofs:ofs + batch_size]]
-            loss, grads, _ = relcat_forward_backward(model, batch, cw)
+            if grad_fn is None:
+                loss, grads, _ = relcat_forward_backward(model, batch, cw)
+            else:
+                loss, grads = grad_fn(model, batch, cw)
             _clip_total_norm(grads, max_grad_norm)
             opt.step(grads)
             losses.append(loss)
@@ -666,10 +670,11 @@ def train_bert_meta(model, data, *, nepochs: int = 50, lr: float = 1e-4,
                     class_weights=None, compute_class_weights: bool = True,
                     metric: str = "weighted_f1", patience: int = 0,
                     seed: int = 42, clip_norm: float = 0.15,
-                    shuffle_data: bool = True) -> Dict:
+                    shuffle_data: bool = True, grad_fn=None) -> Dict:
     """ml_utils.train_model loop for the BERT meta head (the reference
     trains LSTM and BERT heads through the same loop — meta_cat.py:302;
-    Adam, clip 0.15, winner by weighted-avg F1)."""
+    Adam, clip 0.15, winner by weighted-avg F1).  ``grad_fn`` as in
+    train_relcat (the train_bert_meta_spark hook)."""
     from medcat_spark.functions.lstm_train import _Adam
 
     rng = np.random.RandomState(seed)
@@ -699,7 +704,11 @@ def train_bert_meta(model, data, *, nepochs: int = 50, lr: float = 1e-4,
         losses = []
         for ofs in range(0, len(train), batch_size):
             batch = [train[i] for i in order[ofs:ofs + batch_size]]
-            loss, grads, _ = bert_meta_forward_backward(model, batch, cw)
+            if grad_fn is None:
+                loss, grads, _ = bert_meta_forward_backward(model, batch,
+                                                            cw)
+            else:
+                loss, grads = grad_fn(model, batch, cw)
             _clip_total_norm(grads, clip_norm)
             opt.step(grads)
             losses.append(loss)
@@ -849,3 +858,31 @@ def train_token_classifier(model, data, *, nepochs: int = 10,
     winner["n_train"] = len(train)
     winner["n_test"] = len(test)
     return winner
+
+
+def train_relcat_spark(spark, model: RelCatBertModel,
+                       data: Sequence[Sample], *,
+                       n_shards: int = 8, **kw) -> Dict:
+    """Distributed RelCAT fine-tuning: the exact train_relcat loop
+    (weighted CE, MultiStepLR, AdamW, winner epoch) with each
+    macro-batch gradient computed data-parallel across executors and
+    recombined wsum-weighted — identical to the sequential full-batch
+    gradient by linearity (see lstm_train.spark_batch_grad)."""
+    from medcat_spark.functions.lstm_train import spark_batch_grad
+    return train_relcat(
+        model, data,
+        grad_fn=lambda m, batch, cw: spark_batch_grad(
+            spark, m, batch, cw, n_shards, relcat_forward_backward),
+        **kw)
+
+
+def train_bert_meta_spark(spark, model, data: Sequence[Sample], *,
+                          n_shards: int = 8, **kw) -> Dict:
+    """Distributed BERT meta-head fine-tuning (same hook as
+    train_relcat_spark over bert_meta_forward_backward)."""
+    from medcat_spark.functions.lstm_train import spark_batch_grad
+    return train_bert_meta(
+        model, data,
+        grad_fn=lambda m, batch, cw: spark_batch_grad(
+            spark, m, batch, cw, n_shards, bert_meta_forward_backward),
+        **kw)

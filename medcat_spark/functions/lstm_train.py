@@ -566,17 +566,17 @@ def train_lstm_meta(model: LstmMetaModel, data: Sequence[Sample], *,
     return winner
 
 
-def _spark_batch_grad(spark, model: LstmMetaModel,
-                      batch: Sequence[Sample],
-                      cw: Optional[np.ndarray], emb_grad: bool,
-                      n_shards: int):
-    """One synchronous data-parallel gradient: the macro-batch is split
-    across executors, each shard runs _forward_backward on ITS rows
+def spark_batch_grad(spark, model, batch: Sequence[Sample],
+                     cw: Optional[np.ndarray], n_shards: int, fb):
+    """One synchronous data-parallel gradient, generic over the head:
+    the macro-batch is split across executors, each shard runs
+    ``fb(model, rows, cw) -> (loss, grads, logits)`` on ITS rows
     against the broadcast model, and the driver recombines the shard
-    means weighted by their CE weight mass (wsum): because the batch
-    loss is Σw·ce / Σw, grad_total = Σᵢ wsumᵢ·gradᵢ / Σᵢ wsumᵢ EXACTLY
-    equals the sequential full-batch gradient (linearity) — scaling out
-    changes wall-clock, not the math (pytest-asserted to 1e-8).
+    means weighted by their CE weight mass (wsum): because each head's
+    batch loss is Σw·ce / Σw, grad_total = Σᵢ wsumᵢ·gradᵢ / Σᵢ wsumᵢ
+    EXACTLY equals the sequential full-batch gradient (linearity) —
+    scaling out changes wall-clock, not the math (pytest-asserted to
+    1e-8 for the LSTM and BERT heads).
 
     RDD mapPartitions is deliberate here: a gradient shard is opaque
     per-partition imperative numpy (the SURVEY-sanctioned exception),
@@ -585,9 +585,9 @@ def _spark_batch_grad(spark, model: LstmMetaModel,
 
     Scale notes: the model broadcast is per STEP (params changed), so
     the efficient regime is large macro-batches (few steps/epoch);
-    with emb_grad the full dE matrix returns from every shard — at
-    production vocab sizes the shard would return (touched-row-index,
-    rows) pairs instead, an O(batch·window) payload."""
+    embedding gradients return dense from every shard — at production
+    vocab sizes the shard would return (touched-row-index, rows) pairs
+    instead, an O(batch·window) payload."""
     sc = spark.sparkContext
     bc = sc.broadcast(model)
     cw_list = None if cw is None else [float(x) for x in cw]
@@ -599,8 +599,7 @@ def _spark_batch_grad(spark, model: LstmMetaModel,
         cw_np = None if cw_list is None else np.asarray(cw_list)
         wsum = (float(len(rows)) if cw_np is None
                 else float(cw_np[[y for _, _, y in rows]].sum()))
-        loss, grads, _ = _forward_backward(bc.value, rows, cw_np,
-                                           emb_grad)
+        loss, grads, _ = fb(bc.value, rows, cw_np)
         yield (wsum, loss, grads)
 
     shards = (sc.parallelize(list(batch),
@@ -626,14 +625,15 @@ def train_lstm_meta_spark(spark, model: LstmMetaModel,
     train_lstm_meta loop (shuffle, weighted CE, clip, Adam, winner
     epoch, early stopping — reference ml_utils.train_model semantics)
     with each macro-batch's gradient computed data-parallel across the
-    cluster (_spark_batch_grad).  Unlike the parameter-averaging path
+    cluster (spark_batch_grad).  Unlike the parameter-averaging path
     documented for the context model (L7), this is NOT a divergence:
     the combined gradient is bit-for-bit the sequential full-batch
     gradient up to float summation order."""
     return train_lstm_meta(
         model, data,
-        grad_fn=lambda m, batch, cw, eg: _spark_batch_grad(
-            spark, m, batch, cw, eg, n_shards),
+        grad_fn=lambda m, batch, cw, eg: spark_batch_grad(
+            spark, m, batch, cw, n_shards,
+            lambda mm, rows, cc: _forward_backward(mm, rows, cc, eg)),
         **kw)
 
 

@@ -486,3 +486,50 @@ def test_train_token_classifier_learns():
     want = [int(t % 2) for t in data[0][0]]
     acc = np.mean([b == w for b, w in zip(best[0][:-1], want[:-1])])
     assert acc >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# Spark data-parallel trainers (shared spark_batch_grad combine)
+# ---------------------------------------------------------------------------
+
+def test_spark_relcat_trainer_matches_sequential(spark):
+    """Shard-combined RelCAT gradients equal the sequential full-batch
+    gradient: both trainers land on the same weights."""
+    import copy
+    from medcat_spark.functions.bert_train import (relcat_params,
+                                                   train_relcat_spark)
+    m_seq = tiny_rel_model(seed=23, hidden=16, layers=1, inter=32)
+    m_dist = copy.deepcopy(m_seq)
+    data = marker_task_samples()
+    kw = dict(nepochs=2, lr=2e-3, batch_size=10 ** 9, test_size=0.2,
+              seed=1, patience=0)
+    train_relcat(m_seq, data, **kw)
+    train_relcat_spark(spark, m_dist, data, n_shards=3, **kw)
+    p_seq, p_dist = relcat_params(m_seq), relcat_params(m_dist)
+    for k in p_seq:
+        np.testing.assert_allclose(p_dist[k], p_seq[k], atol=1e-8,
+                                   err_msg=k)
+
+
+def test_spark_bert_meta_trainer_matches_sequential(spark):
+    import copy
+    from medcat_spark.functions.bert_train import (bert_meta_params,
+                                                   train_bert_meta,
+                                                   train_bert_meta_spark)
+    m_seq = tiny_meta_model()
+    m_dist = copy.deepcopy(m_seq)
+    rng = np.random.RandomState(12)
+    data = []
+    for i in range(40):
+        ids = rng.randint(7, 30, size=9).tolist()
+        c = rng.randint(1, 8)
+        ids[c] = 3 if i % 2 else 4
+        data.append((ids, (c, c), i % 2))
+    kw = dict(nepochs=2, lr=1e-3, batch_size=10 ** 9, test_size=0.2,
+              seed=3, patience=0)
+    train_bert_meta(m_seq, data, **kw)
+    train_bert_meta_spark(spark, m_dist, data, n_shards=3, **kw)
+    p_seq, p_dist = bert_meta_params(m_seq), bert_meta_params(m_dist)
+    for k in p_seq:
+        np.testing.assert_allclose(p_dist[k], p_seq[k], atol=1e-8,
+                                   err_msg=k)
