@@ -142,6 +142,39 @@ def main():
     from medcat_spark.functions.bpe_train import corpus_word_counts
     plans["bpe_word_counts"] = corpus_word_counts(ldocs)
 
+    # round-5 session-4 operators: triangle census (degree-ordered
+    # orientation, one closing equi-join — no cartesian), BFS distances
+    # (per-round frontier joins are driver-looped; the recorded plan is
+    # the settled relation), Iceberg row-level changelog (semi-joins on
+    # the new delete sets), nested-evolution read (per-write-schema
+    # groups, struct rebuild stays whole-stage)
+    from medcat_spark.functions.graph import bfs_distances, triangle_counts
+    cooc = cooccurrence_triples(
+        demo.ner_annotations(spark, SF_DIR, demo.UNIGRAM_ROWS,
+                             num_partitions=8))
+    plans["kg_triangles"] = triangle_counts(cooc)
+    plans["kg_bfs_distances(final)"] = bfs_distances(cooc, max_hops=4)
+    _t2loc = tempfile.mkdtemp(prefix="plan_cdc_") + "/docs"
+    _t2 = IcebergTable.create(_t2loc, _docs_ice.schema)
+    _s1 = _t2.append_dataframe(_docs_ice.where(F.col("doc_id") < 250))
+    _t2.delete_where(spark, F.col("doc_id") % 5 == 0,
+                     equality_cols=["doc_id"])
+    _t2.append_dataframe(_docs_ice.where(F.col("doc_id") >= 250))
+    plans["iceberg_changelog"] = IcebergTable.load(_t2loc).changelog(
+        spark, _s1)
+    from pyspark.sql import types as _T
+    _t3loc = tempfile.mkdtemp(prefix="plan_nest_") + "/docs"
+    _spans = _docs_ice.select(
+        "doc_id", F.array(F.struct(
+            F.lit("text").alias("kind"),
+            F.col("n_chars").cast("int").alias("offset"))).alias("spans"))
+    _t3 = IcebergTable.create(_t3loc, _spans.schema)
+    _t3.append_dataframe(_spans)
+    _t3.rename_column("spans.element.offset", "ofs")
+    _t3.add_column("spans.element.lang", _T.StringType())
+    plans["iceberg_nested_evolution_read"] = IcebergTable.load(
+        _t3loc).to_df(spark)
+
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
