@@ -1987,7 +1987,8 @@ class IcebergTable:
     def to_df(self, spark, snapshot_id: Optional[int] = None,
               partition_filter: Optional[Dict[str, Any]] = None,
               apply_deletes: bool = True, with_pos: bool = False,
-              ref: Optional[str] = None):
+              ref: Optional[str] = None,
+              value_filter: Optional[Dict[str, Any]] = None):
         """Read the table (optionally time-traveled / partition-pruned)
         as a Spark DataFrame.  File list comes from Iceberg metadata;
         identity-partition columns are restored from the manifest's
@@ -2011,12 +2012,17 @@ class IcebergTable:
         produce position deletes (see delete_where_positions).
 
         ``ref`` reads at a named branch/tag head (mutually exclusive
-        with ``snapshot_id``)."""
+        with ``snapshot_id``).  ``value_filter`` ({col: value}) prunes
+        data files by their per-column lower/upper bounds before any is
+        opened (Iceberg data skipping) — a conservative pre-filter, NOT
+        a row filter: the caller still applies the predicate to the
+        returned rows."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR ref, not both")
             snapshot_id = self.ref_snapshot(ref)
-        files = self.scan_files(snapshot_id, partition_filter)
+        files = self.scan_files(snapshot_id, partition_filter,
+                                value_filter)
         deletes = self.scan_delete_files(snapshot_id) \
             if apply_deletes else []
         return self._read_files_df(spark, files, deletes, with_pos)

@@ -1620,3 +1620,25 @@ def test_changelog_position_deletes_once_per_physical_row(
     dels = cl.where(F.col("_change_type") == "DELETE")
     assert dels.count() == docs.count()          # one per subject
     assert dels.select("subj").distinct().count() == docs.count()
+
+
+def test_to_df_value_filter_skips_files(spark, triples_df, tmp_path):
+    """to_df(value_filter=) prunes data files by column bounds before
+    opening any (conservative pre-filter; rows of the surviving file
+    all come back)."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "vf")
+    lo = triples_df.where(F.col("subj") < "doc:020")
+    hi = triples_df.where(F.col("subj") >= "doc:020")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(lo)
+    t.append_dataframe(hi)
+    planned = t.scan_files(value_filter={"subj": "doc:005"})
+    all_files = t.scan_files()
+    assert 0 < len(planned) < len(all_files)   # real skipping happened
+    got = t.to_df(spark, value_filter={"subj": "doc:005"})
+    # conservative pre-filter: exactly the surviving files' rows
+    assert got.count() == sum(f["record_count"] for f in planned)
+    assert got.where(F.col("subj") == "doc:005").count() == 1
+    # and no row from the hi range leaks in
+    assert got.where(F.col("subj") >= "doc:020").count() == 0
