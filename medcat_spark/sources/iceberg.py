@@ -1024,8 +1024,8 @@ class IcebergTable:
         return data_dir
 
     def upsert_dataframe(self, spark, df, key_cols: Sequence[str],
-                         summary_extra: Optional[Dict[str, str]] = None
-                         ) -> int:
+                         summary_extra: Optional[Dict[str, str]] = None,
+                         branch: str = "main") -> int:
         """MERGE INTO analogue (upsert): ONE snapshot that both
         equality-deletes the incoming keys from prior data and appends
         the new rows.  The data manifest (content=0) and the delete
@@ -1062,7 +1062,7 @@ class IcebergTable:
             summary["added-equality-deletes"] = str(del_pend["added_rows"])
         return self._commit_snapshot(
             pending=pending, snap_id=snap_id, muuid=muuid,
-            operation="overwrite", summary=summary)
+            operation="overwrite", summary=summary, branch=branch)
 
     def _build_data_manifest(self, data_dir: str, snap_id: int,
                              muuid=None) -> Dict[str, Any]:
@@ -2239,8 +2239,8 @@ class IcebergTable:
 
     def delete_where(self, spark, condition,
                      equality_cols: Sequence[str],
-                     summary_extra: Optional[Dict[str, str]] = None
-                     ) -> Optional[int]:
+                     summary_extra: Optional[Dict[str, str]] = None,
+                     branch: str = "main") -> Optional[int]:
         """v2 row-level DELETE via EQUALITY delete files: evaluate
         ``condition`` against the current table state (merge-on-read
         applied), write the matching rows' ``equality_cols`` values as
@@ -2262,7 +2262,11 @@ class IcebergTable:
                 raise ValueError(f"equality delete on nested type: {c}")
         eq_ids = [by_name[c]["id"] for c in equality_cols]
 
-        matches = (self.to_df(spark).where(condition)
+        # predicate evaluated against the TARGET branch's state, so a
+        # WAP audit branch can stage deletes without touching main
+        matches = (self.to_df(spark,
+                              ref=None if branch == "main" else branch)
+                   .where(condition)
                    .select(*equality_cols).distinct())
         snap_id = int(uuid.uuid4().int % (1 << 62))
         muuid = uuid.uuid4()
@@ -2272,7 +2276,7 @@ class IcebergTable:
             return None
         return self._commit_snapshot(
             pending=[pend], snap_id=snap_id, muuid=muuid,
-            operation="delete",
+            operation="delete", branch=branch,
             summary={"added-delete-files": str(pend["added_files"]),
                      "added-equality-deletes": str(pend["added_rows"]),
                      **(summary_extra or {})})

@@ -1642,3 +1642,31 @@ def test_to_df_value_filter_skips_files(spark, triples_df, tmp_path):
     assert got.where(F.col("subj") == "doc:005").count() == 1
     # and no row from the hi range leaks in
     assert got.where(F.col("subj") >= "doc:020").count() == 0
+
+
+def test_branch_scoped_delete_and_upsert(spark, triples_df, tmp_path):
+    """delete_where/upsert on an audit branch stage against the BRANCH
+    state and leave main untouched until fast_forward."""
+    from pyspark.sql import functions as F
+    loc = str(tmp_path / "refs_wap2")
+    t = IcebergTable.create(loc, triples_df.schema)
+    t.append_dataframe(triples_df)
+    n_all = triples_df.count()
+    t.create_branch("audit")
+    t.delete_where(spark, F.col("bucket") == "0",
+                   equality_cols=["subj"], branch="audit")
+    changes = (triples_df.where(F.col("bucket") == "1")
+               .withColumn("obj", F.lit("cui:NEW")))
+    t.upsert_dataframe(spark, changes, key_cols=["subj"],
+                       branch="audit")
+    # main unchanged; audit = deletes + upsert applied
+    assert t.to_df(spark).count() == n_all
+    assert t.to_df(spark).where(F.col("obj") == "cui:NEW").count() == 0
+    audit = t.to_df(spark, ref="audit")
+    assert audit.where(F.col("bucket") == "0").count() == 0
+    assert audit.where(F.col("obj") == "cui:NEW").count() == \
+        changes.count()
+    t.fast_forward("main", "audit")
+    pub = IcebergTable.load(loc).to_df(spark)
+    assert pub.where(F.col("bucket") == "0").count() == 0
+    assert pub.where(F.col("obj") == "cui:NEW").count() == changes.count()
