@@ -909,6 +909,38 @@ class IcebergTable:
             f.write(str(version))
         os.rename(tmp, hint)
 
+    def _commit_metadata_op(self, mutate) -> Any:
+        """Optimistic-concurrency wrapper for METADATA-ONLY commits
+        (refs, rollback): ``mutate(metadata) -> result`` edits
+        self.metadata in place (re-validating against the fresh state),
+        then the version bump is attempted; on a lost race the winner's
+        metadata is reloaded and the mutation re-applied — the same
+        retry discipline _commit_snapshot uses for data commits."""
+        for attempt in range(10):
+            if attempt:
+                fresh = IcebergTable.load(self.location)
+                self.metadata = fresh.metadata
+                self._base_version = fresh._base_version
+            try:
+                result = mutate(self.metadata)
+            except ValueError:
+                # a validation failure against STALE state is not an
+                # answer — re-validate against the current commit; only
+                # a failure against fresh state propagates
+                if self._current_version() > self._base_version:
+                    continue
+                raise
+            self.metadata["last-updated-ms"] = int(time.time() * 1000)
+            version = self._base_version
+            try:
+                self._commit_metadata(version + 1)
+                return result
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            f"metadata commit lost {attempt + 1} races at "
+            f"{self.location}")
+
     def _current_version(self) -> int:
         """Latest committed version: start at the hint, probe forward
         (the hint is best-effort and may trail a committed version)."""
@@ -1471,15 +1503,15 @@ class IcebergTable:
     def rollback(self, snapshot_id: int) -> None:
         """Point current back at an earlier snapshot (new metadata
         version; nothing is deleted — Iceberg rollback semantics)."""
-        if not any(s["snapshot-id"] == snapshot_id
-                   for s in self.metadata["snapshots"]):
-            raise ValueError(f"unknown snapshot: {snapshot_id}")
-        version = self._base_version
-        self.metadata["current-snapshot-id"] = snapshot_id
-        self.metadata.setdefault("refs", {})["main"] = {
-            "snapshot-id": snapshot_id, "type": "branch"}
-        self.metadata["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(version + 1)
+        def mutate(md):
+            if not any(s["snapshot-id"] == snapshot_id
+                       for s in md["snapshots"]):
+                raise ValueError(f"unknown snapshot: {snapshot_id}")
+            md["current-snapshot-id"] = snapshot_id
+            md.setdefault("refs", {})["main"] = {
+                "snapshot-id": snapshot_id, "type": "branch"}
+
+        self._commit_metadata_op(mutate)
 
     # -- refs: named branches and tags (spec v2 `refs` map) ------------
 
@@ -1502,19 +1534,20 @@ class IcebergTable:
                     snapshot_id: Optional[int]) -> int:
         if name == "main":
             raise ValueError("main is managed by commits/rollback")
-        if name in self.metadata.get("refs", {}):
-            raise ValueError(f"ref exists: {name!r}")
-        sid = snapshot_id if snapshot_id is not None \
-            else self.current_snapshot_id()
-        if sid is None or not any(s["snapshot-id"] == sid
-                                  for s in self.metadata["snapshots"]):
-            raise ValueError(f"unknown snapshot: {sid}")
-        version = self._base_version
-        self.metadata.setdefault("refs", {})[name] = {
-            "snapshot-id": sid, "type": kind}
-        self.metadata["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(version + 1)
-        return sid
+
+        def mutate(md):
+            if name in md.get("refs", {}):
+                raise ValueError(f"ref exists: {name!r}")
+            sid = snapshot_id if snapshot_id is not None \
+                else self.current_snapshot_id()
+            if sid is None or not any(s["snapshot-id"] == sid
+                                      for s in md["snapshots"]):
+                raise ValueError(f"unknown snapshot: {sid}")
+            md.setdefault("refs", {})[name] = {
+                "snapshot-id": sid, "type": kind}
+            return sid
+
+        return self._commit_metadata_op(mutate)
 
     def create_branch(self, name: str,
                       snapshot_id: Optional[int] = None) -> int:
@@ -1533,12 +1566,13 @@ class IcebergTable:
     def drop_ref(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot drop main")
-        if name not in self.metadata.get("refs", {}):
-            raise ValueError(f"no such ref: {name!r}")
-        version = self._base_version
-        del self.metadata["refs"][name]
-        self.metadata["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(version + 1)
+
+        def mutate(md):
+            if name not in md.get("refs", {}):
+                raise ValueError(f"no such ref: {name!r}")
+            del md["refs"][name]
+
+        self._commit_metadata_op(mutate)
 
     def fast_forward(self, target: str, source: str) -> int:
         """Move branch ``target`` to ``source``'s head — allowed only
@@ -1546,28 +1580,29 @@ class IcebergTable:
         forward, never a silent merge).  The publish step of
         write-audit-publish: audited snapshots become main atomically,
         without rewriting a byte."""
-        refs = self.refs()
-        if target != "main" and refs.get(target, {}).get("type") != \
-                "branch":
-            raise ValueError(f"target {target!r} is not a branch")
-        src_head = self.ref_snapshot(source)
-        tgt_head = refs.get(target, {}).get("snapshot-id")
-        if tgt_head is not None and tgt_head not in \
-                self._ancestors(src_head):
-            raise ValueError(
-                f"{target!r} (at {tgt_head}) is not an ancestor of "
-                f"{source!r} (at {src_head}); fast-forward impossible")
-        version = self._base_version
-        self.metadata.setdefault("refs", {})[target] = {
-            "snapshot-id": src_head, "type": "branch"}
-        if target == "main":
-            self.metadata["current-snapshot-id"] = src_head
-            self.metadata["snapshot-log"].append(
-                {"snapshot-id": src_head,
-                 "timestamp-ms": int(time.time() * 1000)})
-        self.metadata["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(version + 1)
-        return src_head
+        def mutate(md):
+            refs = self.refs()
+            if target != "main" and refs.get(target, {}).get("type") != \
+                    "branch":
+                raise ValueError(f"target {target!r} is not a branch")
+            src_head = self.ref_snapshot(source)
+            tgt_head = refs.get(target, {}).get("snapshot-id")
+            if tgt_head is not None and tgt_head not in \
+                    self._ancestors(src_head):
+                raise ValueError(
+                    f"{target!r} (at {tgt_head}) is not an ancestor of "
+                    f"{source!r} (at {src_head}); fast-forward "
+                    "impossible")
+            md.setdefault("refs", {})[target] = {
+                "snapshot-id": src_head, "type": "branch"}
+            if target == "main":
+                md["current-snapshot-id"] = src_head
+                md["snapshot-log"].append(
+                    {"snapshot-id": src_head,
+                     "timestamp-ms": int(time.time() * 1000)})
+            return src_head
+
+        return self._commit_metadata_op(mutate)
 
     def rewrite_manifests(self) -> Dict[str, int]:
         """Manifest compaction: fold the current snapshot's N manifests

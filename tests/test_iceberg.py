@@ -1670,3 +1670,22 @@ def test_branch_scoped_delete_and_upsert(spark, triples_df, tmp_path):
     pub = IcebergTable.load(loc).to_df(spark)
     assert pub.where(F.col("bucket") == "0").count() == 0
     assert pub.where(F.col("obj") == "cui:NEW").count() == changes.count()
+
+
+def test_ref_ops_survive_commit_races(spark, triples_df, tmp_path):
+    """Two handles to the same table racing metadata-only commits: the
+    loser retries against the winner's metadata, both changes land."""
+    loc = str(tmp_path / "refs_race")
+    t1 = IcebergTable.create(loc, triples_df.schema)
+    s1 = t1.append_dataframe(triples_df)
+    t2 = IcebergTable.load(loc)     # second writer, snapshot of v2
+    t1.create_branch("audit")       # advances to v3; t2 is now stale
+    t2.create_tag("v1", s1)         # must lose the race, retry, land
+    final = IcebergTable.load(loc)
+    assert set(final.refs()) == {"main", "audit", "v1"}
+    assert final.refs()["v1"]["type"] == "tag"
+    # validation still runs against the FRESH state on retry
+    t3 = IcebergTable.load(loc)
+    t1.drop_ref("v1")
+    with pytest.raises(ValueError, match="no such ref"):
+        t3.drop_ref("v1")           # already gone in the fresh state
