@@ -1047,6 +1047,18 @@ class IcebergTable:
                 out_df = out_df.withColumn(
                     p["name"], _transform_column(df, p))
                 part_dir_cols.append(p["name"])
+        sort_cols = self._sort_columns()
+        if sort_cols:
+            # cluster for data skipping: range partitioning gives files
+            # DISJOINT sort-column ranges, the in-file sort keeps row
+            # groups tight; both feed the bounds in the manifest
+            present = [c for c in sort_cols if c in out_df.columns]
+            if present:
+                # keep the incoming parallelism: an explicit N stops
+                # AQE from coalescing the range shuffle into one file
+                nparts = max(1, out_df.rdd.getNumPartitions())
+                out_df = (out_df.repartitionByRange(nparts, *present)
+                          .sortWithinPartitions(*present))
         data_dir = os.path.join(self.location, "data",
                                 f"snap-{snap_id:x}")
         writer = out_df.write.mode("error")
@@ -1475,6 +1487,47 @@ class IcebergTable:
             {"type": "struct", "fields": self.schema()["fields"]},
             parts, edit)
         self._commit_schema(top["fields"])
+
+    def set_sort_order(self, cols: Sequence[str]) -> int:
+        """Declare a table sort order (spec `sort-orders`): appended as
+        a new order-id and made the default.  Writers honor it by
+        range-partitioning + sorting on the sort columns before
+        writing, so files get DISJOINT per-column bounds — the
+        clustering that turns value_filter's bounds skipping from
+        "maybe prunes" into "prunes to the one file that can match",
+        which is the difference between touching 1/1000th and all of a
+        100 TB table for a point lookup.  Identity transforms,
+        ascending, nulls-first (the common case; the format allows
+        more)."""
+        by_name = {f["name"]: f for f in self.schema()["fields"]}
+        fields = []
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"sort column not in schema: {c}")
+            fields.append({"transform": "identity",
+                           "source-id": by_name[c]["id"],
+                           "direction": "asc",
+                           "null-order": "nulls-first"})
+
+        def mutate(md):
+            new_id = max(o["order-id"] for o in md["sort-orders"]) + 1
+            md["sort-orders"].append({"order-id": new_id,
+                                      "fields": fields})
+            md["default-sort-order-id"] = new_id
+            return new_id
+
+        return self._commit_metadata_op(mutate)
+
+    def _sort_columns(self) -> List[str]:
+        """Current default sort order as source column names ([] when
+        unsorted)."""
+        oid = self.metadata.get("default-sort-order-id", 0)
+        order = next((o for o in self.metadata["sort-orders"]
+                      if o["order-id"] == oid), None)
+        if not order or not order["fields"]:
+            return []
+        by_id = {f["id"]: f["name"] for f in self.schema()["fields"]}
+        return [by_id[f["source-id"]] for f in order["fields"]]
 
     def evolve_partition_spec(self, partition_by: Sequence[Any]) -> int:
         """Partition-spec evolution: change how NEW data is laid out

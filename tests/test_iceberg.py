@@ -1689,3 +1689,36 @@ def test_ref_ops_survive_commit_races(spark, triples_df, tmp_path):
     t1.drop_ref("v1")
     with pytest.raises(ValueError, match="no such ref"):
         t3.drop_ref("v1")           # already gone in the fresh state
+
+
+def test_sort_order_clusters_for_data_skipping(spark, tmp_path):
+    """With a declared sort order, files get disjoint bounds and a
+    point value_filter prunes to exactly one file; the same shuffled
+    input without a sort order leaves overlapping bounds."""
+    import random
+    from pyspark.sql import functions as F
+    rows = [(f"doc:{i:03d}", i) for i in range(200)]
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, "subj string, n long") \
+        .repartition(4)    # interleaved: every partition spans the range
+
+    loc_u = str(tmp_path / "unsorted")
+    tu = IcebergTable.create(loc_u, df.schema)
+    tu.append_dataframe(df)
+    n_files_u = len(tu.scan_files())
+    planned_u = tu.scan_files(value_filter={"subj": "doc:100"})
+    assert n_files_u > 1 and len(planned_u) == n_files_u  # no pruning
+
+    loc_s = str(tmp_path / "sorted")
+    ts = IcebergTable.create(loc_s, df.schema)
+    oid = ts.set_sort_order(["subj"])
+    assert ts.metadata["default-sort-order-id"] == oid
+    ts.append_dataframe(df)
+    all_s = ts.scan_files()
+    planned_s = ts.scan_files(value_filter={"subj": "doc:100"})
+    assert len(all_s) > 1
+    assert len(planned_s) == 1                  # disjoint bounds
+    got = ts.to_df(spark, value_filter={"subj": "doc:100"})
+    assert got.where(F.col("subj") == "doc:100").count() == 1
+    # full read unaffected by the clustering
+    assert ts.to_df(spark).count() == 200
