@@ -661,6 +661,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frame_sample(_interleaved_docs(s, d))
     q["media_frames"] = _media_frames
 
+    # REAL pixel decode (stdlib-zlib PNG codec, media.py): synthesize a
+    # deterministic gradient PNG per doc (row filter = doc_id % 5 so all
+    # five PNG filters are reconstructed), decode it back in a second
+    # mapInPandas stage over the binary column, emit per-image stats the
+    # oracle re-derives arithmetically.
+    def _media_pixels(s, d):
+        from medcat_spark.functions.media import (media_pixel_stats,
+                                                  synth_png_column)
+        docs = demo.load_docs(s, d).select("doc_id")
+        return media_pixel_stats(synth_png_column(docs))
+    q["media_pixel_stats"] = _media_pixels
+
     # --- meta-annotation (MetaCAT analogue, SURVEY §2.11): negation over
     #     a 5-token window left of each unigram mention
     def _meta(s, d):
@@ -2475,6 +2487,21 @@ SELECT doc_id, span_idx, media_ref, duration_ms,
        media_ref || '#f' || CAST(g.f AS VARCHAR) AS frame_ref
 FROM d, LATERAL (SELECT unnest(range(0,
          LEAST(duration_ms // 1000 + 1, 16))) AS f) g
+"""
+
+    # Arithmetic re-derivation of the PNG round-trip: the Spark side
+    # encodes pixel[i] = (i + doc_id) % 256 into a real PNG (filter
+    # doc_id % 5) and decodes it back; the oracle computes the same
+    # gradient directly.  Any filter-reconstruction bug breaks the hash.
+    o["media_pixel_stats"] = """
+WITH px AS (
+  SELECT d.doc_id, (s.i + d.doc_id) % 256 AS v
+  FROM documents d, generate_series(0, 47) s(i)
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 8 AS width, 6 AS height,
+       ROUND(SUM(v) / 48.0, 6) AS mean_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id
 """
 
     o["meta_negation"] = f"""

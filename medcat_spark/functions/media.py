@@ -14,8 +14,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (IntegerType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 MEDIA_FEATURE_SCHEMA = StructType([
     StructField("doc_id", StringType()),
@@ -236,3 +236,210 @@ def frame_sample(docs_with_spans: DataFrame, interval_ms: int = 1000,
                 yield pd.DataFrame(out)
 
     return docs_with_spans.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel codec (stdlib zlib — no PIL needed): closes the
+# "pixel decode honestly stubbed" gap for the one format the standard
+# library can fully handle.  8-bit gray/RGB/RGBA, no interlace/palette;
+# all five PNG row filters reconstructed per the spec.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def png_encode(pixels, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for numpy uint8 arrays shaped (H, W) gray,
+    (H, W, 3) RGB or (H, W, 4) RGBA.  ``filter_type`` applies one PNG
+    row filter (0-4) to EVERY row — exercised by tests to prove the
+    decoder reconstructs each filter, not just the trivial one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color, ch = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color, ch = 2, 3
+    elif px.ndim == 3 and px.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    hgt, w = px.shape[:2]
+    raw = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int64)
+    for y in range(hgt):
+        row = px[y].reshape(-1).astype(np.int64)
+        if filter_type == 0:
+            flt = row
+        elif filter_type == 1:    # Sub
+            left = np.concatenate([np.zeros(ch, np.int64), row[:-ch]])
+            flt = (row - left) % 256
+        elif filter_type == 2:    # Up
+            flt = (row - prior) % 256
+        elif filter_type == 3:    # Average
+            left = np.concatenate([np.zeros(ch, np.int64), row[:-ch]])
+            flt = (row - (left + prior) // 2) % 256
+        elif filter_type == 4:    # Paeth
+            left = np.concatenate([np.zeros(ch, np.int64), row[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int64), prior[:-ch]])
+            p = left + prior - ul
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            flt = (row - pred) % 256
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        raw.append(filter_type)
+        raw.extend(flt.astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, hgt, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def png_decode_pixels(b: bytes):
+    """Full PNG pixel decode with stdlib zlib: parse chunks, inflate
+    IDAT, reconstruct every row filter (None/Sub/Up/Average/Paeth).
+    Returns a numpy uint8 array (H, W) for grayscale or (H, W, C).
+    Raises NotImplementedError for the PNG features that genuinely
+    need a library (palette, 16-bit, interlace)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    i, w = 8, None
+    hgt = bitd = color = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i:i + 4])
+        tag = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w, hgt, bitd, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if bitd != 8 or color not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG bit depth {bitd} / color type {color} / interlace "
+            f"{interlace}: only 8-bit gray/RGB/RGBA progressive-free "
+            "streams decode without a library")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != hgt * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((hgt, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(hgt):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += stride + 1
+        if ft == 0:
+            rec = row
+        elif ft == 2:                       # Up — vectorizable
+            rec = (row + prior) % 256
+        elif ft in (1, 3, 4):               # left-dependent: scan
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = prior[x]
+                ul = prior[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc \
+                        else (up if pb <= pc else ul)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out.reshape(hgt, w) if ch == 1 else out.reshape(hgt, w, ch)
+
+
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_px", DoubleType()),
+    StructField("px_sum", LongType()),
+])
+
+
+def synth_png_column(docs: DataFrame, id_col: str = "doc_id",
+                     height: int = 6, width: int = 8) -> DataFrame:
+    """Deterministic PNG fixture generator for the pixel-stat oracle:
+    per doc an (height×width) grayscale gradient pixel[i] =
+    (i + doc_id) % 256, written with row filter ``doc_id % 5`` so every
+    PNG filter type (None/Sub/Up/Average/Paeth) is exercised across the
+    corpus.  Output: (doc_id string, media_bytes binary)."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("media_bytes", BinaryType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        base = np.arange(height * width, dtype=np.int64)
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                px = ((base + did) % 256).reshape(height, width)
+                ids.append(str(did))
+                blobs.append(png_encode(px, filter_type=did % 5))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "media_bytes": blobs})
+
+    return docs.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def media_pixel_stats(df: DataFrame, bytes_col: str = "media_bytes",
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL pixel-level feature extraction over a binary PNG column:
+    Arrow-batched mapInPandas → png_decode_pixels → per-image mean
+    (rounded 6 dp, the oracle contract).  The batch shape, schema and
+    partitioning are exactly what a PIL/ffmpeg-backed extractor would
+    use — swapping the decoder is a one-line change on a real
+    cluster."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in PIXEL_STATS_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                px = png_decode_pixels(getattr(row, bytes_col))
+                out["doc_id"].append(str(getattr(row, id_col)))
+                out["height"].append(int(px.shape[0]))
+                out["width"].append(int(px.shape[1]))
+                out["mean_px"].append(round(float(px.mean()), 6))
+                out["px_sum"].append(int(px.astype("int64").sum()))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=PIXEL_STATS_SCHEMA)

@@ -422,3 +422,53 @@ def test_dsir_length_normalized_select(spark):
     top = dsir_select(docs, target, k=1, n_buckets=64,
                       length_normalize=True).collect()
     assert top[0]["doc_id"] == 1
+
+
+def test_png_codec_roundtrip_all_filters_and_channels():
+    import numpy as np
+
+    from medcat_spark.functions.media import png_decode_pixels, png_encode
+
+    rng = np.random.RandomState(7)
+    shapes = [(5, 9), (5, 9, 3), (4, 7, 4)]
+    for shape in shapes:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for ft in range(5):
+            back = png_decode_pixels(png_encode(px, filter_type=ft))
+            assert back.shape == px.shape, (shape, ft)
+            assert (back == px).all(), (shape, ft)
+
+
+def test_png_decode_rejects_unsupported():
+    import numpy as np
+    import pytest as _pt
+
+    from medcat_spark.functions.media import png_decode_pixels, png_encode
+
+    with _pt.raises(ValueError):
+        png_decode_pixels(b"not a png at all")
+    # corrupt the bit depth byte inside IHDR -> honest NotImplementedError
+    blob = bytearray(png_encode(np.zeros((2, 2), np.uint8)))
+    blob[24] = 16  # IHDR bit depth field
+    import struct
+    import zlib
+    crc = zlib.crc32(bytes(blob[12:29]))
+    blob[29:33] = struct.pack(">I", crc)
+    with _pt.raises(NotImplementedError):
+        png_decode_pixels(bytes(blob))
+
+
+def test_media_pixel_stats_spark(spark):
+    from medcat_spark.functions.media import (media_pixel_stats,
+                                              synth_png_column)
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = {r["doc_id"]: r
+            for r in media_pixel_stats(synth_png_column(docs)).collect()}
+    assert len(rows) == 12
+    for i in range(12):           # gradient mean derives in closed form
+        want_sum = sum((j + i) % 256 for j in range(48))
+        r = rows[str(i)]
+        assert (r["width"], r["height"]) == (8, 6)
+        assert r["px_sum"] == want_sum
+        assert abs(r["mean_px"] - round(want_sum / 48.0, 6)) < 1e-9
