@@ -673,6 +673,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return media_pixel_stats(synth_png_column(docs))
     q["media_pixel_stats"] = _media_pixels
 
+    # REAL audio decode (stdlib-struct RIFF/WAVE PCM16 codec): per doc a
+    # deterministic integer signal encoded to real WAV bytes, decoded
+    # back in a second mapInPandas stage; RMS + zero-crossings re-derived
+    # arithmetically by the oracle.
+    def _media_audio(s, d):
+        from medcat_spark.functions.media import (media_audio_stats,
+                                                  synth_wav_column)
+        docs = demo.load_docs(s, d).select("doc_id")
+        return media_audio_stats(synth_wav_column(docs))
+    q["media_audio_stats"] = _media_audio
+
     # --- meta-annotation (MetaCAT analogue, SURVEY §2.11): negation over
     #     a 5-token window left of each unigram mention
     def _meta(s, d):
@@ -2502,6 +2513,37 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, 8 AS width, 6 AS height,
        ROUND(SUM(v) / 48.0, 6) AS mean_px,
        CAST(SUM(v) AS BIGINT) AS px_sum
 FROM px GROUP BY doc_id
+"""
+
+    # WAV round-trip re-derivation: sample[i] = ((i*(doc_id%97+3)) %
+    # 2001) - 1000 over 480 samples @16 kHz; zero samples inherit the
+    # previous nonzero sign (LAST_VALUE IGNORE NULLS = the decoder's
+    # fill-forward convention) before counting sign flips.
+    o["media_audio_stats"] = """
+WITH smp AS (
+  SELECT d.doc_id, s.i,
+         ((s.i * (d.doc_id % 97 + 3)) % 2001) - 1000 AS v
+  FROM documents d, generate_series(0, 479) s(i)
+),
+sgn AS (
+  SELECT doc_id, i, v,
+         LAST_VALUE(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 END
+                    IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM smp
+),
+x AS (
+  SELECT doc_id, v,
+         g * LAG(g) OVER (PARTITION BY doc_id ORDER BY i) AS flip
+  FROM sgn
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       16000 AS sample_rate, 480 AS n_samples, 30 AS duration_ms,
+       ROUND(SQRT(SUM(CAST(v AS DOUBLE) * v) / 480.0), 6) AS rms,
+       CAST(COALESCE(SUM(CASE WHEN flip < 0 THEN 1 END), 0) AS INT)
+         AS zero_crossings
+FROM x GROUP BY doc_id
 """
 
     o["meta_negation"] = f"""

@@ -443,3 +443,144 @@ def media_pixel_stats(df: DataFrame, bytes_col: str = "media_bytes",
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, schema=PIXEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV PCM codec (stdlib struct): RIFF/fmt/data chunk walk, 16-bit
+# mono/stereo little-endian PCM.  Same posture as the PNG codec above —
+# the one audio container the standard library can fully handle, so the
+# decode stage is real, not a fake; compressed codecs stay behind
+# NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer for numpy int16 arrays shaped (N,) mono
+    or (N, C) multi-channel; frames interleave channel-major per the
+    spec."""
+    import struct
+
+    import numpy as np
+
+    smp = np.ascontiguousarray(samples, dtype=np.int16)
+    if smp.ndim == 1:
+        smp = smp[:, None]
+    n_ch = smp.shape[1]
+    data = smp.reshape(-1).tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, byte_rate,
+                      n_ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(b: bytes):
+    """Parse a RIFF/WAVE stream: walk chunks (tolerating extras like
+    LIST/fact), require PCM16, return (samples int16 (N, C), rate).
+    Raises NotImplementedError for compressed / non-16-bit streams —
+    those genuinely need a codec library."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    i = 12
+    rate = n_ch = bits = audio_fmt = None
+    data = None
+    while i + 8 <= len(b):
+        tag = b[i:i + 4]
+        (ln,) = struct.unpack("<I", b[i + 4:i + 8])
+        chunk = b[i + 8:i + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack("<HHI", chunk[:8])
+            (bits,) = struct.unpack("<H", chunk[14:16])
+        elif tag == b"data":
+            data = chunk
+        i += 8 + ln + (ln & 1)          # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAVE format {audio_fmt} / {bits}-bit: only uncompressed "
+            "PCM16 decodes without a codec library")
+    smp = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        smp = smp.reshape(-1, n_ch)
+    else:
+        smp = smp.reshape(-1, 1)
+    return smp, rate
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossings", IntegerType()),
+])
+
+
+def synth_wav_column(docs: DataFrame, id_col: str = "doc_id",
+                     n_samples: int = 480,
+                     sample_rate: int = 16000) -> DataFrame:
+    """Deterministic WAV fixture generator: per doc a PCM16 mono signal
+    sample[i] = ((i * (doc_id % 97 + 3)) % 2001) - 1000 — integer
+    arithmetic a SQL oracle can replay exactly.  Output: (doc_id string,
+    media_bytes binary)."""
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("media_bytes", BinaryType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                smp = ((idx * (did % 97 + 3)) % 2001 - 1000).astype(np.int16)
+                ids.append(str(did))
+                blobs.append(wav_encode(smp, sample_rate=sample_rate))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "media_bytes": blobs})
+
+    return docs.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def media_audio_stats(df: DataFrame, bytes_col: str = "media_bytes",
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL audio feature extraction over a binary WAV column:
+    Arrow-batched mapInPandas → wav_decode → per-clip duration, RMS
+    (6 dp) and zero-crossing count (sign flips between consecutive
+    samples, zeros carrying the previous sign — the SQL-replayable
+    convention)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_STATS_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                smp, rate = wav_decode(getattr(row, bytes_col))
+                mono = smp[:, 0].astype(np.float64)
+                n = mono.shape[0]
+                sgn = np.where(mono > 0, 1, np.where(mono < 0, -1, 0))
+                for k in range(1, len(sgn)):      # zeros inherit prior sign
+                    if sgn[k] == 0:
+                        sgn[k] = sgn[k - 1]
+                zc = int(np.sum(sgn[1:] * sgn[:-1] < 0))
+                out["doc_id"].append(str(getattr(row, id_col)))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["duration_ms"].append(int(n * 1000 // rate))
+                out["rms"].append(round(float(np.sqrt((mono ** 2).mean())), 6))
+                out["zero_crossings"].append(zc)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=AUDIO_STATS_SCHEMA)

@@ -472,3 +472,63 @@ def test_media_pixel_stats_spark(spark):
         assert (r["width"], r["height"]) == (8, 6)
         assert r["px_sum"] == want_sum
         assert abs(r["mean_px"] - round(want_sum / 48.0, 6)) < 1e-9
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from medcat_spark.functions.media import wav_decode, wav_encode
+
+    mono = ((np.arange(480) * 5) % 2001 - 1000).astype(np.int16)
+    back, rate = wav_decode(wav_encode(mono))
+    assert rate == 16000 and back.shape == (480, 1)
+    assert (back[:, 0] == mono).all()
+
+    stereo = ((np.arange(100)[:, None] * np.array([3, 7])) % 2001
+              - 1000).astype(np.int16)
+    back2, r2 = wav_decode(wav_encode(stereo, 8000))
+    assert r2 == 8000 and (back2 == stereo).all()
+
+    # tolerate an extra (odd-length, word-padded) chunk before data
+    blob = wav_encode(mono)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = blob[:12] + extra + blob[12:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    back3, _ = wav_decode(patched)
+    assert (back3[:, 0] == mono).all()
+
+    with _pt.raises(ValueError):
+        wav_decode(b"RIFFxxxxJUNK")
+    # IEEE-float format tag -> honest NotImplementedError
+    bad = bytearray(wav_encode(mono))
+    bad[20:22] = struct.pack("<H", 3)
+    with _pt.raises(NotImplementedError):
+        wav_decode(bytes(bad))
+
+
+def test_media_audio_stats_spark(spark):
+    import numpy as np
+
+    from medcat_spark.functions.media import (media_audio_stats,
+                                              synth_wav_column)
+
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 58)], "doc_id long")
+    rows = {r["doc_id"]: r
+            for r in media_audio_stats(synth_wav_column(docs)).collect()}
+    for i in (0, 5, 58):
+        v = (np.arange(480, dtype=np.int64) * (i % 97 + 3)) % 2001 - 1000
+        sgn = np.where(v > 0, 1, np.where(v < 0, -1, 0))
+        for k in range(1, len(sgn)):
+            if sgn[k] == 0:
+                sgn[k] = sgn[k - 1]
+        r = rows[str(i)]
+        assert (r["sample_rate"], r["n_samples"], r["duration_ms"]) == \
+            (16000, 480, 30)
+        assert r["zero_crossings"] == int((sgn[1:] * sgn[:-1] < 0).sum())
+        assert abs(r["rms"]
+                   - round(float(np.sqrt((v.astype(float) ** 2).mean())),
+                           6)) < 1e-9
