@@ -684,6 +684,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return media_audio_stats(synth_wav_column(docs))
     q["media_audio_stats"] = _media_audio
 
+    # REAL video-frame decode (pure-Python GIF LZW): animated-GIF
+    # fixtures decoded frame-by-frame; timeline + per-frame mean pixel
+    # re-derived arithmetically by the oracle.
+    def _media_gif(s, d):
+        from medcat_spark.functions.media import (media_gif_frames,
+                                                  synth_gif_column)
+        docs = demo.load_docs(s, d).select("doc_id")
+        return media_gif_frames(synth_gif_column(docs))
+    q["media_gif_frames"] = _media_gif
+
     # --- meta-annotation (MetaCAT analogue, SURVEY §2.11): negation over
     #     a 5-token window left of each unigram mention
     def _meta(s, d):
@@ -2544,6 +2554,29 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(COALESCE(SUM(CASE WHEN flip < 0 THEN 1 END), 0) AS INT)
          AS zero_crossings
 FROM x GROUP BY doc_id
+"""
+
+    # GIF round-trip re-derivation: frame f of doc d has pixel index
+    # (i + f + d) % 4 on the gray palette idx*85; delays (f+1)*100 ms so
+    # ts_ms = 100*f*(f+1)/2; frames per doc = d % 3 + 1.
+    o["media_gif_frames"] = """
+WITH fr AS (
+  SELECT d.doc_id, f.f
+  FROM documents d, generate_series(0, 2) f(f)
+  WHERE f.f < d.doc_id % 3 + 1
+),
+px AS (
+  SELECT fr.doc_id, fr.f,
+         ((s.i + fr.f + fr.doc_id) % 4) * 85 AS v
+  FROM fr, generate_series(0, 47) s(i)
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(100 * f * (f + 1) / 2 AS INT) AS ts_ms,
+       CAST((f + 1) * 100 AS INT) AS delay_ms,
+       8 AS width, 6 AS height,
+       ROUND(SUM(v) / 48.0, 6) AS mean_px
+FROM px GROUP BY doc_id, f
 """
 
     o["meta_negation"] = f"""

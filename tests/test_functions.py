@@ -532,3 +532,79 @@ def test_media_audio_stats_spark(spark):
         assert abs(r["rms"]
                    - round(float(np.sqrt((v.astype(float) ** 2).mean())),
                            6)) < 1e-9
+
+
+def test_gif_lzw_roundtrip_width_growth_and_reset():
+    import numpy as np
+
+    from medcat_spark.functions.media import lzw_decode, lzw_encode
+
+    rng = np.random.RandomState(11)
+    for mcs in (2, 3, 8):
+        seq = rng.randint(0, 1 << mcs, size=30000).tolist()
+        assert lzw_decode(lzw_encode(seq, mcs), mcs) == seq
+    # worst-case distinct-pair stream forces a 4096-entry table reset
+    seq = [(i * 7 + (i >> 5)) % 256 for i in range(20000)]
+    assert lzw_decode(lzw_encode(seq, 8), 8) == seq
+
+
+def test_gif_decode_interlace_subrect_transparency():
+    import struct
+
+    import numpy as np
+
+    from medcat_spark.functions.media import (gif_decode_frames, gif_encode,
+                                              lzw_encode)
+
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    f0 = (np.arange(48).reshape(6, 8) % 4).astype(np.uint8)
+    blob = bytearray(gif_encode([f0], pal, delays_ms=[50]))
+
+    # hand-append a 2x2 sub-rect frame at (3,1) with index 2 transparent:
+    # pixel grid [[1, 2], [2, 3]] -> only the 1 and 3 composite
+    gce = b"\x21\xf9\x04" + struct.pack("<BHB", 0x05, 7, 2) + b"\x00"
+    sub = np.array([[1, 2], [2, 3]], dtype=np.uint8)
+    comp = lzw_encode(sub.reshape(-1), 2)
+    desc = b"\x2c" + struct.pack("<HHHHB", 3, 1, 2, 2, 0) + bytes([2])
+    body = bytes([len(comp)]) + comp + b"\x00"
+    assert blob[-1] == 0x3B
+    blob = blob[:-1] + gce + desc + body + b"\x3b"
+
+    frames = gif_decode_frames(bytes(blob))
+    assert len(frames) == 2 and frames[1]["delay_ms"] == 70
+    want = np.stack([f0 * 85] * 3, axis=-1).astype(np.uint8)
+    assert (frames[0]["pixels"] == want).all()
+    want2 = want.copy()
+    want2[1, 3] = 85           # top-left of sub-rect
+    want2[2, 4] = 255          # bottom-right; the two 2s stay transparent
+    assert (frames[1]["pixels"] == want2).all()
+
+    # interlaced variant of frame 0 must decode to the same canvas:
+    # reorder rows into pass order and set the interlace flag
+    passes = [0, 4, 2, 1, 3, 5]   # 6 rows: pass1 {0}, pass2 {4}, pass3 {2}, pass4 {1,3,5}
+    inter = f0[passes]
+    blob_i = bytearray(gif_encode([inter], pal))
+    idx = bytes(blob_i).index(b"\x2c")
+    blob_i[idx + 9] |= 0x40
+    got = gif_decode_frames(bytes(blob_i))[0]["pixels"]
+    assert (got == want).all()
+
+
+def test_media_gif_frames_spark(spark):
+    from medcat_spark.functions.media import (media_gif_frames,
+                                              synth_gif_column)
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    rows = media_gif_frames(synth_gif_column(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {k: len(v) for k, v in by_doc.items()} == {
+        str(i): i % 3 + 1 for i in range(7)}
+    for i in range(7):
+        for f, r in enumerate(sorted(by_doc[str(i)],
+                                     key=lambda x: x["frame_idx"])):
+            want_mean = sum(((j + f + i) % 4) * 85 for j in range(48)) / 48.0
+            assert r["ts_ms"] == 100 * f * (f + 1) // 2
+            assert r["delay_ms"] == (f + 1) * 100
+            assert abs(r["mean_px"] - round(want_mean, 6)) < 1e-9
