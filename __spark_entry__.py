@@ -22,9 +22,9 @@ from medcat_spark.functions import dedup as ddp
 from medcat_spark.functions import similarity as simf
 from medcat_spark.functions import text as txt
 from medcat_spark.functions.graph import (bfs_distances, concept_degree,
-                                          knn_graph, pagerank,
-                                          triangle_counts,
-                                          two_hop_neighbors)
+                                          knn_graph, link_prediction,
+                                          pagerank, triangle_counts,
+                                          triple_belief, two_hop_neighbors)
 from medcat_spark.functions.media import media_features
 from medcat_spark.stats import per_cui_stats
 from medcat_spark.triples import cooccurrence_triples, mention_triples
@@ -981,6 +981,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_triangles"] = lambda s, d: triangle_counts(_cooc(s, d))
     q["kg_bfs_distances"] = lambda s, d: bfs_distances(_cooc(s, d),
                                                        max_hops=4)
+    # KG completion: missing-edge candidates on the sparse affinity
+    # graph scored by common-neighbors / Jaccard / Adamic-Adar
+    q["kg_link_prediction"] = lambda s, d: link_prediction(
+        knn_graph(_cooc(s, d), k=2))
+
+    # Knowledge-Vault-style noisy-OR fusion of per-document evidence:
+    # confidences are the L1-L4 disambiguation similarities (rounded to
+    # 6 dp on BOTH engines before fusing, so the fuse — not the deep
+    # linking float path — is what the hash certifies)
+    def _belief(s, d):
+        disamb = demo.disamb_annotations(s, d).select(
+            "doc_id", "cui",
+            F.round("context_similarity", 6).alias("sim"))
+        return triple_belief(disamb)
+    q["kg_triple_belief"] = _belief
 
     # --- Iceberg graph tables (sources/iceberg.py): the north rule's
     #     materialization target, spec v2 metadata + avro manifests in
@@ -1379,6 +1394,56 @@ paths AS (SELECT a.src AS node_a, b.dst AS node_b,
 SELECT p.node_a, p.node_b, p.n_paths FROM paths p
 WHERE NOT EXISTS (SELECT 1 FROM e2 d
                   WHERE d.src = p.node_a AND d.dst = p.node_b)
+"""
+
+    # link prediction over the same kNN affinity graph: wedges keyed on
+    # the middle node, Adamic-Adar over middle degrees (≥2 ⇒ LN > 0),
+    # Jaccard from endpoint degrees, adjacency removed
+    o["kg_link_prediction"] = f"""
+{_sym_cte},
+topk AS (SELECT src, dst FROM (
+           SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY w DESC, dst) AS rn
+           FROM sym) t WHERE rn <= 2),
+und AS (SELECT DISTINCT LEAST(src, dst) AS subj,
+                        GREATEST(src, dst) AS obj FROM topk),
+e2 AS (SELECT subj AS src, obj AS dst FROM und
+       UNION ALL SELECT obj AS src, subj AS dst FROM und),
+deg AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY 1),
+sc AS (SELECT a.dst AS node_a, b.dst AS node_b,
+              COUNT(*) AS common_neighbors,
+              SUM(1.0 / LN(d.deg)) AS aa
+       FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
+            JOIN deg d ON d.src = a.src
+       GROUP BY 1, 2)
+SELECT s.node_a, s.node_b, s.common_neighbors,
+       ROUND(s.common_neighbors
+             / CAST(da.deg + db.deg - s.common_neighbors AS DOUBLE), 6)
+         AS jaccard,
+       ROUND(s.aa, 6) AS adamic_adar
+FROM sc s JOIN deg da ON da.src = s.node_a
+          JOIN deg db ON db.src = s.node_b
+WHERE NOT EXISTS (SELECT 1 FROM und u
+                  WHERE u.subj = s.node_a AND u.obj = s.node_b)
+"""
+
+    # noisy-OR fusion over the disambiguation similarities: both
+    # engines fuse the SAME 6-dp-rounded sims, so the hash certifies
+    # the evidence join + 1-exp(sum(ln(1-conf))) combiner itself
+    o["kg_triple_belief"] = f"""
+WITH ev AS ({demo.disamb_oracle_sql(_TOKS_CTE)}),
+pd AS (SELECT doc_id, cui, MAX(GREATEST(sim, 0)) AS conf
+       FROM ev GROUP BY 1, 2),
+pr AS (SELECT a.cui AS cui_a, b.cui AS cui_b,
+              LEAST(a.conf * b.conf, 0.999999) AS conf
+       FROM pd a JOIN pd b ON a.doc_id = b.doc_id AND a.cui < b.cui)
+SELECT 'cui:' || cui_a AS subj, 'co_occurs_with' AS pred,
+       'cui:' || cui_b AS obj,
+       COUNT(*) AS n_evidence,
+       ROUND(1 - EXP(SUM(LN(1 - conf))), 6) AS belief,
+       ROUND(-SUM(LN(1 - conf)), 6) AS neg_log_miss
+FROM pr GROUP BY 1, 2, 3
 """
 
     # triangle census: the oracle enumerates each triangle once at its

@@ -231,3 +231,95 @@ def bfs_distances(cooc: DataFrame, seeds: DataFrame | None = None,
         known = known.unionByName(nxt)
         frontier = nxt.select("node")
     return known
+
+
+def link_prediction(affinity: DataFrame,
+                    max_degree: int | None = None) -> DataFrame:
+    """KG-completion candidate scoring over a canonical A<B edge list
+    (the mutual-kNN affinity graph from knn_graph): every NON-adjacent
+    pair sharing ≥1 common neighbor, scored by common-neighbor count,
+    Jaccard |N∩|/|N∪| and Adamic-Adar Σ 1/ln(deg(m)) (Liben-Nowell &
+    Kleinberg 2003) — the classic missing-edge proposers run against
+    triple stores after construction.
+
+    Shape at scale: one symmetrize + distinct, degrees as a 1-row/node
+    relation (broadcast), wedge join keyed on the MIDDLE node — the
+    same skew case as two_hop_neighbors, so hot middles either hit
+    AQE's skew splitter or the explicit ``max_degree`` hub cap (a
+    middle of degree d emits d² wedges; capping stop-concept hubs is
+    the production norm before pair generation).  Adamic-Adar is safe:
+    any common neighbor has degree ≥ 2, so ln(deg) > 0."""
+    e2 = (affinity.select(F.col("subj").alias("src"),
+                          F.col("obj").alias("dst"))
+          .unionAll(affinity.select(F.col("obj").alias("src"),
+                                    F.col("subj").alias("dst"))))
+    deg = e2.groupBy("src").agg(F.count("*").alias("deg"))
+    if max_degree is not None:
+        mid = deg.where(F.col("deg") <= max_degree)
+        e2m = e2.join(F.broadcast(mid.select("src")), "src")
+    else:
+        e2m = e2
+    # wedges keyed on the middle node: (a)-(m)-(b), a < b
+    a = e2m.select(F.col("dst").alias("node_a"), F.col("src").alias("m"))
+    b = e2m.select(F.col("dst").alias("node_b"), F.col("src").alias("m"))
+    wedges = (a.join(b, "m")
+              .where(F.col("node_a") < F.col("node_b"))
+              .join(F.broadcast(deg.withColumnRenamed("src", "m")
+                                .withColumnRenamed("deg", "deg_m")), "m"))
+    scored = (wedges.groupBy("node_a", "node_b")
+              .agg(F.count("*").alias("common_neighbors"),
+                   F.sum(1.0 / F.log("deg_m")).alias("aa")))
+    # drop already-adjacent pairs, attach endpoint degrees for Jaccard
+    adj = affinity.select(F.col("subj").alias("node_a"),
+                          F.col("obj").alias("node_b"))
+    da = F.broadcast(deg.select(F.col("src").alias("node_a"),
+                                F.col("deg").alias("deg_a")))
+    db = F.broadcast(deg.select(F.col("src").alias("node_b"),
+                                F.col("deg").alias("deg_b")))
+    return (scored.join(adj, ["node_a", "node_b"], "left_anti")
+            .join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "common_neighbors",
+                    F.round(F.col("common_neighbors")
+                            / (F.col("deg_a") + F.col("deg_b")
+                               - F.col("common_neighbors")), 6)
+                    .alias("jaccard"),
+                    F.round("aa", 6).alias("adamic_adar")))
+
+
+def triple_belief(disamb: DataFrame, cap: float = 0.999999) -> DataFrame:
+    """Knowledge-Vault-style evidence fusion: per-document confidence
+    for a concept pair = product of the two mentions' (clamped) context
+    similarities, fused across documents by noisy-OR
+    belief = 1 - Π_d (1 - conf_d)  (Dong et al. 2014's independent-
+    evidence combiner).  Input: (doc_id, cui, sim) mention rows from
+    the disambiguation stage.
+
+    Computed as 1 - exp(Σ ln(1 - conf_d)) so the fuse is a single
+    map-side-combinable aggregation — no per-pair collect, no UDF.
+    conf is capped below 1 so ln stays finite; negative similarities
+    clamp to 0 (no evidence, not anti-evidence)."""
+    per_doc = (disamb.groupBy("doc_id", "cui")
+               .agg(F.max(F.greatest(F.col("sim"), F.lit(0.0)))
+                    .alias("conf")))
+    a = per_doc.select("doc_id", F.col("cui").alias("cui_a"),
+                       F.col("conf").alias("conf_a"))
+    b = per_doc.select("doc_id", F.col("cui").alias("cui_b"),
+                       F.col("conf").alias("conf_b"))
+    ev = (a.join(b, "doc_id")
+          .where(F.col("cui_a") < F.col("cui_b"))
+          .select("cui_a", "cui_b",
+                  F.least(F.col("conf_a") * F.col("conf_b"),
+                          F.lit(cap)).alias("conf")))
+    return (ev.groupBy("cui_a", "cui_b")
+            .agg(F.count("*").alias("n_evidence"),
+                 F.round(1.0 - F.exp(F.sum(F.log(1.0 - F.col("conf")))),
+                         6).alias("belief"),
+                 # the un-saturated evidence mass: belief rounds to 1.0
+                 # once enough docs agree, -Σ ln(1-conf) never does, so
+                 # it keeps certifying the per-doc confidences
+                 F.round(-F.sum(F.log(1.0 - F.col("conf"))), 6)
+                 .alias("neg_log_miss"))
+            .select(F.concat(F.lit("cui:"), "cui_a").alias("subj"),
+                    F.lit("co_occurs_with").alias("pred"),
+                    F.concat(F.lit("cui:"), "cui_b").alias("obj"),
+                    "n_evidence", "belief", "neg_log_miss"))

@@ -153,3 +153,70 @@ def test_bfs_distances_hop_bound_and_seed_set(spark, cooc):
     got2 = {r["node"]: r["dist"]
             for r in bfs_distances(path, seeds2, max_hops=4).collect()}
     assert got2 == {"A": 0, "D": 0, "B": 1, "C": 1}
+
+
+def test_link_prediction_hand_graph(spark):
+    from medcat_spark.functions.graph import link_prediction
+
+    # path graph A-B-C-D plus edge B-E: non-adjacent pairs with common
+    # neighbors: (A,C) via B, (C,E) via B, (A,E) via B, (B,D) via C
+    tri = spark.createDataFrame(
+        [("A", "affinity", "B"), ("B", "affinity", "C"),
+         ("C", "affinity", "D"), ("B", "affinity", "E")],
+        "subj string, pred string, obj string")
+    got = {(r["node_a"], r["node_b"]):
+           (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+           for r in link_prediction(tri).collect()}
+    # degrees: A=1 B=3 C=2 D=1 E=1; middle degrees: B=3, C=2
+    aa_b = round(1 / math.log(3), 6)
+    aa_c = round(1 / math.log(2), 6)
+    assert got == {
+        ("A", "C"): (1, round(1 / (1 + 2 - 1), 6), aa_b),
+        ("C", "E"): (1, round(1 / (2 + 1 - 1), 6), aa_b),
+        ("A", "E"): (1, round(1 / (1 + 1 - 1), 6), aa_b),
+        ("B", "D"): (1, round(1 / (3 + 1 - 1), 6), aa_c),
+    }
+
+
+def test_link_prediction_hub_cap(spark):
+    from medcat_spark.functions.graph import link_prediction
+
+    # star around H: without the cap every leaf pair is a candidate;
+    # capping middle degree below 4 removes H as a wedge middle
+    tri = spark.createDataFrame(
+        [("H", "affinity", x) for x in ("A", "B", "C", "D")],
+        "subj string, pred string, obj string")
+    assert link_prediction(tri).count() == 6      # C(4,2) leaf pairs
+    assert link_prediction(tri, max_degree=3).count() == 0
+
+
+def test_triple_belief_noisy_or(spark):
+    from medcat_spark.functions.graph import triple_belief
+
+    # doc1: X(.8), Y(.5) -> conf .4 ; doc2: X(.9), Y(.2), Z(-.3 -> 0)
+    # X,Y belief = 1-(1-.4)(1-.18) = .508; pairs with Z get conf 0
+    rows = [("d1", "X", 0.8), ("d1", "Y", 0.5), ("d1", "X", 0.6),
+            ("d2", "X", 0.9), ("d2", "Y", 0.2), ("d2", "Z", -0.3)]
+    disamb = spark.createDataFrame(rows, "doc_id string, cui string, sim double")
+    got = {(r["subj"], r["obj"]): r for r in
+           triple_belief(disamb).collect()}
+    xy = got[("cui:X", "cui:Y")]
+    assert xy["n_evidence"] == 2
+    assert abs(xy["belief"] - round(1 - 0.6 * 0.82, 6)) < 1e-9
+    assert abs(xy["neg_log_miss"]
+               - round(-(math.log(0.6) + math.log(0.82)), 6)) < 1e-9
+    xz = got[("cui:X", "cui:Z")]
+    assert xz["belief"] == 0.0 and xz["n_evidence"] == 1
+    assert got[("cui:Y", "cui:Z")]["belief"] == 0.0
+
+
+def test_triple_belief_saturation_cap(spark):
+    from medcat_spark.functions.graph import triple_belief
+
+    # conf product 1.0*1.0 would make ln(1-conf) = -inf without the cap
+    rows = [("d%d" % i, c, 1.0) for i in range(3) for c in ("X", "Y")]
+    disamb = spark.createDataFrame(rows, "doc_id string, cui string, sim double")
+    r = triple_belief(disamb).collect()[0]
+    assert r["belief"] == 1.0
+    assert abs(r["neg_log_miss"]
+               - round(-3 * math.log(1 - 0.999999), 6)) < 1e-6
