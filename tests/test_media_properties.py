@@ -1,0 +1,71 @@
+"""Property-based certification of the pure-stdlib media codecs:
+any uint8 image round-trips PNG through every row filter; any int16
+signal round-trips WAV; any palette-index animation round-trips GIF
+through the LZW layer.  Complements the hand-built-stream tests in
+test_functions.py (interlace, transparency, sub-rects, table reset)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from medcat_spark.functions.media import (gif_decode_frames, gif_encode,
+                                          lzw_decode, lzw_encode,
+                                          png_decode_pixels, png_encode,
+                                          wav_decode, wav_encode)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    px=arrays(np.uint8,
+              st.tuples(st.integers(1, 12), st.integers(1, 12),
+                        st.sampled_from([1, 3, 4]))),
+    ft=st.integers(0, 4),
+)
+def test_png_roundtrip_any_image_any_filter(px, ft):
+    if px.shape[2] == 1:
+        px = px[:, :, 0]
+    back = png_decode_pixels(png_encode(px, filter_type=ft))
+    assert back.shape == px.shape
+    assert (back == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    smp=arrays(np.int16,
+               st.tuples(st.integers(1, 2000), st.integers(1, 2))),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_any_signal(smp, rate):
+    back, got_rate = wav_decode(wav_encode(smp, rate))
+    assert got_rate == rate
+    assert (back == smp).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seq=st.lists(st.integers(0, 255), min_size=0, max_size=4000),
+    mcs=st.integers(8, 8),
+)
+def test_lzw_roundtrip_any_bytes(seq, mcs):
+    assert lzw_decode(lzw_encode(seq, mcs), mcs) == seq
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    frames=st.lists(
+        arrays(np.uint8, (5, 7), elements=st.integers(0, 3)),
+        min_size=1, max_size=4),
+    delays=st.lists(st.integers(0, 500), min_size=4, max_size=4),
+)
+def test_gif_roundtrip_any_animation(frames, delays):
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    # GIF delay unit is 10 ms: quantize expectations like the encoder
+    delays = [d // 10 * 10 for d in delays[:len(frames)]]
+    blob = gif_encode(frames, pal, delays_ms=delays)
+    dec = gif_decode_frames(blob)
+    assert len(dec) == len(frames)
+    for want_idx, d, want_delay in zip(frames, dec, delays):
+        want = np.stack([want_idx.astype(np.uint8) * 85] * 3, axis=-1)
+        assert (d["pixels"] == want).all()
+        assert d["delay_ms"] == want_delay
