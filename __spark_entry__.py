@@ -22,9 +22,10 @@ from medcat_spark.functions import dedup as ddp
 from medcat_spark.functions import similarity as simf
 from medcat_spark.functions import text as txt
 from medcat_spark.functions.graph import (bfs_distances, concept_degree,
-                                          knn_graph, link_prediction,
-                                          pagerank, triangle_counts,
-                                          triple_belief, two_hop_neighbors)
+                                          knn_graph, label_propagation,
+                                          link_prediction, pagerank,
+                                          triangle_counts, triple_belief,
+                                          two_hop_neighbors)
 from medcat_spark.functions.media import media_features
 from medcat_spark.stats import per_cui_stats
 from medcat_spark.triples import cooccurrence_triples, mention_triples
@@ -985,6 +986,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graph scored by common-neighbors / Jaccard / Adamic-Adar
     q["kg_link_prediction"] = lambda s, d: link_prediction(
         knn_graph(_cooc(s, d), k=2))
+    # synchronous label-propagation communities (deterministic variant,
+    # 3 unrolled rounds in the oracle)
+    q["kg_communities"] = lambda s, d: label_propagation(
+        knn_graph(_cooc(s, d), k=2), iterations=3)
 
     # Knowledge-Vault-style noisy-OR fusion of per-document evidence:
     # confidences are the L1-L4 disambiguation similarities (rounded to
@@ -1426,6 +1431,33 @@ FROM sc s JOIN deg da ON da.src = s.node_a
           JOIN deg db ON db.src = s.node_b
 WHERE NOT EXISTS (SELECT 1 FROM und u
                   WHERE u.subj = s.node_a AND u.obj = s.node_b)
+"""
+
+    # synchronous LPA, 3 rounds unrolled: most frequent neighbor label,
+    # ties to the smallest label — the deterministic variant
+    _lpa_step = """
+SELECT node, label FROM (
+  SELECT e.dst AS node, l.label,
+         ROW_NUMBER() OVER (PARTITION BY e.dst
+                            ORDER BY COUNT(*) DESC, l.label) AS rn
+  FROM e2 e JOIN {src} l ON l.node = e.src
+  GROUP BY e.dst, l.label) t WHERE rn = 1"""
+    o["kg_communities"] = f"""
+{_sym_cte},
+topk AS (SELECT src, dst FROM (
+           SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY w DESC, dst) AS rn
+           FROM sym) t WHERE rn <= 2),
+und AS (SELECT DISTINCT LEAST(src, dst) AS subj,
+                        GREATEST(src, dst) AS obj FROM topk),
+e2 AS (SELECT subj AS src, obj AS dst FROM und
+       UNION ALL SELECT obj AS src, subj AS dst FROM und),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e2),
+l1 AS ({_lpa_step.format(src="l0")}),
+l2 AS ({_lpa_step.format(src="l1")}),
+l3 AS ({_lpa_step.format(src="l2")})
+SELECT node, label FROM l3
 """
 
     # noisy-OR fusion over the disambiguation similarities: both

@@ -323,3 +323,40 @@ def triple_belief(disamb: DataFrame, cap: float = 0.999999) -> DataFrame:
                     F.lit("co_occurs_with").alias("pred"),
                     F.concat(F.lit("cui:"), "cui_b").alias("obj"),
                     "n_evidence", "belief", "neg_log_miss"))
+
+
+def label_propagation(affinity: DataFrame, iterations: int = 3,
+                      checkpoint: bool = True) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over a canonical A<B edge list: every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors, ties broken by the smallest label — the deterministic
+    synchronous variant, so a SQL oracle can unroll the rounds exactly
+    (the classic async/random variant is not reproducible).  Unlike
+    connected components (one label per connected region), LPA splits
+    dense regions joined by thin bridges into separate communities.
+
+    Shape at scale: edges symmetrized once and cached; each round is
+    join(edges, labels 1-row/node) + groupBy(node, label) + one window
+    over the per-node label histogram (rows = degree(node), map-side
+    sortable); lineage cut per round (connected_components policy)."""
+    from pyspark.sql import Window
+
+    e2 = (affinity.select(F.col("subj").alias("src"),
+                          F.col("obj").alias("dst"))
+          .unionAll(affinity.select(F.col("obj").alias("src"),
+                                    F.col("subj").alias("dst"))).cache())
+    labels = (e2.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(),
+                                           F.col("label").asc())
+    for _ in range(iterations):
+        hist = (e2.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count("*").alias("n")))
+        labels = (hist.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("node", "label"))
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

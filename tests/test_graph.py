@@ -220,3 +220,51 @@ def test_triple_belief_saturation_cap(spark):
     assert r["belief"] == 1.0
     assert abs(r["neg_log_miss"]
                - round(-3 * math.log(1 - 0.999999), 6)) < 1e-6
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from medcat_spark.functions.graph import label_propagation
+
+    # two triangles joined by one bridge edge C-D: LPA keeps them as
+    # two communities (connected components would merge them)
+    tri = spark.createDataFrame(
+        [("A", "affinity", "B"), ("A", "affinity", "C"),
+         ("B", "affinity", "C"),
+         ("D", "affinity", "E"), ("D", "affinity", "F"),
+         ("E", "affinity", "F"),
+         ("C", "affinity", "D")],
+        "subj string, pred string, obj string")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(tri, iterations=3).collect()}
+    assert len(set(got.values())) == 2
+    assert got["A"] == got["B"] == got["C"]
+    assert got["D"] == got["E"] == got["F"]
+    assert got["A"] != got["D"]
+
+
+def test_label_propagation_matches_hand_rolled_sync(spark):
+    from medcat_spark.functions.graph import label_propagation
+
+    edges = [("A", "B"), ("B", "C"), ("C", "D"), ("B", "D")]
+    tri = spark.createDataFrame(
+        [(a, "affinity", b) for a, b in edges],
+        "subj string, pred string, obj string")
+
+    # independent synchronous reference: most-frequent neighbor label,
+    # min-label tie-break
+    from collections import Counter
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    lab = {n: n for n in nbr}
+    for _ in range(3):
+        new = {}
+        for n in nbr:
+            c = Counter(lab[m] for m in nbr[n])
+            top = max(c.values())
+            new[n] = min(l for l, k in c.items() if k == top)
+        lab = new
+    got = {r["node"]: r["label"]
+           for r in label_propagation(tri, iterations=3).collect()}
+    assert got == lab
