@@ -991,6 +991,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_communities"] = lambda s, d: label_propagation(
         knn_graph(_cooc(s, d), k=2), iterations=3)
 
+    # RDF N-Triples interchange (sources/rdf.py): exact statement lines
+    # (oracle rebuilds the strings with REPLACE chains), and the full
+    # write→parse round-trip (oracle = the co-occurrence relation)
+    def _nt_lines(s, d):
+        from medcat_spark.sources.rdf import to_ntriples
+        return to_ntriples(_cooc(s, d))
+    q["kg_ntriples_lines"] = _nt_lines
+
+    def _nt_roundtrip(s, d):
+        import tempfile
+        from medcat_spark.sources.rdf import read_ntriples, write_ntriples
+        path = tempfile.mkdtemp(prefix="nt_") + "/kg"
+        write_ntriples(_cooc(s, d), path)
+        return read_ntriples(s, path)
+    q["kg_ntriples_roundtrip"] = _nt_roundtrip
+
     # Knowledge-Vault-style noisy-OR fusion of per-document evidence:
     # confidences are the L1-L4 disambiguation similarities (rounded to
     # 6 dp on BOTH engines before fusing, so the fuse — not the deep
@@ -1431,6 +1447,35 @@ FROM sc s JOIN deg da ON da.src = s.node_a
           JOIN deg db ON db.src = s.node_b
 WHERE NOT EXISTS (SELECT 1 FROM und u
                   WHERE u.subj = s.node_a AND u.obj = s.node_b)
+"""
+
+    # N-Triples serialization: the oracle rebuilds the exact statement
+    # strings (the fixture terms need no percent-escaping — the escape
+    # chain itself is pinned by golden pytest lines in test_rdf.py);
+    # the roundtrip oracle is the co-occurrence relation itself, so the
+    # hash certifies write→parse is lossless including the RDF-star
+    # evidence_count re-attachment
+    _nt_cooc = f"""
+WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT t.doc_id, d.cui
+      FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name),
+cooc AS (SELECT 'cui:' || a.cui AS subj, 'cooccurs_with' AS pred,
+                'cui:' || b.cui AS obj, COUNT(*) AS n_docs
+         FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.cui < b.cui
+         GROUP BY 1, 2, 3)"""
+    o["kg_ntriples_lines"] = f"""
+{_nt_cooc}
+SELECT '<urn:medcat:' || subj || '> <urn:medcat:' || pred
+       || '> <urn:medcat:' || obj || '> .' AS line FROM cooc
+UNION ALL
+SELECT '<< <urn:medcat:' || subj || '> <urn:medcat:' || pred
+       || '> <urn:medcat:' || obj || '> >> <urn:medcat:evidence_count> "'
+       || n_docs || '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+FROM cooc
+"""
+    o["kg_ntriples_roundtrip"] = f"""
+{_nt_cooc}
+SELECT subj, pred, obj, n_docs FROM cooc
 """
 
     # synchronous LPA, 3 rounds unrolled: most frequent neighbor label,
