@@ -1007,6 +1007,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_ntriples(s, path)
     q["kg_ntriples_roundtrip"] = _nt_roundtrip
 
+    # incremental KG maintenance — the daily-ingest path: co-occurrence
+    # counts from a NEW doc batch are additive deltas (disjoint docs),
+    # so the update touches only delta pairs (semi-join against the
+    # table) and lands as ONE Iceberg MERGE snapshot.  The oracle is the
+    # full recompute: the hash certifies incremental == from-scratch.
+    def _cooc_incremental(s, d):
+        import tempfile
+        from medcat_spark.sources.iceberg import IcebergTable
+        ann = _uni_ann(s, d)
+        even = F.col("doc_id").cast("long") % 2 == 0
+        base = cooccurrence_triples(ann.where(even))
+        delta = cooccurrence_triples(ann.where(~even))
+        loc = tempfile.mkdtemp(prefix="ice_cooc_") + "/cooc"
+        t = IcebergTable.create(loc, base.schema)
+        t.append_dataframe(base)
+        touched = t.to_df(s).join(delta.select("subj", "obj"),
+                                  ["subj", "obj"], "left_semi")
+        merged = (delta.unionByName(touched)
+                  .groupBy("subj", "pred", "obj")
+                  .agg(F.sum("n_docs").alias("n_docs")))
+        t.upsert_dataframe(s, merged, key_cols=["subj", "obj"])
+        return IcebergTable.load(loc).to_df(s)
+    q["kg_cooc_incremental"] = _cooc_incremental
+
     # Knowledge-Vault-style noisy-OR fusion of per-document evidence:
     # confidences are the L1-L4 disambiguation similarities (rounded to
     # 6 dp on BOTH engines before fusing, so the fuse — not the deep
@@ -1474,6 +1498,12 @@ SELECT '<< <urn:medcat:' || subj || '> <urn:medcat:' || pred
 FROM cooc
 """
     o["kg_ntriples_roundtrip"] = f"""
+{_nt_cooc}
+SELECT subj, pred, obj, n_docs FROM cooc
+"""
+    # incremental == from-scratch: the additive-delta maintenance path
+    # must land on exactly the full recompute
+    o["kg_cooc_incremental"] = f"""
 {_nt_cooc}
 SELECT subj, pred, obj, n_docs FROM cooc
 """

@@ -1722,3 +1722,45 @@ def test_sort_order_clusters_for_data_skipping(spark, tmp_path):
     assert got.where(F.col("subj") == "doc:100").count() == 1
     # full read unaffected by the clustering
     assert ts.to_df(spark).count() == 200
+
+
+def test_cooc_incremental_merge_writes_only_delta(spark, tmp_path):
+    """The daily-ingest KG maintenance path: the MERGE snapshot's
+    added-records must equal the touched+new pair count, NOT the table
+    size — the property that makes the incremental path viable when
+    the base table is 100 TB-scale."""
+    from pyspark.sql import functions as F
+
+    from medcat_spark.sources.iceberg import IcebergTable
+
+    base = spark.createDataFrame(
+        [("cui:A", "cooccurs_with", "cui:B", 5),
+         ("cui:A", "cooccurs_with", "cui:C", 2),
+         ("cui:B", "cooccurs_with", "cui:C", 7),
+         ("cui:C", "cooccurs_with", "cui:D", 1)],
+        "subj string, pred string, obj string, n_docs long")
+    delta = spark.createDataFrame(
+        [("cui:A", "cooccurs_with", "cui:B", 3),      # touched
+         ("cui:D", "cooccurs_with", "cui:E", 4)],     # new pair
+        "subj string, pred string, obj string, n_docs long")
+
+    loc = str(tmp_path / "cooc")
+    t = IcebergTable.create(loc, base.schema)
+    t.append_dataframe(base)
+    touched = t.to_df(spark).join(delta.select("subj", "obj"),
+                                  ["subj", "obj"], "left_semi")
+    merged = (delta.unionByName(touched)
+              .groupBy("subj", "pred", "obj")
+              .agg(F.sum("n_docs").alias("n_docs")))
+    t.upsert_dataframe(spark, merged, key_cols=["subj", "obj"])
+
+    snaps = IcebergTable.load(loc).snapshots()
+    merge_snap = snaps[-1]
+    assert int(merge_snap["summary"]["added-records"]) == 2  # not 5
+    assert int(merge_snap["summary"]["added-equality-deletes"]) == 2
+
+    got = {(r["subj"], r["obj"]): r["n_docs"]
+           for r in IcebergTable.load(loc).to_df(spark).collect()}
+    assert got == {("cui:A", "cui:B"): 8, ("cui:A", "cui:C"): 2,
+                   ("cui:B", "cui:C"): 7, ("cui:C", "cui:D"): 1,
+                   ("cui:D", "cui:E"): 4}
