@@ -175,6 +175,41 @@ def main():
     plans["iceberg_nested_evolution_read"] = IcebergTable.load(
         _t3loc).to_df(spark)
 
+    # round-5 session-5 operators: link prediction (wedge join on the
+    # middle node, degree relations broadcast — no cartesian), LPA
+    # communities (per-round histogram window over 1-row/node labels),
+    # noisy-OR belief (single map-side-combinable agg downstream of the
+    # disamb kernel), N-Triples serialize (pure codegen projection) and
+    # parse-back (regexp over a text scan), media codecs (single
+    # MapInPandas each — synthesize + decode, no extra shuffle)
+    from medcat_spark.functions.graph import (label_propagation,
+                                              link_prediction, knn_graph,
+                                              triple_belief)
+    aff = knn_graph(cooc, k=2)
+    plans["kg_link_prediction"] = link_prediction(aff)
+    plans["kg_communities"] = label_propagation(aff, iterations=3)
+    plans["kg_triple_belief"] = triple_belief(
+        demo.disamb_annotations(spark, SF_DIR).select(
+            "doc_id", "cui",
+            F.round("context_similarity", 6).alias("sim")))
+    from medcat_spark.sources.rdf import read_ntriples, to_ntriples, \
+        write_ntriples
+    plans["kg_ntriples_lines"] = to_ntriples(cooc)
+    _ntloc = tempfile.mkdtemp(prefix="plan_nt_") + "/kg"
+    write_ntriples(cooc, _ntloc)
+    plans["kg_ntriples_parse"] = read_ntriples(spark, _ntloc)
+    from medcat_spark.functions.media import (media_audio_stats,
+                                              media_gif_frames,
+                                              media_pixel_stats,
+                                              synth_gif_column,
+                                              synth_png_column,
+                                              synth_wav_column)
+    _mdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id")
+    plans["media_pixel_stats"] = media_pixel_stats(synth_png_column(_mdocs))
+    plans["media_audio_stats"] = media_audio_stats(synth_wav_column(_mdocs))
+    plans["media_gif_frames"] = media_gif_frames(synth_gif_column(_mdocs))
+
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
