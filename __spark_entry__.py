@@ -685,6 +685,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return media_audio_stats(synth_wav_column(docs))
     q["media_audio_stats"] = _media_audio
 
+    # REAL baseline-JPEG decode (pure numpy: Huffman + zigzag + dequant
+    # + IDCT): fixtures are built at the quantized-coefficient level, so
+    # the oracle replays the sparse IDCT analytically with COS() — an
+    # independent recompute of the whole chain.  FLOOR(x+128.5) descale
+    # keeps both engines' rounding identical; fixture_boundary_distance
+    # certifies every pixel sits ≥1e-4 from a FLOOR boundary.
+    def _media_jpeg(s, d):
+        from medcat_spark.functions.jpeg import (media_jpeg_stats,
+                                                 synth_jpeg_column)
+        docs = demo.load_docs(s, d).select("doc_id")
+        return media_jpeg_stats(synth_jpeg_column(docs))
+    q["media_jpeg_stats"] = _media_jpeg
+
     # REAL video-frame decode (pure-Python GIF LZW): animated-GIF
     # fixtures decoded frame-by-frame; timeline + per-frame mean pixel
     # re-derived arithmetically by the oracle.
@@ -2726,6 +2739,39 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(COALESCE(SUM(CASE WHEN flip < 0 THEN 1 END), 0) AS INT)
          AS zero_crossings
 FROM x GROUP BY doc_id
+"""
+
+    # JPEG analytic re-derivation: pixel(x,y) of block b = floor(128.5
+    # + IDCT of the 4 sparse fixture coefficients) clamped to [0,255];
+    # quant entries baked in (q00=1, q01=q10=q22=2).  Certifies
+    # Huffman decode, zigzag, DC prediction, dequant and the IDCT.
+    o["media_jpeg_stats"] = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         (y.y // 8) * 2 + (x.x // 8) AS b,
+         x.x % 8 AS lx, y.y % 8 AS ly
+  FROM documents d, generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+),
+v AS (
+  SELECT doc_id,
+         0.25 * (
+           0.5 * (((doc_id * 7 + b * 5) % 101) - 50)
+           + (1.0 / SQRT(2)) * (((doc_id + b) % 9) - 4) * 2
+             * COS((2 * lx + 1) * PI() / 16)
+           + (1.0 / SQRT(2)) * (((doc_id * 3 + b) % 7) - 3) * 2
+             * COS((2 * ly + 1) * PI() / 16)
+           + (1 + (doc_id + 2 * b) % 4) * 2
+             * COS((2 * ly + 1) * PI() / 8) * COS((2 * lx + 1) * PI() / 8)
+         ) AS f
+  FROM px
+),
+p AS (SELECT doc_id,
+             LEAST(255, GREATEST(0, FLOOR(f + 128.5))) AS pv
+      FROM v)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 16 AS width, 16 AS height,
+       SUM(pv) / 256.0 AS mean_px,
+       CAST(SUM(pv) AS BIGINT) AS px_sum
+FROM p GROUP BY doc_id
 """
 
     # GIF round-trip re-derivation: frame f of doc d has pixel index
