@@ -1,10 +1,15 @@
 """Multimodal column plumbing: media spans as opaque references/bytes with
 typed metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 
-The real decode (PIL/ffmpeg) is unavailable in this container, so the
-decode step is a clearly-marked deterministic fake (md5-derived pseudo
-metadata) behind the same UDF signature, batch shape, and schema a real
-decoder would use — the Spark-side plumbing is real and tested.
+Real decode paths (no PIL/ffmpeg needed): PNG pixels (all five row
+filters, stdlib zlib), WAV PCM16 audio (stdlib struct), animated-GIF
+frames (own LZW), baseline JPEG (functions/jpeg.py — pure-numpy
+Huffman+IDCT), plus PNG/JPEG/GIF header metadata.  Formats beyond
+those (progressive/subsampled JPEG, palette/16-bit/interlaced PNG,
+compressed audio, real video containers) raise NotImplementedError —
+wire PIL/ffmpeg into the same UDF signatures on a cluster that has
+them.  `fake_decode` remains for the reference-shaped metadata
+plumbing whose oracles predate the real codecs.
 """
 
 from __future__ import annotations
