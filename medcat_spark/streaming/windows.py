@@ -123,3 +123,60 @@ def streaming_exact_dedup(doc_stream: DataFrame,
                                     stateStructType=_SEEN_STATE,
                                     outputMode="append",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_PAIR_STATE = StructType([StructField("cuis", StringType())])
+_PAIR_SCHEMA = StructType([
+    StructField("cui_a", StringType()),
+    StructField("cui_b", StringType()),
+])
+
+
+def _pair_delta_fn(key: Tuple[str],
+                   pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    (blob,) = state.get if state.exists else ("",)
+    seen = set(blob.split("\x00")) - {""}
+    new = set()
+    for pdf in pdfs:
+        for c in pdf["cui"]:
+            c = str(c)
+            if c not in seen and c not in new:
+                new.add(c)
+    if new:
+        a_out, b_out = [], []
+        for c in sorted(new):
+            for other in seen | (new - {c}):
+                lo, hi = (c, other) if c < other else (other, c)
+                a_out.append(lo)
+                b_out.append(hi)
+        # dedup new×new pairs emitted twice (once per endpoint)
+        pairs = sorted(set(zip(a_out, b_out)))
+        seen |= new
+        state.update(("\x00".join(sorted(seen)),))
+        yield pd.DataFrame({"cui_a": [p[0] for p in pairs],
+                            "cui_b": [p[1] for p in pairs]})
+    else:
+        state.update((blob,))
+
+
+def stateful_pair_deltas(ann_stream: DataFrame) -> DataFrame:
+    """Streaming co-occurrence deltas WITHOUT the whole-doc-per-batch
+    assumption: GroupState keyed by doc_id carries the CUI set seen so
+    far for each document, and each micro-batch emits exactly the NEW
+    canonical pairs it completes (new×seen ∪ new×new).  Feeding these
+    into IcebergMergeStreamSink maintains exact co-occurrence counts
+    even when a document's annotations straggle across micro-batches
+    (late files, backfills, per-entity upstream operators).
+
+    State is one CUI set per in-flight document — at production scale
+    pair with a session-style timeout to evict completed documents
+    (NoTimeout here keeps the test contract exact)."""
+    ann = ann_stream.select(F.col("doc_id").cast("string").alias("doc_id"),
+                            F.col("cui").cast("string").alias("cui"))
+    return (ann.groupBy("doc_id")
+            .applyInPandasWithState(_pair_delta_fn,
+                                    outputStructType=_PAIR_SCHEMA,
+                                    stateStructType=_PAIR_STATE,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
