@@ -110,6 +110,19 @@ def _ivf_fixed_centroids():
                               for i in range(8)]), 6)
 
 
+def _pq_fixed_codebooks():
+    """Deterministic data-independent PQ codebooks (m=4 subspaces ×
+    k=8 entries × 16 dims) for the driver query — the sample-trained
+    path (train_pq_codebooks) is pytest-covered; the oracle needs
+    SF-independent literals."""
+    import numpy as np
+
+    from medcat_spark.fixtures import det_vec
+    return np.round(np.stack([
+        np.stack([det_vec(f"pq-{s}-{j}", 16) for j in range(8)])
+        for s in range(4)]), 6)
+
+
 def _uni_ann(spark, sf_dir):
     return demo.ner_annotations(spark, sf_dir, demo.UNIGRAM_ROWS)
 
@@ -631,6 +644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simf.write_ivf_partitioned(emb, cen, path)
         return simf.cosine_topk_ivf_pruned(s, path, qv, cen, k=20, n_probe=2)
     q["ann_ivf_pruned"] = _topk_ivf_pruned
+
+    # product quantization (Jégou et al. 2011): ADC top-k over m=4
+    # sub-codes — the memory path where the scan reads 4 small ints per
+    # row instead of 64 floats; oracle recomputes encode + LUT in SQL
+    def _topk_pq(s, d):
+        emb = demo.load_embeddings(s, d)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return simf.pq_topk(emb, qv, _pq_fixed_codebooks(), k=20)
+    q["ann_pq_topk"] = _topk_pq
 
     # SemDeDup (Abbas et al. 2023): k-means clusters (the fixed IVF
     # quantizer so the oracle sees literal centroids) -> intra-cluster
@@ -2271,6 +2293,37 @@ sims AS (SELECT vec_id, ROUND(d / (sqrt(na) * sqrt(nb)), 6) AS sim FROM dot)
     o["ann_cosine_topk"] = f"""
 WITH {_COS}
 SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 20
+"""
+
+    # PQ ADC: re-encode every vector in SQL (per-subspace argmin over
+    # the literal codebooks, distances rounded 6 dp, lowest j on ties)
+    # and rebuild the query's lookup table from the SAME distance
+    # relation at vec_id = 0 — the full encode+score chain recomputed
+    _pq_cb = _pq_fixed_codebooks()
+    _pq_rows = ",".join(
+        f"({s},{j},{di + 1},{float(_pq_cb[s, j, di])!r})"
+        for s in range(4) for j in range(8) for di in range(16))
+    o["ann_pq_topk"] = f"""
+WITH cb(s, j, di, val) AS (VALUES {_pq_rows}),
+e AS (SELECT vec_id, embedding[g.i] AS x, g.i
+      FROM embeddings, generate_series(1, 64) g(i)),
+sub AS (SELECT vec_id, (i - 1) // 16 AS s, ((i - 1) % 16) + 1 AS di,
+               CAST(x AS DOUBLE) AS x
+        FROM e),
+d AS (SELECT v.vec_id, c.s, c.j,
+             ROUND(SUM((v.x - c.val) * (v.x - c.val)), 6) AS dist
+      FROM sub v JOIN cb c ON c.s = v.s AND c.di = v.di
+      GROUP BY 1, 2, 3),
+code AS (SELECT vec_id, s, j FROM (
+           SELECT vec_id, s, j,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, j) AS rn
+           FROM d) t WHERE rn = 1),
+lut AS (SELECT s, j, dist FROM d WHERE vec_id = 0)
+SELECT c.vec_id, ROUND(SUM(l.dist), 6) AS pq_dist
+FROM code c JOIN lut l ON l.s = c.s AND l.j = c.j
+GROUP BY c.vec_id
+ORDER BY pq_dist, c.vec_id LIMIT 20
 """
 
     o["ann_lsh_topk"] = f"""

@@ -329,3 +329,84 @@ def semantic_dedup(embeddings: DataFrame, centroids=None,
             .withColumn("is_keeper", F.row_number().over(w) == 1)
             .select(id_col, "cluster", "component", "centroid_sim",
                     "is_keeper"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the 100 TB ANN memory path.
+# A D-dim vector becomes m sub-codes (argmin centroid per subspace);
+# query scoring is ADC — one literal lookup table per query, distance =
+# Σ_s lut[s][code_s].  The corpus shrinks from D floats to m small ints
+# per row, and scoring is pure codegen (no vector math per row at all).
+# Codebooks are sample-trained like the IVF quantizer (kmeans_centroids
+# per subspace) or fixed constants for the oracle query.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(vectors, m: int = 4, k: int = 8, iters: int = 10,
+                       seed: int = 7):
+    """Per-subspace k-means over a training sample → (m, k, D/m)
+    codebooks, rounded 6 dp (the Spark/SQL agreement contract)."""
+    import numpy as np
+    X = np.asarray(vectors, dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        kmeans_centroids(X[:, s * dsub:(s + 1) * dsub], k, iters,
+                         seed + s)
+        for s in range(m)])
+
+
+def pq_encode(embeddings: DataFrame, codebooks,
+              vec_col: str = "embedding") -> DataFrame:
+    """Append ``pq_code`` (array<int>, length m): per subspace the
+    argmin-distance codebook entry (distances rounded 6 dp before the
+    argmin, lowest index on ties — the cross-engine determinism rule).
+    Pure codegen: slice + literal-centroid distance per entry."""
+    import numpy as np
+    cbs = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = cbs.shape
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        dists = F.array(*[F.round(_sq_dist_arr(sub, cbs[s, j]), 6)
+                          for j in range(k)])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return embeddings.withColumn("pq_code", F.array(*codes))
+
+
+def _sq_dist_arr(sub_col: Column, centroid) -> Column:
+    return F.aggregate(
+        F.zip_with(sub_col, _lit_vec(centroid),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(embeddings: DataFrame, query_vec, codebooks, k: int = 10,
+            vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k over PQ codes: the query's per-subspace distance to
+    every codebook entry becomes an (m × k_cb) LITERAL lookup table
+    (entries rounded 6 dp), and each row's approximate distance is the
+    sum of m array lookups — zero per-row vector arithmetic, which is
+    the point at 100 TB: the scan reads m small ints per row instead of
+    D floats.  Deterministic order: (pq_dist, vec_id)."""
+    import numpy as np
+    cbs = np.asarray(codebooks, dtype=np.float64)
+    m, kcb, dsub = cbs.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.round(((q.reshape(m, dsub)[:, None, :] - cbs) ** 2)
+                   .sum(axis=2), 6)
+    enc = pq_encode(embeddings, cbs, vec_col)
+    lut_col = F.array(*[F.array(*[F.lit(float(lut[s, j]))
+                                  for j in range(kcb)])
+                        for s in range(m)])
+    dist = sum(
+        (F.element_at(F.element_at(lut_col, s + 1),
+                      F.element_at("pq_code", s + 1) + 1)
+         for s in range(m)),
+        start=F.lit(0.0))
+    return (enc.select(id_col, F.round(dist, 6).alias("pq_dist"))
+            .orderBy("pq_dist", id_col).limit(k))

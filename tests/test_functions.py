@@ -608,3 +608,51 @@ def test_media_gif_frames_spark(spark):
             assert r["ts_ms"] == 100 * f * (f + 1) // 2
             assert r["delay_ms"] == (f + 1) * 100
             assert abs(r["mean_px"] - round(want_mean, 6)) < 1e-9
+
+
+def test_pq_encode_argmin_and_ties(spark):
+    import numpy as np
+
+    from medcat_spark.functions.similarity import pq_encode
+
+    # m=2 subspaces of 2 dims, k=2 entries each; vector halves sit
+    # exactly on known centroids
+    cbs = np.array([[[0.0, 0.0], [1.0, 1.0]],
+                    [[2.0, 2.0], [-1.0, -1.0]]])
+    emb = spark.createDataFrame(
+        [(0, [0.9, 1.1, -0.9, -1.1]),   # sub0 -> cb1, sub1 -> cb1
+         (1, [0.1, -0.1, 2.0, 1.9]),    # sub0 -> cb0, sub1 -> cb0
+         (2, [0.5, 0.5, 0.5, 0.5])],    # BOTH subspaces tie (dist 0.5
+        "vec_id long, embedding array<double>")  # and 4.5) -> lowest j
+    got = {r["vec_id"]: list(r["pq_code"])
+           for r in pq_encode(emb, cbs).collect()}
+    assert got == {0: [1, 1], 1: [0, 0], 2: [0, 0]}
+
+
+def test_pq_trained_topk_beats_random(spark):
+    import numpy as np
+
+    from medcat_spark.functions.similarity import (pq_topk,
+                                                   train_pq_codebooks)
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 16) * 3
+    X = np.vstack([c + rng.randn(25, 16) * 0.3 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+    cbs = train_pq_codebooks(X, m=4, k=8, iters=5)
+    assert cbs.shape == (4, 8, 4)
+    qv = X[0]
+    got = [r["vec_id"] for r in pq_topk(emb, qv, cbs, k=10).collect()]
+    # exact nearest by L2: the 25 members of cluster 0
+    exact = np.argsort(((X - qv) ** 2).sum(axis=1))[:10]
+    # PQ top-10 should recover most of the exact top-10's cluster
+    assert 0 in got
+    assert len(set(got) & set(int(i) for i in exact)) >= 5
+    assert all(0 <= c < 8
+               for r in
+               __import__("medcat_spark.functions.similarity",
+                          fromlist=["pq_encode"])
+               .pq_encode(emb, cbs).select("pq_code").first()["pq_code"]
+               for c in [r])
