@@ -654,6 +654,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simf.pq_topk(emb, qv, _pq_fixed_codebooks(), k=20)
     q["ann_pq_topk"] = _topk_pq
 
+    # IVF-PQ (the FAISS composition): coarse-prune to 2 probed
+    # clusters, ADC-score only the survivors
+    def _topk_ivfpq(s, d):
+        emb = demo.load_embeddings(s, d)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return simf.pq_topk_ivf(emb, qv, _ivf_fixed_centroids(),
+                                _pq_fixed_codebooks(), k=20, n_probe=2)
+    q["ann_ivfpq_topk"] = _topk_ivfpq
+
     # SemDeDup (Abbas et al. 2023): k-means clusters (the fixed IVF
     # quantizer so the oracle sees literal centroids) -> intra-cluster
     # cosine pairs -> duplicate components -> keep the member FURTHEST
@@ -2397,6 +2406,50 @@ ORDER BY s.sim DESC, s.vec_id LIMIT 20
     # the materialized-layout probe computes the same assignment at write
     # time, so its oracle is identical
     o["ann_ivf_pruned"] = o["ann_ivf_topk"]
+
+    # IVF-PQ: the IVF probe/assign CTEs select the candidates, then the
+    # PQ encode + query-LUT relations score them — both stages fully
+    # recomputed in SQL over the literal centroids and codebooks
+    o["ann_ivfpq_topk"] = f"""
+WITH {_COS},
+cen(cid, i, c) AS (VALUES {_cen_rows}),
+cb(s, j, di, val) AS (VALUES {_pq_rows}),
+qd AS (SELECT cid, ROUND(SUM((qx.y - c) * (qx.y - c)), 9) AS dist
+       FROM cen JOIN qx USING (i) GROUP BY cid),
+probes AS (SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qd)
+    WHERE rn <= 2),
+ed AS (SELECT e.vec_id, cen.cid,
+              ROUND(SUM((e.x - cen.c) * (e.x - cen.c)), 9) AS dist
+       FROM ex e JOIN cen ON cen.i = e.i GROUP BY 1, 2),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn FROM ed)
+    WHERE rn = 1),
+cand AS (SELECT a.vec_id FROM assign a JOIN probes p USING (cid)),
+sub AS (SELECT e.vec_id, (e.i - 1) // 16 AS s, ((e.i - 1) % 16) + 1 AS di,
+               e.x
+        FROM ex e JOIN cand USING (vec_id)),
+d2 AS (SELECT v.vec_id, c.s, c.j,
+              ROUND(SUM((v.x - c.val) * (v.x - c.val)), 6) AS dist
+       FROM sub v JOIN cb c ON c.s = v.s AND c.di = v.di
+       GROUP BY 1, 2, 3),
+code AS (SELECT vec_id, s, j FROM (
+           SELECT vec_id, s, j,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, j) AS rn
+           FROM d2) t WHERE rn = 1),
+qsub AS (SELECT (i - 1) // 16 AS s, ((i - 1) % 16) + 1 AS di, y FROM qx),
+lut AS (SELECT c.s, c.j,
+               ROUND(SUM((qs.y - c.val) * (qs.y - c.val)), 6) AS dist
+        FROM qsub qs JOIN cb c ON c.s = qs.s AND c.di = qs.di
+        GROUP BY 1, 2)
+SELECT c.vec_id, ROUND(SUM(l.dist), 6) AS pq_dist
+FROM code c JOIN lut l ON l.s = c.s AND l.j = c.j
+GROUP BY c.vec_id
+ORDER BY pq_dist, c.vec_id LIMIT 20
+"""
 
     o["dsir_scores"] = """
 WITH raw AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

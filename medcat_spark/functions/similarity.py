@@ -410,3 +410,23 @@ def pq_topk(embeddings: DataFrame, query_vec, codebooks, k: int = 10,
         start=F.lit(0.0))
     return (enc.select(id_col, F.round(dist, 6).alias("pq_dist"))
             .orderBy("pq_dist", id_col).limit(k))
+
+
+def pq_topk_ivf(embeddings: DataFrame, query_vec, centroids, codebooks,
+                k: int = 10, n_probe: int = 2,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition): coarse quantizer prunes to
+    the n_probe nearest clusters, ADC scores only the survivors — at
+    100 TB the scan touches n_probe/n_clusters of the codes, and the
+    codes are m ints, not D floats.  Probe selection is driver-side
+    over the literal centroid list (rounded 9 dp, cid tie-break, same
+    rule as the SQL oracle)."""
+    import numpy as np
+    cen = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = np.round(((cen - qv) ** 2).sum(axis=1), 9)
+    probe = [int(i) for i in np.lexsort((np.arange(len(cen)), d))[:n_probe]]
+    cand = embeddings.where(
+        ivf_assign(F.col(vec_col), cen).isin(probe))
+    return pq_topk(cand, query_vec, codebooks, k, vec_col, id_col)

@@ -656,3 +656,36 @@ def test_pq_trained_topk_beats_random(spark):
                           fromlist=["pq_encode"])
                .pq_encode(emb, cbs).select("pq_code").first()["pq_code"]
                for c in [r])
+
+
+def test_pq_topk_ivf_prunes_and_scores(spark):
+    import numpy as np
+
+    from medcat_spark.functions.similarity import (ivf_assign, pq_topk,
+                                                   pq_topk_ivf,
+                                                   train_pq_codebooks)
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(4, 16) * 4
+    X = np.vstack([c + rng.randn(20, 16) * 0.2 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+    cen = np.round(centers, 6)
+    cbs = train_pq_codebooks(X, m=4, k=8, iters=5)
+    qv = X[0]
+    got = pq_topk_ivf(emb, qv, cen, cbs, k=10, n_probe=1)
+    ids = [r["vec_id"] for r in got.collect()]
+    # with n_probe=1 every result lives in the query's own cluster
+    assign = {r["vec_id"]: r["c"] for r in
+              emb.select("vec_id",
+                         ivf_assign(F.col("embedding"), cen).alias("c"))
+              .collect()}
+    qc = assign[0]
+    assert ids and all(assign[i] == qc for i in ids)
+    # and matches unpruned PQ restricted to that cluster
+    full = [r["vec_id"] for r in pq_topk(
+        emb.where(ivf_assign(F.col("embedding"), cen) == qc),
+        qv, cbs, k=10).collect()]
+    assert ids == full
