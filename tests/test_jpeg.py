@@ -119,3 +119,88 @@ def test_media_jpeg_stats_spark(spark):
         assert (r["width"], r["height"]) == (16, 16)
         assert r["px_sum"] == want
         assert r["mean_px"] == want / 256
+
+
+def test_decode_hand_assembled_bitstream():
+    """Decodes a JPEG whose entropy segment is written BIT BY BIT here,
+    independently of the module's encoder — kills the mirrored-bug risk
+    for the Huffman/receive-extend layer.
+
+    DHT (hand-chosen): DC table {cat0: '00', cat2: '01'}, AC table
+    {EOB: '00', (run0,size1): '01'}.  Block: DC diff = -2 (cat 2, bits
+    '01' = one's complement of 2), then AC (0,1) value +1 ('1'), EOB.
+    Coefficients: DC=-2, AC@zigzag[1]=(0,1)=+1.
+    """
+    import struct
+
+    import numpy as np
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    # canonical tables: 2 symbols of length 2 each
+    dc_bits = [0] * 16
+    dc_bits[1] = 2
+    ac_bits = [0] * 16
+    ac_bits[1] = 2
+    blob = bytearray(b"\xff\xd8")
+    zz_q = bytes([1] * 64)
+    blob += seg(0xDB, b"\x00" + zz_q)
+    blob += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    blob += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes([0, 2]))  # DC cats
+    blob += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes([0x00, 0x01]))
+    blob += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    # entropy bits: DC huff '01' (cat2) + '01' (diff=-2) +
+    #               AC huff '01' ((0,1)) + '1' (value +1) +
+    #               AC huff '00' (EOB) + pad '1111111'
+    # = 01 01 01 1 00 1111111 -> 01010110 01111111 = 0x56 0x7F
+    blob += bytes([0x56, 0x7F])
+    blob += b"\xff\xd9"
+
+    px = jpeg_decode_pixels(bytes(blob))
+    coef = np.zeros((8, 8), dtype=np.int64)
+    coef[0, 0] = -2
+    coef[0, 1] = 1
+    want = _descale(idct_8x8(coef))
+    assert (px == want).all()
+
+
+def test_png_paeth_filter_hand_computed():
+    """Decodes a PNG whose Paeth-filtered row bytes are computed by
+    hand here, independent of the module's encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from medcat_spark.functions.media import png_decode_pixels
+
+    # 3x3 gray image; row0 stored with filter 0; rows 1-2 with Paeth.
+    img = np.array([[10, 20, 30],
+                    [15, 25, 200],
+                    [90, 80, 70]], dtype=np.int64)
+    raw = bytearray()
+    raw.append(0)
+    raw.extend(img[0].astype(np.uint8).tobytes())
+    for y in (1, 2):
+        raw.append(4)
+        for x in range(3):
+            a = img[y][x - 1] if x else 0          # left
+            b = img[y - 1][x]                      # up
+            c = img[y - 1][x - 1] if x else 0      # upper-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append(int((img[y][x] - pred) % 256))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    got = png_decode_pixels(blob)
+    assert (got == img.astype(np.uint8)).all()
