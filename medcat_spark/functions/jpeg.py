@@ -3,10 +3,11 @@ pure numpy — the last honestly-stubbed image format gets a real decode
 path.
 
 Scope (raises NotImplementedError outside it, like the PNG/WAV/GIF
-codecs): baseline DCT, 8-bit, Huffman, no subsampling (all components
-1x1) — grayscale or 3-component 4:4:4 YCbCr.  Progressive, arithmetic
-coding, 12-bit, restart intervals, and chroma subsampling genuinely
-need a codec library.
+codecs): baseline DCT, 8-bit, Huffman, sampling factors 1-2 per axis
+(so 4:4:4, 4:2:2 and the ubiquitous 4:2:0 all decode, chroma upsampled
+nearest-neighbor), restart intervals (DRI/RSTn with predictor reset) —
+grayscale or 3-component YCbCr.  Progressive, arithmetic coding and
+12-bit genuinely need a codec library.
 
 Certification design: the fixture ENCODER takes quantized DCT
 coefficients directly (no forward DCT), so the byte stream's content
@@ -114,6 +115,19 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def expect_restart(self):
+        """Byte-align (drop pad bits) and consume the next RSTn marker.
+        Only padding / stuffed bytes can precede it at a legal restart
+        boundary, so a bounded forward scan is safe."""
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and \
+                    0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
 
 def _receive_extend(r: _BitReader, t: int) -> int:
     """DC/AC magnitude decode (T.81 F.2.2.1): t bits; values with a
@@ -175,22 +189,38 @@ def _huff_decode(r: _BitReader, table: Dict) -> int:
 
 def jpeg_encode_coefficients(blocks, width: int, height: int,
                              quant: np.ndarray,
-                             n_components: int = 1) -> bytes:
+                             n_components: int = 1,
+                             sampling=None,
+                             restart_interval: int = 0) -> bytes:
     """Build a valid baseline JPEG stream from QUANTIZED coefficient
-    blocks (list of 8x8 int arrays; for color, per MCU one block per
-    component interleaved Y,Cb,Cr).  DC prediction and zigzag applied
-    per spec; one shared quant table and per-class minimal DHT."""
+    blocks (list of 8x8 int arrays).  ``sampling``: per-component
+    (h, v) factors (default 1x1) — blocks are supplied MCU-interleaved
+    (for each MCU, component order, h*v raster blocks each; e.g. 4:2:0
+    = YYYY Cb Cr per MCU).  ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (predictors reset, byte-aligned) every
+    that many MCUs.  DC prediction and zigzag per spec; one shared
+    quant table and per-class minimal DHT."""
     quant = np.asarray(quant, dtype=np.int64)
     if quant.min() < 1 or quant.max() > 255:
         raise ValueError("quant table entries must be in [1, 255]")
     blocks = [np.asarray(b, dtype=np.int64) for b in blocks]
+    sampling = list(sampling or [(1, 1)] * n_components)
+    comp_seq = [c for c in range(n_components)
+                for _ in range(sampling[c][0] * sampling[c][1])]
+    per_mcu = len(comp_seq)
 
     # first pass: collect symbols for the minimal Huffman tables
     dc_syms, ac_syms = set(), set()
     pred = [0] * n_components
     seq = []                                  # (comp, dc_sym, dc_val, acs)
+    restarts = set()                          # block indexes preceded by RST
     for i, blk in enumerate(blocks):
-        comp = i % n_components
+        comp = comp_seq[i % per_mcu]
+        mcu = i // per_mcu
+        if restart_interval and i % per_mcu == 0 and mcu and \
+                mcu % restart_interval == 0:
+            restarts.add(i)
+            pred = [0] * n_components
         zz = [int(blk[r, c]) for (r, c) in _ZZ]
         diff = zz[0] - pred[comp]
         pred[comp] = zz[0]
@@ -218,7 +248,12 @@ def jpeg_encode_coefficients(blocks, width: int, height: int,
     ac_bits, ac_vals, ac_enc = _build_encode(ac_syms)
 
     w = _BitWriter()
-    for comp, cat, diff, acs in seq:
+    n_rst = 0
+    for bi, (comp, cat, diff, acs) in enumerate(seq):
+        if bi in restarts:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
         ln, code = dc_enc[cat]
         w.write(code, ln)
         if cat:
@@ -240,8 +275,11 @@ def jpeg_encode_coefficients(blocks, width: int, height: int,
     out += seg(0xDB, b"\x00" + zz_q)          # DQT table 0, 8-bit
     sof = struct.pack(">BHHB", 8, height, width, n_components)
     for c in range(n_components):
-        sof += bytes([c + 1, 0x11, 0])        # 1x1 sampling, quant 0
+        hc, vc = sampling[c]
+        sof += bytes([c + 1, (hc << 4) | vc, 0])
     out += seg(0xC0, sof)                     # SOF0 baseline
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
     sos = bytes([n_components])
@@ -268,9 +306,10 @@ def jpeg_decode_pixels(b: bytes) -> np.ndarray:
     quants: Dict[int, np.ndarray] = {}
     huff: Dict[Tuple[int, int], Dict] = {}
     w = h = None
-    comps: List[Tuple[int, int, int]] = []    # (id, quant_id)
+    comps: List[Tuple[int, int, int, int]] = []   # (id, hs, vs, quant_id)
     comp_tables: Dict[int, Tuple[int, int]] = {}
     scan_order: List[int] = []
+    dri = 0
     data_start = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -301,10 +340,11 @@ def jpeg_decode_pixels(b: bytes) -> np.ndarray:
                 raise NotImplementedError("12-bit JPEG")
             for c in range(nc):
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling needs a codec library")
-                comps.append((cid, tq))
+                        f"sampling factors {hs}x{vs}: only 1-2 supported")
+                comps.append((cid, hs, vs, tq))
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -315,7 +355,7 @@ def jpeg_decode_pixels(b: bytes) -> np.ndarray:
                 huff[(tc, th)] = _build_decode(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (dri,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:
             ns = payload[0]
             for c in range(ns):
@@ -330,42 +370,67 @@ def jpeg_decode_pixels(b: bytes) -> np.ndarray:
 
     end = b.rfind(b"\xff\xd9")
     r = _BitReader(b[data_start:end if end > data_start else len(b)])
-    bx, by = (w + 7) // 8, (h + 7) // 8
-    qmap = dict(comps)
-    planes = {cid: np.zeros((by * 8, bx * 8)) for cid, _ in comps}
-    pred = {cid: 0 for cid, _ in comps}
-    for myy in range(by):
-        for mxx in range(bx):
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qmap = {cid: tq for cid, _, _, tq in comps}
+    samp = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    planes = {cid: np.zeros((mcuy * 8 * vs, mcux * 8 * hs))
+              for cid, hs, vs, _ in comps}
+    pred = {cid: 0 for cid, _, _, _ in comps}
+
+    def decode_block(cid):
+        dc_t, ac_t = comp_tables[cid]
+        coef = np.zeros((8, 8), dtype=np.int64)
+        t = _huff_decode(r, huff[(0, dc_t)])
+        pred[cid] += _receive_extend(r, t)
+        coef[0, 0] = pred[cid]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(r, huff[(1, ac_t)])
+            if sym == 0x00:           # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16               # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            rr, cc = _ZZ[k]
+            coef[rr, cc] = _receive_extend(r, size)
+            k += 1
+        return idct_8x8(coef * quants[qmap[cid]])
+
+    mcu_n = 0
+    for myy in range(mcuy):
+        for mxx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                r.expect_restart()    # byte-align + RSTn
+                for cid in pred:      # predictors reset at restart
+                    pred[cid] = 0
             for cid in scan_order:
-                dc_t, ac_t = comp_tables[cid]
-                coef = np.zeros((8, 8), dtype=np.int64)
-                t = _huff_decode(r, huff[(0, dc_t)])
-                pred[cid] += _receive_extend(r, t)
-                coef[0, 0] = pred[cid]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(r, huff[(1, ac_t)])
-                    if sym == 0x00:           # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16               # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    rr, cc = _ZZ[k]
-                    coef[rr, cc] = _receive_extend(r, size)
-                    k += 1
-                blk = idct_8x8(coef * quants[qmap[cid]])
-                planes[cid][myy * 8:myy * 8 + 8,
-                            mxx * 8:mxx * 8 + 8] = blk
+                hs, vs = samp[cid]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        blk = decode_block(cid)
+                        y0 = (myy * vs + byy) * 8
+                        x0 = (mxx * hs + bxx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_n += 1
+    # nearest-neighbor upsample subsampled planes to full resolution
+    for cid, hs, vs, _ in comps:
+        if hs < hmax:
+            planes[cid] = np.repeat(planes[cid], hmax // hs, axis=1)
+        if vs < vmax:
+            planes[cid] = np.repeat(planes[cid], vmax // vs, axis=0)
     if len(comps) == 1:
         return _descale(planes[comps[0][0]][:h, :w])
     if len(comps) == 3:
-        y, cb, cr = (planes[cid][:h, :w] + 128 for cid, _ in comps)
+        y, cb, cr = (planes[cid][:h, :w] + 128 for cid, _, _, _ in comps)
         rr = y + 1.402 * (cr - 128)
         gg = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
         bb = y + 1.772 * (cb - 128)

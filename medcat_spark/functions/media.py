@@ -4,9 +4,10 @@ typed metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 Real decode paths (no PIL/ffmpeg needed): PNG pixels (all five row
 filters, stdlib zlib), WAV PCM16 audio (stdlib struct), animated-GIF
 frames (own LZW), baseline JPEG (functions/jpeg.py — pure-numpy
-Huffman+IDCT), plus PNG/JPEG/GIF header metadata.  Formats beyond
-those (progressive/subsampled JPEG, palette/16-bit/interlaced PNG,
-compressed audio, real video containers) raise NotImplementedError —
+Huffman+IDCT), plus PNG/JPEG/GIF header metadata and 8-bit palette
+PNGs.  Formats beyond those (progressive/12-bit JPEG,
+sub-8-bit/16-bit/interlaced PNG, compressed audio, real video
+containers) raise NotImplementedError —
 wire PIL/ffmpeg into the same UDF signatures on a cluster that has
 them.  `fake_decode` remains for the reference-shaped metadata
 plumbing whose oracles predate the real codecs.
@@ -317,8 +318,9 @@ def png_decode_pixels(b: bytes):
     """Full PNG pixel decode with stdlib zlib: parse chunks, inflate
     IDAT, reconstruct every row filter (None/Sub/Up/Average/Paeth).
     Returns a numpy uint8 array (H, W) for grayscale or (H, W, C).
+    8-bit palette images (color type 3, PLTE chunk) decode to RGB.
     Raises NotImplementedError for the PNG features that genuinely
-    need a library (palette, 16-bit, interlace)."""
+    need a library (sub-8-bit packing, 16-bit, interlace)."""
     import struct
     import zlib
 
@@ -329,6 +331,7 @@ def png_decode_pixels(b: bytes):
     i, w = 8, None
     hgt = bitd = color = interlace = None
     idat = bytearray()
+    plte = None
     while i + 8 <= len(b):
         (ln,) = struct.unpack(">I", b[i:i + 4])
         tag = b[i + 4:i + 8]
@@ -336,6 +339,8 @@ def png_decode_pixels(b: bytes):
         if tag == b"IHDR":
             w, hgt, bitd, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -343,12 +348,16 @@ def png_decode_pixels(b: bytes):
         i += 12 + ln
     if w is None:
         raise ValueError("PNG without IHDR")
-    if bitd != 8 or color not in _PNG_CHANNELS or interlace:
+    paletted = color == 3
+    if bitd != 8 or (color not in _PNG_CHANNELS and not paletted) \
+            or interlace:
         raise NotImplementedError(
             f"PNG bit depth {bitd} / color type {color} / interlace "
-            f"{interlace}: only 8-bit gray/RGB/RGBA progressive-free "
-            "streams decode without a library")
-    ch = _PNG_CHANNELS[color]
+            f"{interlace}: only 8-bit gray/RGB/RGBA/palette "
+            "progressive-free streams decode without a library")
+    if paletted and plte is None:
+        raise ValueError("paletted PNG without PLTE chunk")
+    ch = 1 if paletted else _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != hgt * (stride + 1):
@@ -384,6 +393,11 @@ def png_decode_pixels(b: bytes):
             raise ValueError(f"bad PNG filter byte {ft}")
         out[y] = rec.astype(np.uint8)
         prior = rec
+    if paletted:
+        idx = out.reshape(hgt, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
     return out.reshape(hgt, w) if ch == 1 else out.reshape(hgt, w, ch)
 
 

@@ -92,7 +92,7 @@ def test_honest_rejections():
     with pytest.raises(NotImplementedError):
         jpeg_decode_pixels(bytes(prog))
     sub = blob.copy()
-    sub[i + 11] = 0x22              # 2x2 sampling factor
+    sub[i + 11] = 0x33              # 3x3 sampling: beyond the 1-2 range
     with pytest.raises(NotImplementedError):
         jpeg_decode_pixels(bytes(sub))
     with pytest.raises(ValueError):
@@ -204,3 +204,53 @@ def test_png_paeth_filter_hand_computed():
             + chunk(b"IEND", b""))
     got = png_decode_pixels(blob)
     assert (got == img.astype(np.uint8)).all()
+
+
+def test_420_subsampling_roundtrip():
+    """4:2:0 (the ubiquitous web/camera layout): 1 MCU = 4 Y blocks +
+    Cb + Cr, chroma upsampled 2x nearest-neighbor."""
+    q = np.ones((8, 8), dtype=np.int64)
+
+    def blk(dc, ac=0):
+        c = np.zeros((8, 8), dtype=np.int64)
+        c[0, 0] = dc
+        if ac:
+            c[1, 1] = ac
+        return c
+
+    yblocks = [blk(8 * i, 2) for i in range(4)]
+    cbb, crb = blk(-16), blk(24)
+    px = jpeg_decode_pixels(jpeg_encode_coefficients(
+        yblocks + [cbb, crb], 16, 16, q, n_components=3,
+        sampling=[(2, 2), (1, 1), (1, 1)]))
+    yp = np.zeros((16, 16))
+    for i, b in enumerate(yblocks):
+        y0, x0 = (i // 2) * 8, (i % 2) * 8
+        yp[y0:y0 + 8, x0:x0 + 8] = idct_8x8(b * q)
+    cb = np.repeat(np.repeat(idct_8x8(cbb * q), 2, 0), 2, 1) + 128
+    cr = np.repeat(np.repeat(idct_8x8(crb * q), 2, 0), 2, 1) + 128
+    yv = yp + 128
+    want = np.stack(
+        [np.clip(np.floor(p + 0.5), 0, 255) for p in
+         (yv + 1.402 * (cr - 128),
+          yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+          yv + 1.772 * (cb - 128))], axis=-1).astype(np.uint8)
+    assert px.shape == (16, 16, 3)
+    assert (px == want).all()
+
+
+def test_restart_intervals_reset_predictors():
+    rng = np.random.RandomState(3)
+    q = fixture_quant()
+    blocks = []
+    for _ in range(6):                  # 6 MCUs of one block (8x48 image)
+        c = np.zeros((8, 8), dtype=np.int64)
+        c[0, 0] = rng.randint(-90, 91)
+        c[3, 1] = rng.randint(-6, 7)
+        blocks.append(c)
+    blob = jpeg_encode_coefficients(blocks, 48, 8, q, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + m]) in blob for m in range(8))
+    px = jpeg_decode_pixels(blob)
+    for i, b in enumerate(blocks):
+        want = _descale(idct_8x8(b * q))
+        assert (px[:, i * 8:(i + 1) * 8] == want).all(), i

@@ -69,3 +69,41 @@ def test_gif_roundtrip_any_animation(frames, delays):
         want = np.stack([want_idx.astype(np.uint8) * 85] * 3, axis=-1)
         assert (d["pixels"] == want).all()
         assert d["delay_ms"] == want_delay
+
+
+def test_png_palette_decode_hand_built():
+    """8-bit paletted PNG assembled by hand (PLTE + index rows) decodes
+    to the palette's RGB values; out-of-range indices raise."""
+    import struct
+    import zlib
+
+    from medcat_spark.functions.media import png_decode_pixels
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = [[0, 1, 2], [3, 2, 1]]
+    raw = bytearray()
+    for row in idx:
+        raw.append(0)
+        raw.extend(row)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    def build(palette):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3,
+                                             0, 0, 0))
+                + chunk(b"PLTE", bytes(v for c in palette for v in c))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    px = png_decode_pixels(build(pal))
+    assert px.shape == (2, 3, 3)
+    for y, row in enumerate(idx):
+        for x, k in enumerate(row):
+            assert tuple(int(v) for v in px[y, x]) == pal[k]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        png_decode_pixels(build(pal[:2]))    # index 3 out of range
