@@ -1006,6 +1006,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k")))
 
+    # AS-OF join (operators/temporal.py): every event picks up the
+    # latest per-type "threshold snapshot" at or before its timestamp —
+    # the union-sort single-shuffle shape; oracle = DuckDB's native
+    # ASOF LEFT JOIN
+    def _asof(s, d):
+        from medcat_spark.operators.temporal import asof_join
+        ev = _ev(s, d)
+        snaps = (ev.where(F.col("event_id") % 50 == 0)
+                 .select("event_type", "ts",
+                         F.col("value").alias("thr")))
+        out = asof_join(ev.select("event_id", "event_type", "ts"),
+                        snaps, on="event_type", left_ts="ts",
+                        right_ts="ts", value_cols="thr")
+        # sentinel for events before the first snapshot (the checker
+        # treats NaN != NaN)
+        return out.select("event_id", "event_type",
+                          F.coalesce(F.round("thr", 2),
+                                     F.lit(-999.0)).alias("thr"))
+    q["events_asof_join"] = _asof
+
+    # RANGE join (operators/temporal.py): events overlapping 30-minute
+    # maintenance windows, executed as a bucketized equi-join (10-min
+    # buckets in microseconds); oracle = plain inequality join
+    def _rangej(s, d):
+        from medcat_spark.operators.temporal import range_join
+        us = F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        ev = _ev(s, d).select("event_id", "value", us.alias("us"))
+        win = (_ev(s, d).where(F.col("event_id") % 97 == 0)
+               .select(F.col("event_id").alias("window_id"),
+                       us.alias("w_start"))
+               .withColumn("w_end", F.col("w_start") + 1800_000_000))
+        j = range_join(ev, win, ts_col="us", start_col="w_start",
+                       end_col="w_end", bucket_width=600_000_000)
+        return (j.groupBy("window_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("sum_value")))
+    q["events_range_join"] = _rangej
+
     # --- graph analytics over the materialized co-occurrence triples
     #     (functions/graph.py): the KG consumer-side queries the
     #     north_star's "graph tables" exist to serve
@@ -3224,6 +3263,26 @@ WITH e AS (SELECT event_id,
            FROM events)
 SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY 1
+"""
+
+    o["events_asof_join"] = """
+WITH r AS (SELECT event_type, ts, value AS thr FROM events
+           WHERE event_id % 50 = 0)
+SELECT e.event_id, e.event_type,
+       COALESCE(ROUND(r.thr, 2), -999.0) AS thr
+FROM events e ASOF LEFT JOIN r
+  ON e.event_type = r.event_type AND e.ts >= r.ts
+"""
+
+    o["events_range_join"] = """
+WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS w_start,
+                  epoch_us(ts) + 1800000000 AS w_end
+           FROM events WHERE event_id % 97 = 0),
+e AS (SELECT event_id, value, epoch_us(ts) AS us FROM events)
+SELECT w.window_id, COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM e JOIN w ON e.us BETWEEN w.w_start AND w.w_end
+GROUP BY 1
 """
 
     # L1-L4 disambiguation math + O3 most_similar as hash-matched SQL
