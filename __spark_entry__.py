@@ -1006,6 +1006,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k")))
 
+    # mergeable sketches + hierarchical rollups (functions/sketches.py)
+    def _rollup(s, d):
+        from medcat_spark.functions.sketches import rollup_cascade
+        return rollup_cascade(_ev(s, d))
+    q["events_rollup"] = _rollup
+
+    def _hquant(s, d):
+        from medcat_spark.functions.sketches import histogram_quantiles
+        return histogram_quantiles(_ev(s, d), "value", lo=0.0, hi=20.0,
+                                   n_bins=40)
+    q["events_quantile_sketch"] = _hquant
+
+    def _hll(s, d):
+        from medcat_spark.functions.sketches import hll_distinct
+        return hll_distinct(_ev(s, d), "user_id")
+    q["events_hll_distinct"] = _hll
+
     # AS-OF join (operators/temporal.py): every event picks up the
     # latest per-type "threshold snapshot" at or before its timestamp —
     # the union-sort single-shuffle shape; oracle = DuckDB's native
@@ -1370,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from medcat_spark.functions.sketches import HLL_ALPHA
+
     o: dict[str, str] = {}
 
     o["ner_unigram_mentions"] = f"""
@@ -3263,6 +3282,56 @@ WITH e AS (SELECT event_id,
            FROM events)
 SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY 1
+"""
+
+    # cascade == direct at every level (count/sum merge losslessly)
+    o["events_rollup"] = """
+SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'hour', date_trunc('hour', ts), COUNT(*), ROUND(SUM(value), 4)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), COUNT(*), ROUND(SUM(value), 4)
+FROM events GROUP BY 2
+"""
+
+    # fixed-boundary histogram quantiles: bin counts + interpolation
+    o["events_quantile_sketch"] = """
+WITH b AS (SELECT LEAST(39, GREATEST(0,
+                  CAST(FLOOR(value / 0.5) AS INT))) AS bin,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1),
+c AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
+             SUM(n) OVER () AS total FROM b),
+qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+hit AS (SELECT q, bin, n, cum, total,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+        FROM qs, c WHERE cum >= CEIL(total * q))
+SELECT q, ROUND((bin + (CEIL(total * q) - (cum - n))
+                 / CAST(n AS DOUBLE)) * 0.5, 6) AS estimate
+FROM hit WHERE rn = 1
+"""
+
+    # bit-reproducible HLL: md5 buckets/ranks, rank via exact
+    # length(bin(word)) (no floor(log2) float hazard)
+    o["events_hll_distinct"] = f"""
+WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+r AS (SELECT CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substr(hx, 3, 8)) AS BIGINT) AS word FROM h),
+regs AS (SELECT bucket,
+                MAX(CASE WHEN word = 0 THEN 33
+                         ELSE 33 - LENGTH(bin(word)) END) AS mx
+         FROM r GROUP BY 1),
+a AS (SELECT COUNT(*) AS hit, SUM(POWER(2.0, -mx)) AS s FROM regs)
+SELECT CAST(hit AS BIGINT) AS n_buckets_hit,
+       ROUND(CASE WHEN CAST({HLL_ALPHA!r} AS DOUBLE) * 65536 / (s + 256 - hit) <= 640.0
+                       AND hit < 256
+                  THEN 256.0 * LN(256.0 / (256 - hit))
+                  ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * 65536 / (s + 256 - hit) END,
+             4) AS estimate
+FROM a
 """
 
     o["events_asof_join"] = """
