@@ -210,6 +210,55 @@ def main():
     plans["media_audio_stats"] = media_audio_stats(synth_wav_column(_mdocs))
     plans["media_gif_frames"] = media_gif_frames(synth_gif_column(_mdocs))
 
+    # round-5 session-5b: PQ/IVF-PQ (codegen encode + literal-LUT ADC,
+    # no per-row vector math), temporal joins (as-of = union+window, no
+    # join node; range = bucketized equi-join, no nested loop),
+    # sketches (single partial-aggregated groupBy each)
+    import numpy as np
+
+    from medcat_spark.fixtures import det_vec
+    _pq_cb = np.round(np.stack([
+        np.stack([det_vec(f"pq-{s}-{j}", 16) for j in range(8)])
+        for s in range(4)]), 6)
+    _ivf_cen = np.round(np.stack([det_vec(f"ivf-centroid-{i}", 64)
+                                  for i in range(8)]), 6)
+    _emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _qv = _emb.where(F.col("vec_id") == 0).first()["embedding"]
+    plans["ann_pq_topk"] = simf.pq_topk(_emb, _qv, _pq_cb, k=20)
+    plans["ann_ivfpq_topk"] = simf.pq_topk_ivf(_emb, _qv, _ivf_cen,
+                                               _pq_cb, k=20, n_probe=2)
+    from medcat_spark.operators.temporal import asof_join, range_join
+    _ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _snaps = (_ev.where(F.col("event_id") % 50 == 0)
+              .select("event_type", "ts", F.col("value").alias("thr")))
+    plans["events_asof_join"] = asof_join(
+        _ev.select("event_id", "event_type", "ts"), _snaps,
+        on="event_type", left_ts="ts", right_ts="ts", value_cols="thr")
+    _us = F.expr("timestampdiff(MICROSECOND, "
+                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    plans["events_range_join"] = range_join(
+        _ev.select("event_id", "value", _us.alias("us")),
+        _ev.where(F.col("event_id") % 97 == 0)
+        .select(F.col("event_id").alias("window_id"),
+                _us.alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + 1800_000_000),
+        ts_col="us", start_col="w_start", end_col="w_end",
+        bucket_width=600_000_000)
+    from medcat_spark.functions.sketches import (histogram_quantiles,
+                                                 hll_distinct,
+                                                 rollup_cascade)
+    plans["events_rollup"] = rollup_cascade(_ev)
+    plans["events_quantile_sketch"] = histogram_quantiles(
+        _ev, "value", lo=0.0, hi=20.0, n_bins=40)
+    plans["events_hll_distinct"] = hll_distinct(_ev, "user_id")
+    _nt2 = cooccurrence_triples(
+        demo.ner_annotations(spark, SF_DIR, demo.UNIGRAM_ROWS,
+                             num_partitions=8))
+    from medcat_spark.functions.jpeg import (media_jpeg_stats,
+                                             synth_jpeg_column)
+    plans["media_jpeg_stats"] = media_jpeg_stats(
+        synth_jpeg_column(_mdocs))
+
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
