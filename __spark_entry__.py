@@ -1006,6 +1006,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k")))
 
+    # funnel / ordered-sequence detection (MATCH_RECOGNIZE analogue):
+    # earliest view < click < purchase per user, per-step survivors
+    def _funnel(s, d):
+        from medcat_spark.functions.timeline import funnel_steps
+        return funnel_steps(_ev(s, d), ["view", "click", "purchase"])
+    q["events_funnel"] = _funnel
+
     # mergeable sketches + hierarchical rollups (functions/sketches.py)
     def _rollup(s, d):
         from medcat_spark.functions.sketches import rollup_cascade
@@ -3282,6 +3289,24 @@ WITH e AS (SELECT event_id,
            FROM events)
 SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY 1
+"""
+
+    o["events_funnel"] = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+                            AND e.ts > s1.t1
+       WHERE e.event_type = 'click' GROUP BY 1, 2),
+s3 AS (SELECT e.user_id, s2.t1, MIN(e.ts) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+                            AND e.ts > s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+SELECT '1_view' AS step, COUNT(*) AS n_users,
+       -1.0 AS avg_lag_sec FROM s1
+UNION ALL SELECT '2_click', COUNT(*), -1.0 FROM s2
+UNION ALL SELECT '3_purchase', COUNT(*),
+       ROUND(AVG(epoch_us(t3) - epoch_us(t1)) / 1e6, 3) FROM s3
 """
 
     # cascade == direct at every level (count/sum merge losslessly)

@@ -68,3 +68,48 @@ def patient_stream_tokens(streams: DataFrame) -> DataFrame:
             F.greatest(acc["yr"], x["age"]).alias("yr")),
         lambda acc: acc["toks"])
     return streams.select("patient_id", folded.alias("stream_tokens"))
+
+
+def funnel_steps(events: DataFrame, steps, user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Ordered-sequence (funnel) detection — the MATCH_RECOGNIZE-style
+    pattern query: for each user, the earliest completion of
+    step1 < step2 < ... < stepN (strictly increasing timestamps).
+    Returns one row per step with the surviving-user count and, for
+    the final step, the average seconds from first to last step.
+
+    Set-based, no UDF, no per-user window scan: stage k is
+    events-of-type-k equi-joined on user to stage k-1's frontier with
+    a ts > prev filter and a min() re-aggregate — each stage is one
+    hash join + one partial-aggregated groupBy, monotone-shrinking
+    input, the standard scalable funnel plan."""
+    steps = list(steps)
+    frontier = (events.where(F.col(type_col) == steps[0])
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("t1")))
+    counts = [("1_" + steps[0], frontier)]
+    for k, st in enumerate(steps[1:], start=2):
+        nxt = (events.where(F.col(type_col) == st)
+               .join(frontier, user_col)
+               .where(F.col(ts_col) > F.col(f"t{k - 1}"))
+               .groupBy(user_col,
+                        *[f"t{j}" for j in range(1, k)])
+               .agg(F.min(ts_col).alias(f"t{k}")))
+        frontier = nxt
+        counts.append((f"{k}_{st}", frontier))
+    out = None
+    last = len(steps)
+    for name, df in counts:
+        row = df.agg(
+            F.lit(name).alias("step"),
+            F.count("*").alias("n_users"),
+            (F.round(F.avg(F.unix_micros(F.col(f"t{last}")
+                                         .cast("timestamp"))
+                           - F.unix_micros(F.col("t1")
+                                           .cast("timestamp")))
+                     / 1e6, 3)
+             if name == counts[-1][0] and last > 1
+             else F.lit(-1.0)).alias("avg_lag_sec"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -54,3 +54,35 @@ def test_range_join_buckets_and_boundaries(spark):
            .collect()[0])
     assert got["n"] == 4
     assert sorted(got["ids"]) == [1, 2, 3, 4]   # 99 and 401 excluded
+
+
+def test_funnel_steps_hand_sequence(spark):
+    from medcat_spark.functions.timeline import funnel_steps
+
+    rows = [
+        # u1 completes in order with the EARLIEST valid completion
+        ("u1", "view", 10), ("u1", "click", 20), ("u1", "purchase", 30),
+        ("u1", "click", 15),                     # earlier click also ok
+        # u2: purchase BEFORE click -> stops at click stage
+        ("u2", "view", 10), ("u2", "purchase", 12), ("u2", "click", 20),
+        # u3: only views
+        ("u3", "view", 5), ("u3", "view", 6),
+        # u4: click before any view -> never enters the funnel at step2
+        ("u4", "click", 1), ("u4", "view", 2), ("u4", "purchase", 3),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, f"2024-01-01 00:00:{s:02d}") for u, t, s in rows],
+        "user_id string, event_type string, ts_s string"
+    ).select("user_id", "event_type",
+             F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    got = {r["step"]: (r["n_users"], r["avg_lag_sec"])
+           for r in funnel_steps(
+               ev, ["view", "click", "purchase"]).collect()}
+    # step1: u1..u4 all have views; step2 needs click AFTER first view:
+    # u1 (ts15), u2 (ts20); u4's click precedes its view
+    assert got["1_view"][0] == 4
+    assert got["2_click"][0] == 2
+    # step3 needs purchase after that click: only u1 (30 > 15);
+    # u2's purchase (12) precedes its click (20)
+    assert got["3_purchase"][0] == 1
+    assert got["3_purchase"][1] == 20.0       # 30 - first view at 10
