@@ -1098,6 +1098,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_communities"] = lambda s, d: label_propagation(
         knn_graph(_cooc(s, d), k=2), iterations=3)
 
+    # FastRP node embeddings (Chen et al. 2019): md5-seeded sparse
+    # random projection propagated twice through the degree-normalized
+    # adjacency — graph ML as pure joins, no training loop
+    def _fastrp(s, d):
+        from medcat_spark.functions.graph import fastrp_embeddings
+        return fastrp_embeddings(_cooc(s, d), dim=8)
+    q["kg_fastrp_embeddings"] = _fastrp
+
     # RDF N-Triples interchange (sources/rdf.py): exact statement lines
     # (oracle rebuilds the strings with REPLACE chains), and the full
     # write→parse round-trip (oracle = the co-occurrence relation)
@@ -1642,6 +1650,30 @@ l1 AS ({_lpa_step.format(src="l0")}),
 l2 AS ({_lpa_step.format(src="l1")}),
 l3 AS ({_lpa_step.format(src="l2")})
 SELECT node, label FROM l3
+"""
+
+    # FastRP: base matrix from md5 bits (identical in both engines),
+    # two propagation rounds through w/wdeg, weighted sum 0.5/0.5
+    _rp_step = """
+SELECT n.dst AS node, e.d, SUM(n.p * e.x) AS x
+FROM norm n JOIN {src} e ON e.node = n.src GROUP BY 1, 2"""
+    o["kg_fastrp_embeddings"] = f"""
+{_sym_cte},
+wdeg AS (SELECT src, SUM(w) AS wdeg FROM sym GROUP BY 1),
+norm AS (SELECT s.src, s.dst, CAST(s.w AS DOUBLE) / d.wdeg AS p
+         FROM sym s JOIN wdeg d ON s.src = d.src),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+dims(d) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+e0 AS (SELECT node, d,
+              CASE (CAST(('0x' || substr(md5(node || ':' || d), 1, 2))
+                         AS BIGINT) % 6)
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END AS x
+       FROM nodes, dims),
+e1 AS ({_rp_step.format(src="e0")}),
+e2 AS ({_rp_step.format(src="e1")})
+SELECT e1.node, CAST(e1.d AS INT) AS d,
+       ROUND(0.5 * e1.x + 0.5 * e2.x, 6) AS val
+FROM e1 JOIN e2 ON e1.node = e2.node AND e1.d = e2.d
 """
 
     # noisy-OR fusion over the disambiguation similarities: both

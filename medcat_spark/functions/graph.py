@@ -360,3 +360,67 @@ def label_propagation(affinity: DataFrame, iterations: int = 3,
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def fastrp_embeddings(cooc: DataFrame, dim: int = 8,
+                      weights=(0.5, 0.5)) -> DataFrame:
+    """FastRP node embeddings (Chen et al. 2019): iterated sparse
+    random projection — E₀ is a deterministic sparse ±1 matrix (md5
+    bits, density 1/3, the very-sparse RP of Li et al. 2006), each
+    iteration propagates through the degree-normalized adjacency
+    (Eₖ₊₁[v] = Σ_u w(u,v)/wdeg(u) · Eₖ[u]), and the embedding is the
+    weighted sum of iterates.  Every step is an edge join + groupBy —
+    no training loop, no driver state — and, because the base matrix
+    comes from md5 bits both engines compute identically, the whole
+    algorithm is SQL-replayable.
+
+    Output exploded as (node, d, val) with val rounded 6 dp, one row
+    per node×dimension (the oracle-hash-friendly shape)."""
+    e2 = _symmetrize(cooc)
+    wdeg = e2.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    norm = (e2.join(wdeg, "src")
+            .select("src", "dst",
+                    (F.col("w") / F.col("wdeg")).alias("p"))
+            .cache())
+    nodes = e2.select(F.col("src").alias("node")).distinct()
+
+    def base_val(node_col, d):
+        # md5(node || ':' || d) first 2 hex chars mod 6:
+        # 0 -> +1, 1 -> -1, else 0   (E[v]=0, density 1/3)
+        h = F.md5(F.concat(node_col, F.lit(f":{d}")))
+        b = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 6
+        return (F.when(b == 0, 1.0).when(b == 1, -1.0)
+                .otherwise(0.0))
+
+    cur = nodes.select(
+        "node", *[base_val(F.col("node"), d).alias(f"x{d}")
+                  for d in range(dim)])
+    acc = None
+    for w_k in weights:
+        nxt = (norm.join(cur.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(*[F.sum(F.col("p") * F.col(f"x{d}")).alias(f"x{d}")
+                      for d in range(dim)])
+               .localCheckpoint(eager=False))
+        cur = nxt
+        term = nxt.select(
+            F.col("node").alias("n2"),
+            *[(F.lit(w_k) * F.col(f"x{d}")).alias(f"y{d}")
+              for d in range(dim)])
+        if acc is None:
+            acc = term.select(F.col("n2").alias("node"),
+                              *[F.col(f"y{d}").alias(f"x{d}")
+                                for d in range(dim)])
+        else:
+            acc = (acc.join(term, acc["node"] == term["n2"])
+                   .select("node",
+                           *[(F.col(f"x{d}") + F.col(f"y{d}"))
+                             .alias(f"x{d}") for d in range(dim)]))
+    exploded = acc.select(
+        "node",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     F.round(f"x{d}", 6).alias("val"))
+            for d in range(dim)])).alias("e")
+    ).select("node", F.col("e.d").alias("d"), F.col("e.val").alias("val"))
+    return exploded

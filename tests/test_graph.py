@@ -268,3 +268,41 @@ def test_label_propagation_matches_hand_rolled_sync(spark):
     got = {r["node"]: r["label"]
            for r in label_propagation(tri, iterations=3).collect()}
     assert got == lab
+
+
+def test_fastrp_embeddings_match_numpy_reference(spark):
+    import hashlib
+
+    import numpy as np
+
+    from medcat_spark.functions.graph import fastrp_embeddings
+
+    edges = [("A", "B", 3), ("A", "C", 1), ("B", "C", 2), ("C", "D", 4)]
+    cooc = spark.createDataFrame(
+        [(a, "cooccurs_with", b, n) for a, b, n in edges],
+        "subj string, pred string, obj string, n_docs long")
+    got = {(r["node"], r["d"]): r["val"]
+           for r in fastrp_embeddings(cooc, dim=4).collect()}
+
+    # independent numpy recompute
+    nodes = sorted({x for a, b, _ in edges for x in (a, b)})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((4, 4))
+    for a, b, w in edges:
+        A[idx[a], idx[b]] += w
+        A[idx[b], idx[a]] += w
+    P = A / A.sum(axis=1, keepdims=True)     # row-normalized
+    E0 = np.zeros((4, 4))
+    for n in nodes:
+        for d in range(4):
+            h = hashlib.md5(f"{n}:{d}".encode()).hexdigest()
+            b_ = int(h[:2], 16) % 6
+            E0[idx[n], d] = 1.0 if b_ == 0 else (-1.0 if b_ == 1 else 0.0)
+    # propagation: E_k+1[v] = sum_u P[u, v] * E_k[u]  ->  P.T @ E
+    E1 = P.T @ E0
+    E2 = P.T @ E1
+    emb = 0.5 * E1 + 0.5 * E2
+    for n in nodes:
+        for d in range(4):
+            assert abs(got[(n, d)] - round(emb[idx[n], d], 6)) < 1e-9, \
+                (n, d)
