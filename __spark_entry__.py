@@ -1006,6 +1006,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k")))
 
+    # trailing-window anomaly detection: per-type hourly counts scored
+    # against the mean/std of the preceding 6 hours (population var via
+    # sum-of-squares — one window, no second pass)
+    def _spikes(s, d):
+        from pyspark.sql import Window
+        hr = (_ev(s, d)
+              .groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.count("*").alias("n")))
+        w = (Window.partitionBy("event_type").orderBy("bucket")
+             .rowsBetween(-6, -1))
+        scored = (hr
+                  .withColumn("m", F.avg("n").over(w))
+                  .withColumn("m2", F.avg(F.col("n") * F.col("n")).over(w))
+                  .withColumn("k", F.count("n").over(w))
+                  .where(F.col("k") >= 3)
+                  .withColumn("var", F.col("m2") - F.col("m") * F.col("m"))
+                  .withColumn("z", F.when(
+                      F.col("var") <= 0, F.lit(-1.0)).otherwise(
+                      F.round((F.col("n") - F.col("m"))
+                              / F.sqrt("var"), 4))))
+        return scored.select("event_type", "bucket", "n", "z",
+                             (F.col("z") > 2.0).alias("is_spike"))
+    q["events_spike_zscore"] = _spikes
+
     # funnel / ordered-sequence detection (MATCH_RECOGNIZE analogue):
     # earliest view < click < purchase per user, per-step survivors
     def _funnel(s, d):
@@ -3321,6 +3346,26 @@ WITH e AS (SELECT event_id,
            FROM events)
 SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM e GROUP BY 1
+"""
+
+    o["events_spike_zscore"] = """
+WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+sc AS (SELECT event_type, bucket, n,
+              AVG(n) OVER w AS m,
+              AVG(n * n) OVER w AS m2,
+              COUNT(n) OVER w AS k
+       FROM hr
+       WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket, n,
+       CASE WHEN m2 - m * m <= 0 THEN -1.0
+            ELSE ROUND((n - m) / SQRT(m2 - m * m), 4) END AS z,
+       (CASE WHEN m2 - m * m <= 0 THEN -1.0
+             ELSE ROUND((n - m) / SQRT(m2 - m * m), 4) END) > 2.0
+         AS is_spike
+FROM sc WHERE k >= 3
 """
 
     o["events_funnel"] = """
