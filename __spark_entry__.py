@@ -1123,6 +1123,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_communities"] = lambda s, d: label_propagation(
         knn_graph(_cooc(s, d), k=2), iterations=3)
 
+    # TransE KG embeddings (Bordes et al. 2013) trained in-engine with
+    # deterministic full-batch GD — the whole training loop (init,
+    # corruption, hinge, gradients, renormalization, 2 epochs) is
+    # unrolled in the SQL oracle
+    def _transe(s, d):
+        from medcat_spark.functions.graph import transe_train
+        return transe_train(_cooc(s, d), dim=4, iterations=2)
+    q["kg_transe_embeddings"] = _transe
+
     # FastRP node embeddings (Chen et al. 2019): md5-seeded sparse
     # random projection propagated twice through the degree-normalized
     # adjacency — graph ML as pure joins, no training loop
@@ -1675,6 +1684,83 @@ l1 AS ({_lpa_step.format(src="l0")}),
 l2 AS ({_lpa_step.format(src="l1")}),
 l3 AS ({_lpa_step.format(src="l2")})
 SELECT node, label FROM l3
+"""
+
+    # TransE: 2 training epochs unrolled — per-epoch CTEs compute the
+    # per-dim differences, triple distances, hinge activations,
+    # unit-direction gradients, per-entity sums, the update, and the
+    # re-normalization; negatives are the deterministic next-entity
+    # corruption.  Same lr/margin/md5-init as the engine.
+    def _transe_epoch(k):
+        e, en, r, rn = f"e{k}", f"e{k + 1}", f"r{k}", f"r{k + 1}"
+        return f"""
+dp{k} AS MATERIALIZED (SELECT tr.h, tr.t, tr.t_neg, eh.d,
+               eh.x + rr.x - et.x AS dp,
+               eh.x + rr.x - en_.x AS dn
+        FROM trip tr
+        JOIN {e} eh ON eh.name = tr.h
+        JOIN {r} rr ON rr.d = eh.d
+        JOIN {e} et ON et.name = tr.t AND et.d = eh.d
+        JOIN {e} en_ ON en_.name = tr.t_neg AND en_.d = eh.d),
+ds{k} AS MATERIALIZED (SELECT h, t, t_neg, SQRT(SUM(dp * dp)) AS distp,
+                 SQRT(SUM(dn * dn)) AS distn
+        FROM dp{k} GROUP BY 1, 2, 3),
+g{k} AS MATERIALIZED (SELECT p.h, p.t, p.t_neg, p.d,
+              CASE WHEN s.distp + 1.0 > s.distn THEN 1.0 ELSE 0.0 END
+                * p.dp / GREATEST(s.distp, 1e-9) AS gp,
+              CASE WHEN s.distp + 1.0 > s.distn THEN 1.0 ELSE 0.0 END
+                * p.dn / GREATEST(s.distn, 1e-9) AS gn
+       FROM dp{k} p JOIN ds{k} s
+         ON p.h = s.h AND p.t = s.t AND p.t_neg = s.t_neg),
+ge{k} AS MATERIALIZED (SELECT name, d, SUM(g) AS g FROM (
+           SELECT h AS name, d, gp - gn AS g FROM g{k}
+           UNION ALL SELECT t, d, -gp FROM g{k}
+           UNION ALL SELECT t_neg, d, gn FROM g{k}) u GROUP BY 1, 2),
+up{k} AS MATERIALIZED (SELECT e.name, e.d, e.x - 0.1 * COALESCE(g.g, 0.0) AS x
+        FROM {e} e LEFT JOIN ge{k} g
+          ON g.name = e.name AND g.d = e.d),
+{en} AS MATERIALIZED (SELECT u.name, u.d,
+               CASE WHEN n.nrm = 0 THEN u.x ELSE u.x / n.nrm END AS x
+        FROM up{k} u JOIN (SELECT name, SQRT(SUM(x * x)) AS nrm
+                           FROM up{k} GROUP BY 1) n
+          ON n.name = u.name),
+rg{k} AS MATERIALIZED (SELECT d, SUM(gp - gn) AS g FROM g{k} GROUP BY 1),
+{rn} AS MATERIALIZED (SELECT r.d, r.x - 0.1 * COALESCE(g.g, 0.0) AS x
+        FROM {r} r LEFT JOIN rg{k} g ON g.d = r.d)"""
+
+    o["kg_transe_embeddings"] = f"""
+{_sym_cte},
+trip0 AS MATERIALIZED (SELECT subj AS h, obj AS t FROM cooc),
+ents AS MATERIALIZED (SELECT DISTINCT h AS name FROM trip0
+         UNION SELECT DISTINCT t FROM trip0),
+ranked AS MATERIALIZED (SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS rk
+           FROM ents),
+nent AS (SELECT COUNT(*) AS n FROM ents),
+trip AS MATERIALIZED (SELECT t.h, t.t, r2.name AS t_neg
+         FROM trip0 t JOIN ranked r1 ON r1.name = t.t
+              CROSS JOIN nent
+              JOIN ranked r2 ON r2.rk = (r1.rk % nent.n) + 1),
+dims(d) AS (VALUES (0), (1), (2), (3)),
+i0 AS MATERIALIZED (SELECT name, d,
+              (CAST(('0x' || substr(md5('ent:' || name || ':' || d),
+                                    1, 2)) AS BIGINT) % 15 - 7) / 7.0
+                AS x
+       FROM ents, dims),
+e0 AS MATERIALIZED (SELECT u.name, u.d,
+              CASE WHEN n.nrm = 0 THEN u.x ELSE u.x / n.nrm END AS x
+       FROM i0 u JOIN (SELECT name, SQRT(SUM(x * x)) AS nrm
+                       FROM i0 GROUP BY 1) n ON n.name = u.name),
+r0 AS MATERIALIZED (SELECT d,
+              (CAST(('0x' || substr(md5('rel:cooccurs_with:' || d),
+                                    1, 2)) AS BIGINT) % 15 - 7) / 7.0
+                AS x
+       FROM dims),
+{_transe_epoch(0)},
+{_transe_epoch(1)}
+SELECT 'entity' AS kind, name, CAST(d AS INT) AS d,
+       ROUND(x, 6) AS val FROM e2
+UNION ALL
+SELECT 'relation', 'cooccurs_with', CAST(d AS INT), ROUND(x, 6) FROM r2
 """
 
     # FastRP: base matrix from md5 bits (identical in both engines),

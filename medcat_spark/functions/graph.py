@@ -424,3 +424,131 @@ def fastrp_embeddings(cooc: DataFrame, dim: int = 8,
             for d in range(dim)])).alias("e")
     ).select("node", F.col("e.d").alias("d"), F.col("e.val").alias("val"))
     return exploded
+
+
+def transe_train(cooc: DataFrame, dim: int = 4, iterations: int = 2,
+                 lr: float = 0.1, margin: float = 1.0) -> DataFrame:
+    """TransE knowledge-graph embeddings (Bordes et al. 2013) trained
+    IN-ENGINE with deterministic full-batch gradient descent, so the
+    whole training loop is SQL-replayable (the quality-classifier
+    precedent applied to graph ML):
+
+    * init: md5-seeded vectors (val = (hexbyte % 15 - 7)/7), entities
+      L2-normalized, one relation vector;
+    * negatives: deterministic corruption — the tail is replaced by the
+      lexicographically NEXT entity (cyclic), so both engines corrupt
+      identically;
+    * epoch: hinge on margin + ||h+r-t|| - ||h+r-t'||; for violating
+      triples the unit-direction gradients flow to h, r, t, t'
+      (distances floored at 1e-9 before division); entities
+      re-normalized after each step — all as joins + groupBys over the
+      exploded (name, d, val) relation, per-epoch lineage cuts.
+
+    Returns (kind, name, d, val) rows — 'entity' rows per node×dim plus
+    'relation' rows — rounded 6 dp."""
+    from pyspark.sql import Window
+
+    trip = cooc.select(F.col("subj").alias("h"), F.col("obj").alias("t"))
+    ents = (trip.select(F.col("h").alias("name"))
+            .unionByName(trip.select(F.col("t").alias("name")))
+            .distinct())
+    rk = Window.orderBy("name")
+    ranked = ents.withColumn("rk", F.row_number().over(rk))
+    n_ents = ranked.count()
+    neg_map = ranked.select(
+        F.col("name").alias("t"),
+        F.col("rk").alias("_r")).join(
+        ranked.select(F.col("name").alias("t_neg"),
+                      F.col("rk").alias("_r2")),
+        F.col("_r2") == (F.col("_r") % n_ents) + 1).select("t", "t_neg")
+    trip = trip.join(F.broadcast(neg_map), "t").localCheckpoint(
+        eager=True)
+
+    dims = list(range(dim))
+
+    def init_val(name_col, prefix):
+        def one(d):
+            h = F.md5(F.concat(F.lit(prefix), name_col, F.lit(f":{d}")))
+            b = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 15
+            return ((b - 7) / F.lit(7.0)).alias(f"x{d}")
+        return [one(d) for d in dims]
+
+    def normalize(df):
+        nrm = F.sqrt(sum((F.col(f"x{d}") * F.col(f"x{d}") for d in dims),
+                         start=F.lit(0.0)))
+        return df.select(
+            "name", *[(F.when(nrm == 0, F.col(f"x{d}"))
+                       .otherwise(F.col(f"x{d}") / nrm)).alias(f"x{d}")
+                      for d in dims])
+
+    E = normalize(ents.select("name", *init_val(F.col("name"), "ent:")))
+    R_row = (cooc.select(F.lit("cooccurs_with").alias("name")).limit(1)
+             .select("name", *init_val(F.col("name"), "rel:")))
+
+    for _ in range(iterations):
+        ha = E.select(F.col("name").alias("h"),
+                      *[F.col(f"x{d}").alias(f"h{d}") for d in dims])
+        ta = E.select(F.col("name").alias("t"),
+                      *[F.col(f"x{d}").alias(f"t{d}") for d in dims])
+        na = E.select(F.col("name").alias("t_neg"),
+                      *[F.col(f"x{d}").alias(f"n{d}") for d in dims])
+        rv = R_row.select(*[F.col(f"x{d}").alias(f"r{d}") for d in dims])
+        tr = (trip.join(F.broadcast(ha), "h").join(F.broadcast(ta), "t")
+              .join(F.broadcast(na), "t_neg").crossJoin(F.broadcast(rv)))
+        for d in dims:
+            tr = tr.withColumn(
+                f"dp{d}", F.col(f"h{d}") + F.col(f"r{d}") - F.col(f"t{d}"))
+            tr = tr.withColumn(
+                f"dn{d}", F.col(f"h{d}") + F.col(f"r{d}") - F.col(f"n{d}"))
+        distp = F.sqrt(sum((F.col(f"dp{d}") * F.col(f"dp{d}")
+                            for d in dims), start=F.lit(0.0)))
+        distn = F.sqrt(sum((F.col(f"dn{d}") * F.col(f"dn{d}")
+                            for d in dims), start=F.lit(0.0)))
+        tr = (tr.withColumn("ap", F.greatest(distp, F.lit(1e-9)))
+              .withColumn("an", F.greatest(distn, F.lit(1e-9)))
+              .withColumn("act", (distp + margin > distn)
+                          .cast("double")))
+        for d in dims:
+            tr = tr.withColumn(f"gp{d}",
+                               F.col("act") * F.col(f"dp{d}") / F.col("ap"))
+            tr = tr.withColumn(f"gn{d}",
+                               F.col("act") * F.col(f"dn{d}") / F.col("an"))
+        tr = tr.localCheckpoint(eager=False)
+        # per-entity gradient sums: head gets gp-gn, tail -gp, neg +gn
+        gh = tr.groupBy(F.col("h").alias("name")).agg(
+            *[F.sum(F.col(f"gp{d}") - F.col(f"gn{d}")).alias(f"g{d}")
+              for d in dims])
+        gt = tr.groupBy(F.col("t").alias("name")).agg(
+            *[F.sum(-F.col(f"gp{d}")).alias(f"g{d}") for d in dims])
+        gn_ = tr.groupBy(F.col("t_neg").alias("name")).agg(
+            *[F.sum(F.col(f"gn{d}")).alias(f"g{d}") for d in dims])
+        grads = (gh.unionByName(gt).unionByName(gn_)
+                 .groupBy("name")
+                 .agg(*[F.sum(f"g{d}").alias(f"g{d}") for d in dims]))
+        E = normalize(
+            E.join(grads, "name", "left")
+            .select("name",
+                    *[(F.col(f"x{d}")
+                       - lr * F.coalesce(F.col(f"g{d}"), F.lit(0.0)))
+                      .alias(f"x{d}") for d in dims])
+        ).localCheckpoint(eager=False)
+        gr = tr.agg(*[F.sum(F.col(f"gp{d}") - F.col(f"gn{d}"))
+                      .alias(f"g{d}") for d in dims])
+        R_row = (R_row.crossJoin(F.broadcast(gr))
+                 .select("name",
+                         *[(F.col(f"x{d}") - lr * F.col(f"g{d}"))
+                           .alias(f"x{d}") for d in dims])
+                 .localCheckpoint(eager=False))
+
+    def explode_kind(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"), "name",
+            F.explode(F.array(*[
+                F.struct(F.lit(d).alias("d"),
+                         F.round(f"x{d}", 6).alias("val"))
+                for d in dims])).alias("e")
+        ).select("kind", "name", F.col("e.d").alias("d"),
+                 F.col("e.val").alias("val"))
+
+    return explode_kind(E, "entity").unionByName(
+        explode_kind(R_row, "relation"))

@@ -306,3 +306,84 @@ def test_fastrp_embeddings_match_numpy_reference(spark):
         for d in range(4):
             assert abs(got[(n, d)] - round(emb[idx[n], d], 6)) < 1e-9, \
                 (n, d)
+
+
+def test_transe_matches_numpy_reference_and_learns(spark):
+    import hashlib
+
+    import numpy as np
+
+    from medcat_spark.functions.graph import transe_train
+
+    edges = [("cui:A", "cui:B"), ("cui:B", "cui:C"),
+             ("cui:A", "cui:C"), ("cui:C", "cui:D")]
+    cooc = spark.createDataFrame(
+        [(a, "cooccurs_with", b, 1) for a, b in edges],
+        "subj string, pred string, obj string, n_docs long")
+    got = {(r["kind"], r["name"], r["d"]): r["val"]
+           for r in transe_train(cooc, dim=4, iterations=2).collect()}
+
+    # independent numpy recompute of the exact contract
+    ents = sorted({x for e in edges for x in e})
+    neg = {ents[i]: ents[(i + 1) % len(ents)] for i in range(len(ents))}
+    dim, lr, margin = 4, 0.1, 1.0
+
+    def init(prefix, name):
+        v = np.zeros(dim)
+        for d in range(dim):
+            h = hashlib.md5(f"{prefix}{name}:{d}".encode()).hexdigest()
+            v[d] = (int(h[:2], 16) % 15 - 7) / 7.0
+        return v
+
+    E = {n: init("ent:", n) for n in ents}
+    for n in ents:
+        nrm = np.linalg.norm(E[n])
+        if nrm:
+            E[n] = E[n] / nrm
+    R = init("rel:", "cooccurs_with")
+
+    def epoch(E, R):
+        gE = {n: np.zeros(dim) for n in ents}
+        gR = np.zeros(dim)
+        for h, t in edges:
+            tn = neg[t]
+            dp = E[h] + R - E[t]
+            dn = E[h] + R - E[tn]
+            distp, distn = np.linalg.norm(dp), np.linalg.norm(dn)
+            if distp + margin > distn:
+                gp = dp / max(distp, 1e-9)
+                gn = dn / max(distn, 1e-9)
+                gE[h] += gp - gn
+                gE[t] += -gp
+                gE[tn] += gn
+                gR += gp - gn
+        E2 = {}
+        for n in ents:
+            v = E[n] - lr * gE[n]
+            nrm = np.linalg.norm(v)
+            E2[n] = v / nrm if nrm else v
+        return E2, R - lr * gR
+
+    for _ in range(2):
+        E, R = epoch(E, R)
+    for n in ents:
+        for d in range(dim):
+            assert abs(got[("entity", n, d)] - round(E[n][d], 6)) < 1e-9
+    for d in range(dim):
+        assert abs(got[("relation", "cooccurs_with", d)]
+                   - round(R[d], 6)) < 1e-9
+
+    # learning signal: trained embeddings separate positives from the
+    # deterministic negatives better than the init does
+    def sep(Emb, Rv):
+        s = 0.0
+        for h, t in edges:
+            s += (np.linalg.norm(Emb[h] + Rv - Emb[neg[t]])
+                  - np.linalg.norm(Emb[h] + Rv - Emb[t]))
+        return s
+    E0 = {n: init("ent:", n) for n in ents}
+    for n in ents:
+        nrm = np.linalg.norm(E0[n])
+        if nrm:
+            E0[n] = E0[n] / nrm
+    assert sep(E, R) > sep(E0, init("rel:", "cooccurs_with"))
