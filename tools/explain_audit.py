@@ -259,6 +259,18 @@ def main():
     plans["media_jpeg_stats"] = media_jpeg_stats(
         synth_jpeg_column(_mdocs))
 
+    # round-5 session-5c: funnel (monotone-shrinking join chain),
+    # FastRP / TransE (graph ML as joins; per-round lineage cuts),
+    # spike z-score (single window pass)
+    from medcat_spark.functions.timeline import funnel_steps
+    plans["events_funnel"] = funnel_steps(
+        _ev, ["view", "click", "purchase"])
+    from medcat_spark.functions.graph import (fastrp_embeddings,
+                                              transe_train)
+    plans["kg_fastrp_embeddings"] = fastrp_embeddings(_nt2, dim=8)
+    plans["kg_transe_embeddings"] = transe_train(_nt2, dim=4,
+                                                 iterations=2)
+
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
         for name, df in plans.items():
