@@ -48,6 +48,18 @@ def main(argv=None):
                    help="run the pack's rel_* component (BERT/LLaMA/"
                         "ModernBERT pair classifier) over the committed "
                         "annotations -> out/triples/relations")
+    p.add_argument("--export-rdf", action="store_true",
+                   help="serialize the co-occurrence triples as RDF "
+                        "N-Triples shards (RDF-star evidence counts) "
+                        "-> out/rdf")
+    p.add_argument("--embeddings", choices=("fastrp", "transe"),
+                   default=None,
+                   help="materialize node embeddings over the "
+                        "co-occurrence graph -> out/embeddings")
+    p.add_argument("--link-prediction", action="store_true",
+                   help="score missing-edge candidates (common-"
+                        "neighbors/Jaccard/Adamic-Adar on the kNN "
+                        "affinity graph) -> out/link_candidates")
     args = p.parse_args(argv)
 
     from medcat_spark.checkpoint import read_annotations, resumable_annotate
@@ -219,6 +231,33 @@ def main(argv=None):
             meta_stats["n_relation_triples"] = spark.read.parquet(
                 f"{args.out}/triples/relations").count()
             meta_stats["relation_component"] = name
+    if ann is not None and (args.export_rdf or args.embeddings
+                            or args.link_prediction):
+        cooc = cooccurrence_triples(ann)     # shared by the consumers
+        if args.export_rdf:
+            from medcat_spark.sources.rdf import write_ntriples
+            write_ntriples(cooc, f"{args.out}/rdf")
+            meta_stats["rdf_statements"] = \
+                spark.read.text(f"{args.out}/rdf").count()
+        if args.embeddings:
+            from medcat_spark.functions.graph import (fastrp_embeddings,
+                                                      transe_train)
+            emb = (fastrp_embeddings(cooc, dim=8)
+                   if args.embeddings == "fastrp"
+                   else transe_train(cooc, dim=8, iterations=2))
+            emb.write.mode("overwrite") \
+                .parquet(f"{args.out}/embeddings")
+            meta_stats["embedding_rows"] = spark.read.parquet(
+                f"{args.out}/embeddings").count()
+            meta_stats["embedding_method"] = args.embeddings
+        if args.link_prediction:
+            from medcat_spark.functions.graph import (knn_graph,
+                                                      link_prediction)
+            link_prediction(knn_graph(cooc, k=2)) \
+                .write.mode("overwrite") \
+                .parquet(f"{args.out}/link_candidates")
+            meta_stats["link_candidates"] = spark.read.parquet(
+                f"{args.out}/link_candidates").count()
     print(json.dumps({**manifest, **dedup_stats, **meta_stats}))
     spark.stop()
 
