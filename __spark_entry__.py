@@ -1123,6 +1123,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_communities"] = lambda s, d: label_propagation(
         knn_graph(_cooc(s, d), k=2), iterations=3)
 
+    # personalized PageRank from the smallest subject (concept
+    # relatedness to a seed) and k-core membership (dense-region
+    # extraction) — both with fully unrolled SQL oracles
+    def _ppr(s, d):
+        from medcat_spark.functions.graph import personalized_pagerank
+        return personalized_pagerank(_cooc(s, d), iterations=3)
+    q["kg_personalized_pagerank"] = _ppr
+
+    def _kcore(s, d):
+        from medcat_spark.functions.graph import kcore
+        return kcore(_cooc(s, d), k=2, rounds=4)
+    q["kg_kcore"] = _kcore
+
     # TransE KG embeddings (Bordes et al. 2013) trained in-engine with
     # deterministic full-batch GD — the whole training loop (init,
     # corruption, hinge, gradients, renormalization, 2 epochs) is
@@ -1684,6 +1697,48 @@ l1 AS ({_lpa_step.format(src="l0")}),
 l2 AS ({_lpa_step.format(src="l1")}),
 l3 AS ({_lpa_step.format(src="l2")})
 SELECT node, label FROM l3
+"""
+
+    # personalized PageRank: 3 rounds unrolled; float literals CAST so
+    # 1-0.85 is computed, not re-literalized (the pagerank precedent)
+    _ppr_step = """
+SELECT b.node,
+       (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.e
+       + CAST(0.85 AS DOUBLE) * COALESCE(t.s, 0.0) AS pr
+FROM base b LEFT JOIN (
+    SELECT s.dst AS node, SUM(p.pr * s.w / d.wdeg) AS s
+    FROM sym s JOIN {src} p ON s.src = p.node
+         JOIN wdeg d ON s.src = d.src
+    GROUP BY 1) t ON t.node = b.node"""
+    o["kg_personalized_pagerank"] = f"""
+{_sym_cte},
+wdeg AS (SELECT src, SUM(w) AS wdeg FROM sym GROUP BY 1),
+seed AS (SELECT MIN(subj) AS node FROM cooc),
+base AS (SELECT w.src AS node,
+                CASE WHEN w.src = s.node THEN 1.0 ELSE 0.0 END AS e
+         FROM wdeg w CROSS JOIN seed s),
+p0 AS (SELECT node, e AS pr FROM base),
+p1 AS ({_ppr_step.format(src="p0")}),
+p2 AS ({_ppr_step.format(src="p1")}),
+p3 AS ({_ppr_step.format(src="p2")})
+SELECT node, ROUND(pr, 6) AS pr FROM p3
+"""
+
+    # k-core: 4 synchronous peels unrolled (degree >= 2 on both ends)
+    _peel = """
+ed{n} AS (SELECT e.src, e.dst FROM ed{p} e
+         JOIN (SELECT src FROM ed{p} GROUP BY src
+               HAVING COUNT(*) >= 2) a ON a.src = e.src
+         JOIN (SELECT src FROM ed{p} GROUP BY src
+               HAVING COUNT(*) >= 2) b ON b.src = e.dst)"""
+    o["kg_kcore"] = f"""
+{_sym_cte},
+ed0 AS (SELECT DISTINCT src, dst FROM sym),
+{_peel.format(n=1, p=0)},
+{_peel.format(n=2, p=1)},
+{_peel.format(n=3, p=2)},
+{_peel.format(n=4, p=3)}
+SELECT src AS node, COUNT(*) AS core_degree FROM ed4 GROUP BY 1
 """
 
     # TransE: 2 training epochs unrolled — per-epoch CTEs compute the

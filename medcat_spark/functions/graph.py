@@ -552,3 +552,62 @@ def transe_train(cooc: DataFrame, dim: int = 4, iterations: int = 2,
 
     return explode_kind(E, "entity").unionByName(
         explode_kind(R_row, "relation"))
+
+
+def personalized_pagerank(cooc: DataFrame, seeds: DataFrame | None = None,
+                          iterations: int = 3, damping: float = 0.85,
+                          checkpoint: bool = True) -> DataFrame:
+    """Personalized (seeded) PageRank — concept relatedness to a seed
+    set: prₖ₊₁(v) = (1-d)·e(v) + d·Σ prₖ(u)·w/wdeg(u), where e is the
+    uniform distribution over the seeds (1/|seeds| each, 0 elsewhere).
+    Same join+groupBy round shape as pagerank; seeds default to the
+    lexicographically smallest subject (the bfs_distances convention,
+    shared with the SQL oracle)."""
+    edges = _symmetrize(cooc)
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    withdeg = edges.join(wdeg, "src").cache()
+    if seeds is None:
+        seeds = cooc.select(F.min("subj").alias("node"))
+    seeds = seeds.select("node").distinct()
+    n_seeds = seeds.count()
+    e_vec = seeds.withColumn("e", F.lit(1.0 / n_seeds))
+    nodes = wdeg.select(F.col("src").alias("node"))
+    base = nodes.join(F.broadcast(e_vec), "node", "left") \
+        .select("node", F.coalesce("e", F.lit(0.0)).alias("e"))
+    ranks = base.select("node", F.col("e").alias("pr"))
+    for _ in range(iterations):
+        contribs = (withdeg.join(ranks, withdeg["src"] == ranks["node"])
+                    .select(F.col("dst").alias("node"),
+                            (F.col("pr") * F.col("w") / F.col("wdeg"))
+                            .alias("c")))
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (base.join(summed, "node", "left")
+                 .select("node",
+                         (F.lit(1.0 - damping) * F.col("e")
+                          + F.lit(damping)
+                          * F.coalesce("s", F.lit(0.0))).alias("pr")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+def kcore(cooc: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of
+    degree < k until stable (``rounds`` synchronous peels — at
+    diameter-bounded small graphs this converges well inside the
+    default; the SQL oracle unrolls the same fixed rounds).  Returns
+    the surviving (node, degree-within-core) rows.
+
+    Each peel is one groupBy (degrees) + one semi-join (edge
+    restriction) over a monotone-shrinking edge set, lineage cut per
+    round."""
+    edges = _symmetrize(cooc).select("src", "dst").distinct()
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        edges = (edges.join(F.broadcast(keep), "src")
+                 .join(F.broadcast(keep.withColumnRenamed("src", "dst")),
+                       "dst")
+                 .localCheckpoint(eager=False))
+    return (edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("core_degree")))

@@ -387,3 +387,50 @@ def test_transe_matches_numpy_reference_and_learns(spark):
         if nrm:
             E0[n] = E0[n] / nrm
     assert sep(E, R) > sep(E0, init("rel:", "cooccurs_with"))
+
+
+def test_personalized_pagerank_mass_concentrates_at_seed(spark, cooc):
+    from medcat_spark.functions.graph import personalized_pagerank
+
+    import numpy as np
+
+    got = {r["node"]: r["pr"]
+           for r in personalized_pagerank(cooc, iterations=3).collect()}
+    assert all(v > 0 for v in got.values())
+
+    # independent numpy recompute: pr_{k+1} = 0.15 e + 0.85 P^T pr_k
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((4, 4))
+    for a, b, w in EDGES:
+        W[idx[a], idx[b]] += w
+        W[idx[b], idx[a]] += w
+    P = W / W.sum(axis=1, keepdims=True)
+    e = np.zeros(4)
+    e[idx["A"]] = 1.0            # seed = smallest subject
+    pr = e.copy()
+    for _ in range(3):
+        pr = 0.15 * e + 0.85 * (P.T @ pr)
+    for n in nodes:
+        assert abs(got[n] - round(pr[idx[n]], 6)) < 1e-9, n
+
+    # re-seeding moves the restart mass: D's score strictly rises
+    seeds = spark.createDataFrame([("D",)], "node string")
+    got_d = {r["node"]: r["pr"] for r in
+             personalized_pagerank(cooc, seeds=seeds,
+                                   iterations=3).collect()}
+    assert got_d["D"] > got["D"]
+
+
+def test_kcore_peels_tail(spark):
+    from medcat_spark.functions.graph import kcore
+
+    # triangle A-B-C with a pendant chain C-D-E: 2-core = the triangle;
+    # D's degree-2 only holds while E survives, so peeling cascades
+    tri = spark.createDataFrame(
+        [("A", "p", "B", 1), ("A", "p", "C", 1), ("B", "p", "C", 1),
+         ("C", "p", "D", 1), ("D", "p", "E", 1)],
+        "subj string, pred string, obj string, n_docs long")
+    got = {r["node"]: r["core_degree"]
+           for r in kcore(tri, k=2, rounds=4).collect()}
+    assert got == {"A": 2, "B": 2, "C": 2}
