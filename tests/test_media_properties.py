@@ -8,6 +8,7 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
+from struct import error as struct_error
 
 from medcat_spark.functions.media import (gif_decode_frames, gif_encode,
                                           lzw_decode, lzw_encode,
@@ -107,3 +108,50 @@ def test_png_palette_decode_hand_built():
     import pytest as _pt
     with _pt.raises(ValueError):
         png_decode_pixels(build(pal[:2]))    # index 3 out of range
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_codecs_reject_garbage_cleanly(data):
+    """Random bytes must raise ValueError/NotImplementedError (or
+    IndexError-free truncation errors) — never hang or segfault."""
+    import zlib
+
+    from medcat_spark.functions.jpeg import jpeg_decode_pixels
+    from medcat_spark.functions.media import (gif_decode_frames,
+                                              png_decode_pixels,
+                                              wav_decode)
+    for fn in (png_decode_pixels, wav_decode, gif_decode_frames,
+               jpeg_decode_pixels):
+        try:
+            fn(data)
+        except (ValueError, NotImplementedError, IndexError,
+                zlib.error, EOFError, struct_error):
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_codecs_reject_garbage_after_valid_header(data):
+    """Valid magic + garbage body: the deep parse paths must also fail
+    cleanly."""
+    import struct
+    import zlib
+
+    from medcat_spark.functions.jpeg import jpeg_decode_pixels
+    from medcat_spark.functions.media import (gif_decode_frames,
+                                              png_decode_pixels,
+                                              wav_decode)
+    seeded = [
+        (png_decode_pixels, b"\x89PNG\r\n\x1a\n" + data),
+        (wav_decode, b"RIFF" + struct.pack("<I", len(data) + 4)
+         + b"WAVE" + data),
+        (gif_decode_frames, b"GIF89a" + data),
+        (jpeg_decode_pixels, b"\xff\xd8" + data),
+    ]
+    for fn, blob in seeded:
+        try:
+            fn(blob)
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                zlib.error, EOFError, struct_error):
+            pass
