@@ -270,6 +270,10 @@ def main():
     plans["kg_fastrp_embeddings"] = fastrp_embeddings(_nt2, dim=8)
     plans["kg_transe_embeddings"] = transe_train(_nt2, dim=4,
                                                  iterations=2)
+    from medcat_spark.functions.graph import kcore, personalized_pagerank
+    plans["kg_personalized_pagerank"] = personalized_pagerank(
+        _nt2, iterations=3)
+    plans["kg_kcore"] = kcore(_nt2, k=2, rounds=4)
 
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
