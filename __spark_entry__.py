@@ -1123,6 +1123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_communities"] = lambda s, d: label_propagation(
         knn_graph(_cooc(s, d), k=2), iterations=3)
 
+    # Newman modularity of the LPA communities over the kNN affinity
+    # graph — the community-quality scorecard
+    def _modularity(s, d):
+        from medcat_spark.functions.graph import modularity
+        aff = knn_graph(_cooc(s, d), k=2)
+        return modularity(aff, label_propagation(aff, iterations=3))
+    q["kg_modularity"] = _modularity
+
     # personalized PageRank from the smallest subject (concept
     # relatedness to a seed) and k-core membership (dense-region
     # extraction) — both with fully unrolled SQL oracles
@@ -1840,6 +1848,39 @@ e2 AS ({_rp_step.format(src="e1")})
 SELECT e1.node, CAST(e1.d AS INT) AS d,
        ROUND(0.5 * e1.x + 0.5 * e2.x, 6) AS val
 FROM e1 JOIN e2 ON e1.node = e2.node AND e1.d = e2.d
+"""
+
+    # modularity over the same LPA labels: within-community edge
+    # fraction minus squared community degree fractions (w = 1 on the
+    # affinity graph)
+    o["kg_modularity"] = f"""
+{_sym_cte},
+topk AS (SELECT src, dst FROM (
+           SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY w DESC, dst) AS rn
+           FROM sym) t WHERE rn <= 2),
+und AS (SELECT DISTINCT LEAST(src, dst) AS subj,
+                        GREATEST(src, dst) AS obj FROM topk),
+e2 AS (SELECT subj AS src, obj AS dst FROM und
+       UNION ALL SELECT obj AS src, subj AS dst FROM und),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e2),
+l1 AS ({_lpa_step.format(src="l0")}),
+l2 AS ({_lpa_step.format(src="l1")}),
+l3 AS ({_lpa_step.format(src="l2")}),
+tagged AS (SELECT a.label AS ca, b.label AS cb
+           FROM e2 JOIN l3 a ON a.node = e2.src
+                JOIN l3 b ON b.node = e2.dst),
+tm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS two_m FROM tagged),
+wi AS (SELECT CAST(COUNT(*) AS DOUBLE) AS w_in FROM tagged
+       WHERE ca = cb),
+dg AS (SELECT SUM(POWER(kc / tm.two_m, 2)) AS p
+       FROM (SELECT ca, CAST(COUNT(*) AS DOUBLE) AS kc
+             FROM tagged GROUP BY 1) t CROSS JOIN tm),
+nc AS (SELECT COUNT(DISTINCT label) AS n_communities FROM l3)
+SELECT nc.n_communities,
+       ROUND(wi.w_in / tm.two_m - dg.p, 6) AS modularity
+FROM nc CROSS JOIN wi CROSS JOIN tm CROSS JOIN dg
 """
 
     # noisy-OR fusion over the disambiguation similarities: both

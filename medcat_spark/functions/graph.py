@@ -611,3 +611,36 @@ def kcore(cooc: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
                  .localCheckpoint(eager=False))
     return (edges.groupBy(F.col("src").alias("node"))
             .agg(F.count("*").alias("core_degree")))
+
+
+def modularity(cooc: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a node→community assignment over the
+    weighted co-occurrence graph: Q = Σ_ij [A_ij - k_i·k_j/2m]·δ(c_i,
+    c_j) / 2m — the standard community-quality score.  Computed from
+    the symmetric edge list as (within-community weight fraction) -
+    Σ_c (community degree fraction)²: two broadcast label joins + two
+    tiny aggregations, no per-community loop.  Returns one row
+    (n_communities, modularity 6 dp)."""
+    e2 = _symmetrize(cooc)
+    la = F.broadcast(labels.select(F.col("node").alias("src"),
+                                   F.col("label").alias("c_src")))
+    lb = F.broadcast(labels.select(F.col("node").alias("dst"),
+                                   F.col("label").alias("c_dst")))
+    tagged = e2.join(la, "src").join(lb, "dst").localCheckpoint(
+        eager=False)
+    tm = tagged.agg(F.sum("w").cast("double").alias("two_m"))
+    w_in = (tagged.where(F.col("c_src") == F.col("c_dst"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("double")
+                 .alias("w_in")))
+    degs = (tagged.groupBy("c_src").agg(F.sum("w").alias("kc"))
+            .crossJoin(F.broadcast(tm))
+            .agg(F.sum(F.pow(F.col("kc") / F.col("two_m"), 2))
+                 .alias("p")))
+    n_comm = (labels.select("label").distinct()
+              .agg(F.count("*").alias("n_communities")))
+    return (n_comm.crossJoin(F.broadcast(w_in))
+            .crossJoin(F.broadcast(tm))
+            .crossJoin(F.broadcast(degs))
+            .select("n_communities",
+                    F.round(F.col("w_in") / F.col("two_m")
+                            - F.col("p"), 6).alias("modularity")))

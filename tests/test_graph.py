@@ -434,3 +434,26 @@ def test_kcore_peels_tail(spark):
     got = {r["node"]: r["core_degree"]
            for r in kcore(tri, k=2, rounds=4).collect()}
     assert got == {"A": 2, "B": 2, "C": 2}
+
+
+def test_modularity_two_cliques(spark):
+    from medcat_spark.functions.graph import label_propagation, modularity
+
+    # two triangles + bridge (the LPA test graph): the 2-community
+    # split has the textbook positive modularity
+    tri = spark.createDataFrame(
+        [("A", "affinity", "B"), ("A", "affinity", "C"),
+         ("B", "affinity", "C"),
+         ("D", "affinity", "E"), ("D", "affinity", "F"),
+         ("E", "affinity", "F"),
+         ("C", "affinity", "D")],
+        "subj string, pred string, obj string")
+    labels = label_propagation(tri, iterations=3)
+    row = modularity(tri, labels).collect()[0]
+    assert row["n_communities"] == 2
+    # hand computation: 2m=14, within=12, degree fractions (7/14)^2*2
+    assert abs(row["modularity"] - round(12 / 14 - 2 * 0.25, 6)) < 1e-9
+
+    # everything-in-one-community scores 0 by definition
+    one = labels.select("node").withColumn("label", F.lit("x"))
+    assert modularity(tri, one).collect()[0]["modularity"] == 0.0
