@@ -1123,6 +1123,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_communities"] = lambda s, d: label_propagation(
         knn_graph(_cooc(s, d), k=2), iterations=3)
 
+    # KG-completion offline eval: deterministic edge holdout, score the
+    # rest, Adamic-Adar ranking AUC over pos×neg
+    def _lp_auc(s, d):
+        from medcat_spark.functions.graph import link_prediction_auc
+        return link_prediction_auc(knn_graph(_cooc(s, d), k=2))
+    q["kg_linkpred_auc"] = _lp_auc
+
+    # temporal KG analytics: per-pair monthly co-occurrence counts
+    # (deterministic month = doc_id % 6) with the OLS trend slope over
+    # the dense month series — codegen only, one groupBy + tiny agg
+    def _cooc_trend(s, d):
+        ann = _uni_ann(s, d)
+        dc = (ann.select("doc_id", "cui").distinct()
+              .withColumn("m", F.col("doc_id").cast("long") % 6))
+        a = dc.alias("a")
+        b = dc.alias("b")
+        monthly = (a.join(b, ["doc_id", "m"])
+                   .where(F.col("a.cui") < F.col("b.cui"))
+                   .groupBy(F.col("a.cui").alias("cui_a"),
+                            F.col("b.cui").alias("cui_b"), "m")
+                   .agg(F.count("*").alias("y")))
+        # densify: every observed pair gets all 6 months (absent = 0)
+        pairs = monthly.select("cui_a", "cui_b").distinct()
+        months = s.range(6).select(F.col("id").cast("long").alias("m"))
+        dense = (pairs.crossJoin(F.broadcast(months))
+                 .join(monthly, ["cui_a", "cui_b", "m"], "left")
+                 .select("cui_a", "cui_b", "m",
+                         F.coalesce("y", F.lit(0)).alias("y")))
+        # OLS slope over the 6 points: (nΣxy - ΣxΣy)/(nΣx² - (Σx)²)
+        agg = (dense.groupBy("cui_a", "cui_b")
+               .agg(F.count("*").alias("n"), F.sum("m").alias("sx"),
+                    F.sum("y").alias("sy"),
+                    F.sum(F.col("m") * F.col("y")).alias("sxy"),
+                    F.sum(F.col("m") * F.col("m")).alias("sxx")))
+        return agg.select(
+            F.concat(F.lit("cui:"), "cui_a").alias("subj"),
+            F.concat(F.lit("cui:"), "cui_b").alias("obj"),
+            F.col("sy").alias("total"),
+            F.round((F.col("n") * F.col("sxy")
+                     - F.col("sx") * F.col("sy"))
+                    / (F.col("n") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")), 6).alias("slope"))
+    q["kg_cooc_trend"] = _cooc_trend
+
     # Newman modularity of the LPA communities over the kNN affinity
     # graph — the community-quality scorecard
     def _modularity(s, d):
@@ -1848,6 +1892,77 @@ e2 AS ({_rp_step.format(src="e1")})
 SELECT e1.node, CAST(e1.d AS INT) AS d,
        ROUND(0.5 * e1.x + 0.5 * e2.x, 6) AS val
 FROM e1 JOIN e2 ON e1.node = e2.node AND e1.d = e2.d
+"""
+
+    # link-prediction AUC: held-out slice gated by md5 hex % 4 == 0,
+    # Adamic-Adar scores recomputed on the kept graph, ranking AUC
+    o["kg_linkpred_auc"] = f"""
+{_sym_cte},
+topk AS (SELECT src, dst FROM (
+           SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY w DESC, dst) AS rn
+           FROM sym) t WHERE rn <= 2),
+und AS (SELECT DISTINCT LEAST(src, dst) AS subj,
+                        GREATEST(src, dst) AS obj FROM topk),
+gated AS (SELECT subj, obj,
+                 CAST(('0x' || substr(md5(subj || '|' || obj), 1, 1))
+                      AS BIGINT) % 4 = 0 AS held
+          FROM und),
+kept AS (SELECT subj, obj FROM gated WHERE NOT held),
+held AS (SELECT subj AS node_a, obj AS node_b FROM gated WHERE held),
+e2 AS (SELECT subj AS src, obj AS dst FROM kept
+       UNION ALL SELECT obj AS src, subj AS dst FROM kept),
+deg AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY 1),
+sc AS (SELECT a.dst AS node_a, b.dst AS node_b,
+              SUM(1.0 / LN(d.deg)) AS aa
+       FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
+            JOIN deg d ON d.src = a.src
+       GROUP BY 1, 2),
+cand AS (SELECT s.node_a, s.node_b, ROUND(s.aa, 6) AS aa FROM sc s
+         WHERE NOT EXISTS (SELECT 1 FROM kept k
+                           WHERE k.subj = s.node_a
+                             AND k.obj = s.node_b)),
+pos AS (SELECT aa AS sp FROM cand c
+        JOIN held h ON h.node_a = c.node_a AND h.node_b = c.node_b),
+neg AS (SELECT aa AS sn FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM held h
+                          WHERE h.node_a = c.node_a
+                            AND h.node_b = c.node_b)),
+auc AS (SELECT ROUND(AVG(CASE WHEN sp > sn THEN 1.0
+                              WHEN sp = sn THEN 0.5
+                              ELSE 0.0 END), 6) AS auc
+        FROM pos CROSS JOIN neg)
+SELECT (SELECT COUNT(*) FROM pos) AS n_pos,
+       (SELECT COUNT(*) FROM neg) AS n_neg,
+       COALESCE((SELECT auc FROM auc), -1.0) AS auc
+"""
+
+    # monthly trend: the dense month series (0..5, absent months = 0)
+    # and the closed-form OLS slope
+    o["kg_cooc_trend"] = f"""
+WITH {_TOKS_CTE},
+mm AS (SELECT DISTINCT t.doc_id, d.cui,
+                      CAST(t.doc_id AS BIGINT) % 6 AS m
+      FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name),
+monthly AS (SELECT a.cui AS cui_a, b.cui AS cui_b, a.m,
+                   COUNT(*) AS y
+            FROM mm a JOIN mm b
+              ON a.doc_id = b.doc_id AND a.m = b.m AND a.cui < b.cui
+            GROUP BY 1, 2, 3),
+pairs AS (SELECT DISTINCT cui_a, cui_b FROM monthly),
+dense AS (SELECT p.cui_a, p.cui_b, g.m, COALESCE(mo.y, 0) AS y
+          FROM pairs p CROSS JOIN generate_series(0, 5) g(m)
+          LEFT JOIN monthly mo ON mo.cui_a = p.cui_a
+            AND mo.cui_b = p.cui_b AND mo.m = g.m),
+agg AS (SELECT cui_a, cui_b, COUNT(*) AS n, SUM(m) AS sx, SUM(y) AS sy,
+               SUM(m * y) AS sxy, SUM(m * m) AS sxx
+        FROM dense GROUP BY 1, 2)
+SELECT 'cui:' || cui_a AS subj, 'cui:' || cui_b AS obj,
+       CAST(sy AS BIGINT) AS total,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 6) AS slope
+FROM agg
 """
 
     # modularity over the same LPA labels: within-community edge

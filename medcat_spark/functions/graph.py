@@ -644,3 +644,39 @@ def modularity(cooc: DataFrame, labels: DataFrame) -> DataFrame:
             .select("n_communities",
                     F.round(F.col("w_in") / F.col("two_m")
                             - F.col("p"), 6).alias("modularity")))
+
+
+def link_prediction_auc(affinity: DataFrame,
+                        holdout_mod: int = 4) -> DataFrame:
+    """KG-completion evaluation: hold out a deterministic slice of the
+    affinity edges (md5(subj|obj) hex % holdout_mod == 0 — both engines
+    gate identically), score the remaining graph's non-adjacent pairs
+    with link_prediction, and report the Adamic-Adar AUC: the fraction
+    of (held-out positive, negative) pairs ranked correctly (ties at
+    0.5).  One row: (n_pos, n_neg, auc) — the standard offline eval for
+    missing-edge proposers; the pos×neg cross product is bounded by the
+    candidate list, not the graph."""
+    gate = (F.conv(F.substring(
+        F.md5(F.concat("subj", F.lit("|"), "obj")), 1, 1), 16, 10)
+        .cast("int") % holdout_mod == 0)
+    held = (affinity.where(gate)
+            .select(F.col("subj").alias("node_a"),
+                    F.col("obj").alias("node_b")))
+    kept = affinity.where(~gate)
+    scored = link_prediction(kept).select("node_a", "node_b",
+                                          "adamic_adar")
+    pos = scored.join(held, ["node_a", "node_b"], "left_semi") \
+        .select(F.col("adamic_adar").alias("sp"))
+    neg = scored.join(held, ["node_a", "node_b"], "left_anti") \
+        .select(F.col("adamic_adar").alias("sn"))
+    pairs = pos.crossJoin(neg)
+    auc = pairs.agg(
+        F.round(F.avg(F.when(F.col("sp") > F.col("sn"), 1.0)
+                      .when(F.col("sp") == F.col("sn"), 0.5)
+                      .otherwise(0.0)), 6).alias("auc"))
+    np_ = pos.agg(F.count("*").alias("n_pos"))
+    nn_ = neg.agg(F.count("*").alias("n_neg"))
+    return (np_.crossJoin(F.broadcast(nn_))
+            .crossJoin(F.broadcast(auc))
+            .select("n_pos", "n_neg",
+                    F.coalesce("auc", F.lit(-1.0)).alias("auc")))

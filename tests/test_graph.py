@@ -457,3 +457,35 @@ def test_modularity_two_cliques(spark):
     # everything-in-one-community scores 0 by definition
     one = labels.select("node").withColumn("label", F.lit("x"))
     assert modularity(tri, one).collect()[0]["modularity"] == 0.0
+
+
+def test_linkpred_auc_separates_perfect_graph(spark):
+    from medcat_spark.functions.graph import link_prediction_auc
+
+    # two dense 4-cliques joined by one bridge: any held-out intra-
+    # clique edge gets high common-neighbor support on the kept graph,
+    # cross-clique candidates get none -> positives outrank negatives
+    cl1 = ["A", "B", "C", "D"]
+    cl2 = ["E", "F", "G", "H"]
+    from itertools import combinations
+    edges = (list(combinations(cl1, 2)) + list(combinations(cl2, 2))
+             + [("D", "E"), ("A", "H")])   # two bridges: candidates on
+    aff = spark.createDataFrame(           # both sides of the gate
+        [(a, "affinity", b) for a, b in edges],
+        "subj string, pred string, obj string")
+    row = link_prediction_auc(aff, holdout_mod=4).collect()[0]
+    assert row["n_pos"] == 4 and row["n_neg"] == 4
+    assert row["auc"] == 0.75       # held intra-clique edges outrank
+                                    # the cross-clique candidates
+
+
+def test_linkpred_auc_empty_holdout_sentinel(spark):
+    from medcat_spark.functions.graph import link_prediction_auc
+
+    # a 3-path: whichever side the gate lands on, pos or neg can be
+    # empty; the sentinel path must not crash and must flag -1.0 when
+    # the AUC is undefined (empty cross product)
+    aff = spark.createDataFrame(
+        [("A", "affinity", "B")], "subj string, pred string, obj string")
+    row = link_prediction_auc(aff, holdout_mod=4).collect()[0]
+    assert row["auc"] == -1.0       # nothing scorable on a single edge
