@@ -274,6 +274,13 @@ def main():
     plans["kg_personalized_pagerank"] = personalized_pagerank(
         _nt2, iterations=3)
     plans["kg_kcore"] = kcore(_nt2, k=2, rounds=4)
+    from medcat_spark.functions.graph import (label_propagation,
+                                              link_prediction_auc,
+                                              modularity)
+    _aff2 = knn_graph(_nt2, k=2)
+    plans["kg_modularity"] = modularity(
+        _aff2, label_propagation(_aff2, iterations=3))
+    plans["kg_linkpred_auc"] = link_prediction_auc(_aff2)
 
     out_path = os.path.join(REPO, "BENCH", "plans.txt")
     with open(out_path, "w") as f:
