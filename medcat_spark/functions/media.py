@@ -750,12 +750,17 @@ def gif_encode(frames, palette, delays_ms=None, min_code_size=None) -> bytes:
     return bytes(out)
 
 
-def gif_decode_frames(b: bytes):
+def gif_decode_frames(b: bytes, max_frames: int = 256):
     """Decode every frame of a GIF87a/89a stream.  Returns a list of
     dicts {frame_idx, delay_ms, pixels} where pixels is the full
     (H, W, 3) uint8 canvas AFTER compositing the frame (sub-rectangles,
     transparency and disposal none/keep/restore-background honored;
-    restore-previous is rare and raises NotImplementedError)."""
+    restore-previous is rare and raises NotImplementedError).
+
+    ``max_frames`` bounds the decoded canvases (each is H·W·3 bytes):
+    a pathological million-frame stream inside an Arrow batch would
+    otherwise exhaust executor memory — excess frames raise so the
+    caller chooses between sampling and a bigger budget."""
     import struct
 
     import numpy as np
@@ -833,6 +838,10 @@ def gif_decode_frames(b: bytes):
             region[mask] = rgb[mask]
         else:
             region[:, :] = rgb
+        if len(frames) >= max_frames:
+            raise ValueError(
+                f"GIF exceeds max_frames={max_frames}; sample frames "
+                "or raise the budget")
         frames.append({"frame_idx": len(frames), "delay_ms": delay_ms,
                        "pixels": canvas.copy()})
         if disposal == 2:               # restore to background AFTER emit

@@ -689,3 +689,16 @@ def test_pq_topk_ivf_prunes_and_scores(spark):
         emb.where(ivf_assign(F.col("embedding"), cen) == qc),
         qv, cbs, k=10).collect()]
     assert ids == full
+
+
+def test_gif_decode_max_frames_budget():
+    import numpy as np
+    import pytest as _pt
+
+    from medcat_spark.functions.media import gif_decode_frames, gif_encode
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    blob = gif_encode([np.zeros((2, 2), np.uint8)] * 5, pal)
+    assert len(gif_decode_frames(blob)) == 5
+    with _pt.raises(ValueError, match="max_frames"):
+        gif_decode_frames(blob, max_frames=3)
