@@ -88,6 +88,12 @@ ICD10_REFSET_FIXTURE = [
     ("D004", "", "1", "1", "1"),        # empty target -> excluded
 ]
 
+# two-level ISA fixture over the unigram dict CUIs (shared by the
+# kg_hierarchy_rollup query and its oracle)
+_ISA = [("D001", "P1"), ("D002", "P1"), ("D003", "P2"),
+        ("D004", "P2"), ("D005", "P3"), ("D006", "P3"),
+        ("P1", "ROOT"), ("P2", "ROOT"), ("P3", "ROOT")]
+
 UMLS_FIXTURE = {
     "mrconso": [
         ("C0001", "ENG", "Y", "A1", "SNOMEDCT_US", "Heart attack"),
@@ -1114,6 +1120,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_triangles"] = lambda s, d: triangle_counts(_cooc(s, d))
     q["kg_bfs_distances"] = lambda s, d: bfs_distances(_cooc(s, d),
                                                        max_hops=4)
+    # negation-aware triples: a concept counts in a doc only if it has
+    # at least one AFFIRMED mention (meta Negation = 'present') — the
+    # clinically-correct co-occurrence (negated findings must not form
+    # edges)
+    def _cooc_affirmed(s, d):
+        from medcat_spark.functions.meta import meta_annotations
+        docs = demo.load_docs(s, d).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        meta = meta_annotations(_uni_ann(s, d), docs,
+                                cues=["slow", "small"], window_left=5)
+        affirmed = (meta.where(F.col("value") == "present")
+                    .select("doc_id", "cui"))
+        return cooccurrence_triples(affirmed)
+    q["kg_cooccurrence_affirmed"] = _cooc_affirmed
+
+    # hierarchy rollup (epidemiology shape): mention counts aggregated
+    # up a two-level ISA fixture — subtree totals per ancestor via a
+    # bounded-depth closure join (SNOMED pt2ch analogue; the real
+    # hierarchy loads via sources/ontologies.snomed_pt2ch)
+    def _hier_rollup(s, d):
+        cnt = (_uni_ann(s, d).groupBy("cui")
+               .agg(F.count("*").alias("own")))
+        isa = s.createDataFrame(_ISA, "child string, parent string")
+        c1 = isa.select(F.col("child").alias("node"),
+                        F.col("parent").alias("anc"))
+        c2 = (c1.join(isa.select(F.col("child").alias("anc"),
+                                 F.col("parent").alias("anc2")), "anc")
+              .select("node", F.col("anc2").alias("anc")))
+        nodes = (isa.select(F.col("child").alias("node"))
+                 .unionByName(isa.select(F.col("parent").alias("node")))
+                 .distinct())
+        closure = (nodes.select("node", F.col("node").alias("anc"))
+                   .unionByName(c1).unionByName(c2).distinct())
+        rolled = (closure.join(cnt, closure["node"] == cnt["cui"],
+                               "left")
+                  .groupBy("anc")
+                  .agg(F.sum(F.coalesce("own", F.lit(0)))
+                       .alias("subtree_mentions")))
+        own = (nodes.join(cnt, nodes["node"] == cnt["cui"], "left")
+               .select("node", F.coalesce("own", F.lit(0)).alias("own")))
+        return (own.join(rolled, own["node"] == rolled["anc"])
+                .select("node", F.col("own").alias("own_mentions"),
+                        "subtree_mentions"))
+    q["kg_hierarchy_rollup"] = _hier_rollup
+
     # KG completion: missing-edge candidates on the sparse affinity
     # graph scored by common-neighbors / Jaccard / Adamic-Adar
     q["kg_link_prediction"] = lambda s, d: link_prediction(
@@ -1655,6 +1706,55 @@ paths AS (SELECT a.src AS node_a, b.dst AS node_b,
 SELECT p.node_a, p.node_b, p.n_paths FROM paths p
 WHERE NOT EXISTS (SELECT 1 FROM e2 d
                   WHERE d.src = p.node_a AND d.dst = p.node_b)
+"""
+
+    # affirmed-only co-occurrence: the meta-negation window replayed,
+    # mentions with any cue in the window excluded before pairing
+    o["kg_cooccurrence_affirmed"] = f"""
+WITH {_TOKS_CTE},
+pos AS (
+  SELECT doc_id, tok, pos,
+         COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM tok),
+m AS (SELECT p.doc_id, p.start, p.pos AS ent_pos, d.cui
+      FROM pos p JOIN {_UNI_DICT_SQL} ON p.tok = d.name),
+c AS (SELECT doc_id, pos FROM pos WHERE tok IN ('slow', 'small')),
+h AS (SELECT m.doc_id, m.start, m.cui, COUNT(c.pos) AS n_cues
+      FROM m LEFT JOIN c ON c.doc_id = m.doc_id
+        AND c.pos < m.ent_pos AND c.pos >= m.ent_pos - 5
+      GROUP BY 1, 2, 3),
+aff AS (SELECT DISTINCT doc_id, cui FROM h WHERE n_cues = 0)
+SELECT 'cui:' || a.cui AS subj, 'cooccurs_with' AS pred,
+       'cui:' || b.cui AS obj, COUNT(*) AS n_docs
+FROM aff a JOIN aff b ON a.doc_id = b.doc_id AND a.cui < b.cui
+GROUP BY 1, 2, 3
+"""
+
+    # hierarchy rollup: bounded-depth closure over the ISA fixture,
+    # subtree mention totals per ancestor
+    _isa_rows = ",".join(f"('{c}','{p}')" for c, p in _ISA)
+    o["kg_hierarchy_rollup"] = f"""
+WITH {_TOKS_CTE},
+cnt AS (SELECT d.cui, COUNT(*) AS own
+        FROM tok t JOIN {_UNI_DICT_SQL} ON t.tok = d.name GROUP BY 1),
+isa(child, parent) AS (VALUES {_isa_rows}),
+nodes AS (SELECT child AS node FROM isa
+          UNION SELECT parent FROM isa),
+c1 AS (SELECT child AS node, parent AS anc FROM isa),
+c2 AS (SELECT c1.node, i.parent AS anc
+       FROM c1 JOIN isa i ON i.child = c1.anc),
+closure AS (SELECT node, node AS anc FROM nodes
+            UNION SELECT node, anc FROM c1
+            UNION SELECT node, anc FROM c2),
+rolled AS (SELECT cl.anc, SUM(COALESCE(cnt.own, 0)) AS subtree_mentions
+           FROM closure cl LEFT JOIN cnt ON cnt.cui = cl.node
+           GROUP BY 1)
+SELECT n.node, CAST(COALESCE(cnt.own, 0) AS BIGINT) AS own_mentions,
+       CAST(r.subtree_mentions AS BIGINT) AS subtree_mentions
+FROM nodes n LEFT JOIN cnt ON cnt.cui = n.node
+     JOIN rolled r ON r.anc = n.node
 """
 
     # link prediction over the same kNN affinity graph: wedges keyed on
