@@ -2,15 +2,16 @@
 typed metadata, decoded/feature-extracted via Arrow-batched mapInPandas.
 
 Real decode paths (no PIL/ffmpeg needed): PNG pixels (all five row
-filters, stdlib zlib), WAV PCM16 audio (stdlib struct), animated-GIF
-frames (own LZW), baseline JPEG (functions/jpeg.py — pure-numpy
-Huffman+IDCT), plus PNG/JPEG/GIF header metadata and 8-bit palette
-PNGs.  Formats beyond those (progressive/12-bit JPEG,
-sub-8-bit/16-bit/interlaced PNG, compressed audio, real video
-containers) raise NotImplementedError —
-wire PIL/ffmpeg into the same UDF signatures on a cluster that has
-them.  `fake_decode` remains for the reference-shaped metadata
-plumbing whose oracles predate the real codecs.
+filters; depths 1/2/4/8/16; gray, gray+alpha, RGB, RGBA, palette),
+WAV PCM16 audio (stdlib struct), animated-GIF frames (own LZW; all
+four disposal methods, interlace, transparency), baseline JPEG
+(functions/jpeg.py — pure-numpy Huffman+IDCT, 4:2:0/4:2:2, restart
+intervals), plus PNG/JPEG/GIF header metadata.  Formats beyond those
+(progressive/12-bit JPEG, Adam7-interlaced PNG, compressed audio,
+real video containers) raise NotImplementedError — wire PIL/ffmpeg
+into the same UDF signatures on a cluster that has them.
+`fake_decode` remains for the reference-shaped metadata plumbing
+whose oracles predate the real codecs.
 """
 
 from __future__ import annotations
@@ -317,10 +318,11 @@ def png_encode(pixels, filter_type: int = 0) -> bytes:
 def png_decode_pixels(b: bytes):
     """Full PNG pixel decode with stdlib zlib: parse chunks, inflate
     IDAT, reconstruct every row filter (None/Sub/Up/Average/Paeth).
-    Returns a numpy uint8 array (H, W) for grayscale or (H, W, C).
-    8-bit palette images (color type 3, PLTE chunk) decode to RGB.
-    Raises NotImplementedError for the PNG features that genuinely
-    need a library (sub-8-bit packing, 16-bit, interlace)."""
+    Bit depths 1/2/4 (gray + palette, MSB-first unpacking), 8 and 16
+    (big-endian, returned as uint16); color types gray / gray+alpha /
+    RGB / RGBA / palette (PLTE lookup to RGB).  Filters operate on
+    BYTES with bpp = max(1, channels*depth//8) per the spec.  Only
+    interlaced (Adam7) streams still raise."""
     import struct
     import zlib
 
@@ -349,17 +351,20 @@ def png_decode_pixels(b: bytes):
     if w is None:
         raise ValueError("PNG without IHDR")
     paletted = color == 3
-    if bitd != 8 or (color not in _PNG_CHANNELS and not paletted) \
-            or interlace:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    ok_depth = (bitd in (8, 16) and color in (0, 2, 4, 6)) or \
+        (bitd in (1, 2, 4) and color in (0, 3)) or \
+        (bitd == 8 and paletted)
+    if channels is None or not ok_depth or interlace:
         raise NotImplementedError(
             f"PNG bit depth {bitd} / color type {color} / interlace "
-            f"{interlace}: only 8-bit gray/RGB/RGBA/palette "
-            "progressive-free streams decode without a library")
+            f"{interlace}: Adam7 interlace (and malformed depth/type "
+            "combos) need a library")
     if paletted and plte is None:
         raise ValueError("paletted PNG without PLTE chunk")
-    ch = 1 if paletted else _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    stride = (w * channels * bitd + 7) // 8      # bytes per scanline
+    bpp = max(1, channels * bitd // 8)           # filter byte offset
     if len(raw) != hgt * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.empty((hgt, stride), dtype=np.uint8)
@@ -376,9 +381,9 @@ def png_decode_pixels(b: bytes):
         elif ft in (1, 3, 4):               # left-dependent: scan
             rec = np.empty(stride, dtype=np.int64)
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 up = prior[x]
-                ul = prior[x - ch] if x >= ch else 0
+                ul = prior[x - bpp] if x >= bpp else 0
                 if ft == 1:
                     pred = left
                 elif ft == 3:
@@ -393,12 +398,30 @@ def png_decode_pixels(b: bytes):
             raise ValueError(f"bad PNG filter byte {ft}")
         out[y] = rec.astype(np.uint8)
         prior = rec
+    if bitd == 16:
+        samples = (out.reshape(hgt, stride).astype(np.uint16)
+                   .reshape(hgt, w * channels, 2))
+        vals = (samples[:, :, 0] << 8) | samples[:, :, 1]   # big-endian
+        return (vals.reshape(hgt, w) if channels == 1
+                else vals.reshape(hgt, w, channels))
+    if bitd < 8:
+        # MSB-first bit unpacking; rows padded to byte boundaries
+        bits = np.unpackbits(out, axis=1)[:, :w * bitd] \
+            .reshape(hgt, w, bitd)
+        weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
+        vals = (bits * weights).sum(axis=2).astype(np.uint8)
+        if paletted:
+            if int(vals.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return plte[vals]
+        return vals
     if paletted:
         idx = out.reshape(hgt, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
         return plte[idx]
-    return out.reshape(hgt, w) if ch == 1 else out.reshape(hgt, w, ch)
+    return (out.reshape(hgt, w) if channels == 1
+            else out.reshape(hgt, w, channels))
 
 
 PIXEL_STATS_SCHEMA = StructType([
@@ -827,10 +850,10 @@ def gif_decode_frames(b: bytes, max_frames: int = 256):
                     de[y] = idx[src]
                     src += 1
             idx = de
-        if disposal == 3:
-            raise NotImplementedError(
-                "GIF disposal 'restore previous' needs frame history")
-        before = canvas.copy() if disposal == 2 else None
+        # disposal 2 restores the painted region to background after
+        # the frame shows; disposal 3 restores the canvas AS IT WAS
+        # before this frame (1-frame history — the spec's maximum)
+        before = canvas.copy() if disposal in (2, 3) else None
         region = canvas[top:top + fh, left:left + fw]
         rgb = ct[np.clip(idx, 0, len(ct) - 1)]
         if transp is not None:
@@ -847,6 +870,8 @@ def gif_decode_frames(b: bytes, max_frames: int = 256):
         if disposal == 2:               # restore to background AFTER emit
             bgc = gct[bg] if gct is not None and bg < len(gct) else 0
             before[top:top + fh, left:left + fw] = bgc
+            canvas = before
+        elif disposal == 3:             # restore previous AFTER emit
             canvas = before
         delay_ms, transp, disposal = 0, None, 0
     return frames

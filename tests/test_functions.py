@@ -447,15 +447,20 @@ def test_png_decode_rejects_unsupported():
 
     with _pt.raises(ValueError):
         png_decode_pixels(b"not a png at all")
-    # corrupt the bit depth byte inside IHDR -> honest NotImplementedError
-    blob = bytearray(png_encode(np.zeros((2, 2), np.uint8)))
-    blob[24] = 16  # IHDR bit depth field
     import struct
     import zlib
-    crc = zlib.crc32(bytes(blob[12:29]))
-    blob[29:33] = struct.pack(">I", crc)
+
+    def patch(offset, value):
+        blob = bytearray(png_encode(np.zeros((2, 2), np.uint8)))
+        blob[offset] = value
+        blob[29:33] = struct.pack(">I", zlib.crc32(bytes(blob[12:29])))
+        return bytes(blob)
+
+    # spec-invalid bit depth 3 and Adam7 interlace both raise honestly
     with _pt.raises(NotImplementedError):
-        png_decode_pixels(bytes(blob))
+        png_decode_pixels(patch(24, 3))    # IHDR bit depth field
+    with _pt.raises(NotImplementedError):
+        png_decode_pixels(patch(28, 1))    # IHDR interlace flag
 
 
 def test_media_pixel_stats_spark(spark):

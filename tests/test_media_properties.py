@@ -155,3 +155,86 @@ def test_codecs_reject_garbage_after_valid_header(data):
         except (ValueError, NotImplementedError, IndexError, KeyError,
                 zlib.error, EOFError, struct_error):
             pass
+
+
+def _png_chunk(tag, data):
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _png_build(w, h, bitd, color, rows, plte=None):
+    import struct
+    import zlib
+    out = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bitd,
+                                             color, 0, 0, 0)))
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(v for c in plte for v in c))
+    raw = bytearray()
+    for r in rows:
+        raw.append(0)
+        raw.extend(r)
+    import zlib as z
+    return (out + _png_chunk(b"IDAT", z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_16bit_and_extra_color_types():
+    import struct
+
+    import numpy as np
+
+    from medcat_spark.functions.media import png_decode_pixels
+
+    px = png_decode_pixels(_png_build(
+        2, 2, 16, 0, [struct.pack(">HH", 0x0102, 0x0FFF),
+                      struct.pack(">HH", 0xABCD, 0)]))
+    assert px.dtype == np.uint16
+    assert px.tolist() == [[0x0102, 0x0FFF], [0xABCD, 0]]
+    px = png_decode_pixels(_png_build(
+        1, 1, 16, 2, [struct.pack(">HHH", 1, 2, 65535)]))
+    assert px.tolist() == [[[1, 2, 65535]]]
+    px = png_decode_pixels(_png_build(          # gray+alpha
+        2, 1, 8, 4, [bytes([10, 255, 20, 128])]))
+    assert px.tolist() == [[[10, 255], [20, 128]]]
+
+
+def test_png_sub8bit_unpacking():
+    from medcat_spark.functions.media import png_decode_pixels
+
+    # 2-bit gray 5x2, MSB-first with row padding
+    px = png_decode_pixels(_png_build(
+        5, 2, 2, 0, [bytes([0b00011011, 0]), bytes([0b11100100, 0x80])]))
+    assert px.tolist() == [[0, 1, 2, 3, 0], [3, 2, 1, 0, 2]]
+    # 4-bit palette 3x1
+    pal = [(9, 9, 9), (1, 2, 3), (4, 5, 6)]
+    px = png_decode_pixels(_png_build(
+        3, 1, 4, 3, [bytes([0x10, 0x20])], plte=pal))
+    assert px.tolist() == [[[1, 2, 3], [9, 9, 9], [4, 5, 6]]]
+
+
+def test_gif_disposal_restore_previous():
+    import struct
+
+    import numpy as np
+
+    from medcat_spark.functions.media import (gif_decode_frames,
+                                              gif_encode, lzw_encode)
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    blob = bytearray(gif_encode([np.zeros((2, 2), np.uint8)], pal))
+    gce = b"\x21\xf9\x04" + struct.pack("<BHB", 0x0C, 5, 0) + b"\x00"
+    comp = lzw_encode([1, 1, 1, 1], 2)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0) + bytes([2])
+    body = bytes([len(comp)]) + comp + b"\x00"
+    # disposal-3 white frame, then a plain frame painting index 0 at a
+    # 1x1 sub-rect: it must composite onto the RESTORED (black) canvas
+    sub = b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0) + bytes([2])
+    sub_body = bytes([len(lzw_encode([0], 2))]) + lzw_encode([0], 2) \
+        + b"\x00"
+    blob = blob[:-1] + gce + desc + body + sub + sub_body + b"\x3b"
+    frames = gif_decode_frames(bytes(blob))
+    assert (frames[1]["pixels"] == 255).all()          # white shows
+    assert (frames[2]["pixels"] == 0).all()            # restored black
