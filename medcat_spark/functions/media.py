@@ -6,9 +6,10 @@ filters; depths 1/2/4/8/16; gray, gray+alpha, RGB, RGBA, palette),
 WAV PCM16 audio (stdlib struct), animated-GIF frames (own LZW; all
 four disposal methods, interlace, transparency), baseline JPEG
 (functions/jpeg.py — pure-numpy Huffman+IDCT, 4:2:0/4:2:2, restart
-intervals), plus PNG/JPEG/GIF header metadata.  Formats beyond those
-(progressive/12-bit JPEG, Adam7-interlaced PNG, compressed audio,
-real video containers) raise NotImplementedError — wire PIL/ffmpeg
+intervals), plus PNG/JPEG/GIF header metadata.  PNG coverage is
+complete for single-image files (all depths/types incl. Adam7
+interlace); what remains (progressive/12-bit JPEG, compressed audio,
+real video containers) raises NotImplementedError — wire PIL/ffmpeg
 into the same UDF signatures on a cluster that has them.
 `fake_decode` remains for the reference-shaped metadata plumbing
 whose oracles predate the real codecs.
@@ -321,8 +322,9 @@ def png_decode_pixels(b: bytes):
     Bit depths 1/2/4 (gray + palette, MSB-first unpacking), 8 and 16
     (big-endian, returned as uint16); color types gray / gray+alpha /
     RGB / RGBA / palette (PLTE lookup to RGB).  Filters operate on
-    BYTES with bpp = max(1, channels*depth//8) per the spec.  Only
-    interlaced (Adam7) streams still raise."""
+    BYTES with bpp = max(1, channels*depth//8) per the spec.  Adam7
+    interlace decodes as seven independently-filtered sub-images
+    scattered onto the pixel grid — full non-animated PNG coverage."""
     import struct
     import zlib
 
@@ -355,73 +357,103 @@ def png_decode_pixels(b: bytes):
     ok_depth = (bitd in (8, 16) and color in (0, 2, 4, 6)) or \
         (bitd in (1, 2, 4) and color in (0, 3)) or \
         (bitd == 8 and paletted)
-    if channels is None or not ok_depth or interlace:
+    if channels is None or not ok_depth or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit depth {bitd} / color type {color} / interlace "
-            f"{interlace}: Adam7 interlace (and malformed depth/type "
-            "combos) need a library")
+            f"{interlace}: malformed depth/type combos need a library")
     if paletted and plte is None:
         raise ValueError("paletted PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = (w * channels * bitd + 7) // 8      # bytes per scanline
     bpp = max(1, channels * bitd // 8)           # filter byte offset
-    if len(raw) != hgt * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    out = np.empty((hgt, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int64)
-    pos = 0
-    for y in range(hgt):
-        ft = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
-        pos += stride + 1
-        if ft == 0:
-            rec = row
-        elif ft == 2:                       # Up — vectorizable
-            rec = (row + prior) % 256
-        elif ft in (1, 3, 4):               # left-dependent: scan
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                up = prior[x]
-                ul = prior[x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    pred = left
-                elif ft == 3:
-                    pred = (left + up) // 2
-                else:
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc \
-                        else (up if pb <= pc else ul)
-                rec[x] = (row[x] + pred) % 256
+
+    def defilter(pos, n_rows, stride):
+        """Reconstruct n_rows filtered scanlines starting at ``pos``;
+        returns (rows uint8 (n_rows, stride), new pos)."""
+        rows = np.empty((n_rows, stride), dtype=np.uint8)
+        prior = np.zeros(stride, dtype=np.int64)
+        for y in range(n_rows):
+            if pos >= len(raw):
+                raise ValueError("PNG IDAT truncated")
+            ft = raw[pos]
+            row = np.frombuffer(raw, np.uint8, stride,
+                                pos + 1).astype(np.int64)
+            pos += stride + 1
+            if ft == 0:
+                rec = row
+            elif ft == 2:                   # Up — vectorizable
+                rec = (row + prior) % 256
+            elif ft in (1, 3, 4):           # left-dependent: scan
+                rec = np.empty(stride, dtype=np.int64)
+                for x in range(stride):
+                    left = rec[x - bpp] if x >= bpp else 0
+                    up = prior[x]
+                    ul = prior[x - bpp] if x >= bpp else 0
+                    if ft == 1:
+                        pred = left
+                    elif ft == 3:
+                        pred = (left + up) // 2
+                    else:
+                        p = left + up - ul
+                        pa, pb, pc = (abs(p - left), abs(p - up),
+                                      abs(p - ul))
+                        pred = left if pa <= pb and pa <= pc \
+                            else (up if pb <= pc else ul)
+                    rec[x] = (row[x] + pred) % 256
+            else:
+                raise ValueError(f"bad PNG filter byte {ft}")
+            rows[y] = rec.astype(np.uint8)
+            prior = rec
+        return rows, pos
+
+    def to_samples(rows, width):
+        """Filtered bytes → per-pixel sample values (n, width[, ch])."""
+        n = rows.shape[0]
+        if bitd == 16:
+            s = rows.astype(np.uint16).reshape(n, width * channels, 2)
+            v = (s[:, :, 0] << 8) | s[:, :, 1]      # big-endian
+            return v.reshape(n, width) if channels == 1 \
+                else v.reshape(n, width, channels)
+        if bitd < 8:
+            bits = np.unpackbits(rows, axis=1)[:, :width * bitd] \
+                .reshape(n, width, bitd)
+            wts = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
+            return (bits * wts).sum(axis=2).astype(np.uint8)
+        return rows.reshape(n, width) if channels == 1 \
+            else rows.reshape(n, width, channels)
+
+    if not interlace:
+        stride = (w * channels * bitd + 7) // 8
+        if len(raw) != hgt * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        rows, _ = defilter(0, hgt, stride)
+        vals = to_samples(rows, w)
+    else:
+        # Adam7: seven sub-images, each independently filtered
+        dtype = np.uint16 if bitd == 16 else np.uint8
+        if channels == 1:
+            vals = np.zeros((hgt, w), dtype=dtype)
         else:
-            raise ValueError(f"bad PNG filter byte {ft}")
-        out[y] = rec.astype(np.uint8)
-        prior = rec
-    if bitd == 16:
-        samples = (out.reshape(hgt, stride).astype(np.uint16)
-                   .reshape(hgt, w * channels, 2))
-        vals = (samples[:, :, 0] << 8) | samples[:, :, 1]   # big-endian
-        return (vals.reshape(hgt, w) if channels == 1
-                else vals.reshape(hgt, w, channels))
-    if bitd < 8:
-        # MSB-first bit unpacking; rows padded to byte boundaries
-        bits = np.unpackbits(out, axis=1)[:, :w * bitd] \
-            .reshape(hgt, w, bitd)
-        weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
-        vals = (bits * weights).sum(axis=2).astype(np.uint8)
-        if paletted:
-            if int(vals.max(initial=0)) >= len(plte):
-                raise ValueError("PNG palette index out of range")
-            return plte[vals]
-        return vals
+            vals = np.zeros((hgt, w, channels), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            wp = (w - x0 + dx - 1) // dx
+            hp = (hgt - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride = (wp * channels * bitd + 7) // 8
+            rows, pos = defilter(pos, hp, stride)
+            sub = to_samples(rows, wp)
+            vals[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+
     if paletted:
-        idx = out.reshape(hgt, w)
-        if int(idx.max(initial=0)) >= len(plte):
+        if int(vals.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
-        return plte[idx]
-    return (out.reshape(hgt, w) if channels == 1
-            else out.reshape(hgt, w, channels))
+        return plte[vals]
+    return vals
 
 
 PIXEL_STATS_SCHEMA = StructType([

@@ -456,10 +456,12 @@ def test_png_decode_rejects_unsupported():
         blob[29:33] = struct.pack(">I", zlib.crc32(bytes(blob[12:29])))
         return bytes(blob)
 
-    # spec-invalid bit depth 3 and Adam7 interlace both raise honestly
+    # spec-invalid bit depth 3 raises honestly; flipping the interlace
+    # flag on a progressive stream leaves mismatched pass data, which
+    # the Adam7 path rejects as a malformed stream
     with _pt.raises(NotImplementedError):
         png_decode_pixels(patch(24, 3))    # IHDR bit depth field
-    with _pt.raises(NotImplementedError):
+    with _pt.raises(ValueError):
         png_decode_pixels(patch(28, 1))    # IHDR interlace flag
 
 

@@ -238,3 +238,59 @@ def test_gif_disposal_restore_previous():
     frames = gif_decode_frames(bytes(blob))
     assert (frames[1]["pixels"] == 255).all()          # white shows
     assert (frames[2]["pixels"] == 0).all()            # restored black
+
+
+def test_png_adam7_interlace_matches_progressive():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from medcat_spark.functions.media import png_decode_pixels
+
+    _PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def build_interlaced(img, bitd, color, plte=None):
+        h, w = img.shape[:2]
+        ch = {0: 1, 2: 3, 3: 1}[color]
+        raw = bytearray()
+        for x0, y0, dx, dy in _PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub.reshape(sub.shape[0], -1):
+                raw.append(0)
+                if bitd == 8:
+                    raw.extend(row.astype(np.uint8).tobytes())
+                else:                      # pack sub-8-bit MSB-first
+                    bits = np.unpackbits(
+                        row.astype(np.uint8)[:, None], axis=1,
+                        count=8)[:, 8 - bitd:]
+                    flat = bits.reshape(-1)
+                    pad = (-len(flat)) % 8
+                    flat = np.concatenate([flat,
+                                           np.zeros(pad, np.uint8)])
+                    raw.extend(np.packbits(flat).tobytes())
+        out = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR", struct.pack(
+                   ">IIBBBBB", w, h, bitd, color, 0, 0, 1)))
+        if plte is not None:
+            out += _png_chunk(b"PLTE",
+                              bytes(v for c in plte for v in c))
+        return (out + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b""))
+
+    rng = np.random.RandomState(6)
+    # 8-bit gray, odd dims (exercises empty/ragged passes)
+    img = rng.randint(0, 256, (7, 5)).astype(np.uint8)
+    assert (png_decode_pixels(build_interlaced(img, 8, 0)) == img).all()
+    # 8-bit RGB
+    rgb = rng.randint(0, 256, (6, 9, 3)).astype(np.uint8)
+    assert (png_decode_pixels(build_interlaced(rgb, 8, 2)) == rgb).all()
+    # 2-bit palette
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    idx = rng.randint(0, 4, (5, 7)).astype(np.uint8)
+    got = png_decode_pixels(build_interlaced(idx, 2, 3, plte=pal))
+    want = np.array(pal, np.uint8)[idx]
+    assert (got == want).all()
