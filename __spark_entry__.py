@@ -735,6 +735,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return media_jpeg_stats(synth_jpeg_column(docs))
     q["media_jpeg_stats"] = _media_jpeg
 
+    # REAL compressed-audio decode (IMA ADPCM, format 0x11): the
+    # 4-bit predictive recurrence is pure integer math, so the oracle
+    # replays it as a RECURSIVE CTE over the fixture's arithmetic
+    # nibble stream while the engine decodes the real WAV blocks —
+    # exact integer stats, no float rounding contract at all
+    def _media_adpcm(s, d):
+        from medcat_spark.functions.media import (media_adpcm_stats,
+                                                  synth_adpcm_column)
+        docs = demo.load_docs(s, d).select("doc_id")
+        return media_adpcm_stats(synth_adpcm_column(docs))
+    q["media_adpcm_stats"] = _media_adpcm
+
     # REAL video-frame decode (pure-Python GIF LZW): animated-GIF
     # fixtures decoded frame-by-frame; timeline + per-frame mean pixel
     # re-derived arithmetically by the oracle.
@@ -3397,6 +3409,45 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, 16 AS width, 16 AS height,
        SUM(pv) / 256.0 AS mean_px,
        CAST(SUM(pv) AS BIGINT) AS px_sum
 FROM p GROUP BY doc_id
+"""
+
+    # IMA ADPCM recurrence replayed as a recursive CTE: per doc the
+    # state (pred, idx) walks 64 steps over nibble (k*7 + doc_id) % 16;
+    # the step table is 89 literal rows, clamps and the sign/magnitude
+    # reconstruction are integer CASE arithmetic
+    from medcat_spark.functions.media import (IMA_INDEX_TABLE,
+                                              IMA_STEP_TABLE)
+    _step_rows = ",".join(f"({i},{s})"
+                          for i, s in enumerate(IMA_STEP_TABLE))
+    _idx_case = " ".join(f"WHEN {n} THEN {d}"
+                         for n, d in enumerate(IMA_INDEX_TABLE))
+    o["media_adpcm_stats"] = f"""
+WITH RECURSIVE st(i, s) AS (VALUES {_step_rows}),
+r(doc_id, k, pred, idx) AS (
+  SELECT doc_id, 0, 0, 0 FROM documents
+  UNION ALL
+  SELECT r.doc_id, r.k + 1,
+    GREATEST(-32768, LEAST(32767,
+      r.pred + (CASE WHEN ((r.k * 7 + r.doc_id) % 16) & 8 = 8
+                     THEN -1 ELSE 1 END)
+      * ((st.s // 8)
+         + CASE WHEN ((r.k * 7 + r.doc_id) % 16) & 4 = 4
+                THEN st.s ELSE 0 END
+         + CASE WHEN ((r.k * 7 + r.doc_id) % 16) & 2 = 2
+                THEN st.s // 2 ELSE 0 END
+         + CASE WHEN ((r.k * 7 + r.doc_id) % 16) & 1 = 1
+                THEN st.s // 4 ELSE 0 END))),
+    GREATEST(0, LEAST(88, r.idx
+      + CASE ((r.k * 7 + r.doc_id) % 16) & 7 {_idx_case} END))
+  FROM r JOIN st ON st.i = r.idx
+  WHERE r.k < 64
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       16000 AS sample_rate, 65 AS n_samples,
+       CAST(SUM(pred) AS BIGINT) AS sum_samples,
+       CAST(MIN(pred) AS INT) AS min_sample,
+       CAST(MAX(pred) AS INT) AS max_sample
+FROM r GROUP BY doc_id
 """
 
     # GIF round-trip re-derivation: frame f of doc d has pixel index

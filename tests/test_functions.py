@@ -709,3 +709,74 @@ def test_gif_decode_max_frames_budget():
     assert len(gif_decode_frames(blob)) == 5
     with _pt.raises(ValueError, match="max_frames"):
         gif_decode_frames(blob, max_frames=3)
+
+
+def test_ima_adpcm_decode_matches_step_recompute():
+    import numpy as np
+
+    from medcat_spark.functions.media import (adpcm_encode_nibbles,
+                                              ima_adpcm_step, wav_decode)
+
+    nibs = [(i * 7 + 3) % 16 for i in range(64)]
+    smp, rate = wav_decode(adpcm_encode_nibbles(nibs, 8000))
+    assert rate == 8000 and smp.shape == (65, 1)
+    pred, idx = 0, 0
+    want = [0]
+    for n in nibs:
+        pred, idx = ima_adpcm_step(pred, idx, n)
+        want.append(pred)
+    assert smp[:, 0].tolist() == want
+    # clamp paths: all-magnitude nibbles drive pred to the int16 rails
+    smp2, _ = wav_decode(adpcm_encode_nibbles([7] * 200))
+    assert smp2.max() == 32767
+    smp3, _ = wav_decode(adpcm_encode_nibbles([15] * 200))
+    assert smp3.min() == -32768
+
+
+def test_ima_adpcm_multiblock_and_rejections():
+    import struct
+
+    import pytest as _pt
+
+    from medcat_spark.functions.media import (adpcm_encode_nibbles,
+                                              wav_decode)
+
+    # two blocks: concatenate two encoded data sections under one RIFF
+    one = adpcm_encode_nibbles([5] * 8, predictor=100, index=10)
+    # find the data chunk and duplicate its payload
+    di = one.index(b"data")
+    (ln,) = struct.unpack("<I", one[di + 4:di + 8])
+    payload = one[di + 8:di + 8 + ln]
+    two = (one[:di + 4] + struct.pack("<I", ln * 2) + payload * 2)
+    two = two[:4] + struct.pack("<I", len(two) - 8) + two[8:]
+    smp, _ = wav_decode(two)
+    assert smp.shape == (18, 1)
+    assert smp[0, 0] == 100 and smp[9, 0] == 100   # header predictors
+
+    # stereo ADPCM: honest rejection
+    blob = bytearray(adpcm_encode_nibbles([5] * 8))
+    fi = bytes(blob).index(b"fmt ")
+    blob[fi + 10:fi + 12] = struct.pack("<H", 2)   # nChannels
+    with _pt.raises(NotImplementedError):
+        wav_decode(bytes(blob))
+
+
+def test_media_adpcm_stats_spark(spark):
+    from medcat_spark.functions.media import (ima_adpcm_step,
+                                              media_adpcm_stats,
+                                              synth_adpcm_column)
+
+    docs = spark.createDataFrame([(i,) for i in (0, 9, 42)], "doc_id long")
+    rows = {r["doc_id"]: r
+            for r in media_adpcm_stats(synth_adpcm_column(docs)).collect()}
+    for d in (0, 9, 42):
+        pred, idx = 0, 0
+        samples = [0]
+        for k in range(64):
+            pred, idx = ima_adpcm_step(pred, idx, (k * 7 + d) % 16)
+            samples.append(pred)
+        r = rows[str(d)]
+        assert (r["n_samples"], r["sample_rate"]) == (65, 16000)
+        assert r["sum_samples"] == sum(samples)
+        assert (r["min_sample"], r["max_sample"]) == (min(samples),
+                                                      max(samples))
