@@ -209,6 +209,10 @@ def main():
     plans["media_pixel_stats"] = media_pixel_stats(synth_png_column(_mdocs))
     plans["media_audio_stats"] = media_audio_stats(synth_wav_column(_mdocs))
     plans["media_gif_frames"] = media_gif_frames(synth_gif_column(_mdocs))
+    from medcat_spark.functions.media import (media_adpcm_stats,
+                                              synth_adpcm_column)
+    plans["media_adpcm_stats"] = media_adpcm_stats(
+        synth_adpcm_column(_mdocs))
 
     # round-5 session-5b: PQ/IVF-PQ (codegen encode + literal-LUT ADC,
     # no per-row vector math), temporal joins (as-of = union+window, no
