@@ -584,6 +584,10 @@ def wav_decode(b: bytes):
         if not block_align or block_align < 5:
             raise ValueError("IMA ADPCM needs a sane block align")
         return ima_adpcm_decode(data, block_align), rate
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAVE format {audio_fmt} / {bits}-bit: only uncompressed "
+            "PCM16 and IMA ADPCM decode without a codec library")
     smp = np.frombuffer(data, dtype="<i2")
     if n_ch > 1:
         smp = smp.reshape(-1, n_ch)
