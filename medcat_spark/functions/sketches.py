@@ -21,8 +21,6 @@ tiny merged state), never a sort or a collect:
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

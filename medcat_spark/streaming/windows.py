@@ -13,8 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (LongType, StringType, StructField, StructType,
-                               TimestampType)
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 
 
 def windowed_mention_counts(ann_stream: DataFrame, ts_col: str = "ts",
