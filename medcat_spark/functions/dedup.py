@@ -30,11 +30,17 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 w.orderBy(F.col("doc_id"))).cast("long")))
 
 
-def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
+             distinct: bool = True) -> DataFrame:
     """(doc_id, shingle): distinct k-gram token shingles, space-joined.
 
     Docs shorter than k tokens contribute their whole text as the single
     shingle so they still participate in signatures.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregate is duplicate-invariant (MinHash: min() over a multiset
+    equals min() over its set) — set semantics (Jaccard) need the
+    default.
     """
     arr = F.split(F.col(text_col), " ")
     n = F.size(arr)
@@ -47,7 +53,8 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
                         lambda x, y: F.concat_ws(" ", x, y))
     sh = F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(0)))
     sh = F.when(n >= k, sh).otherwise(F.array(F.col(text_col)))
-    return (docs.select("doc_id", F.explode(sh).alias("shingle")).distinct())
+    out = docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 4,
@@ -61,7 +68,9 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 4,
     (dedup_clusters) reuse one cached shingle relation across stages.
     """
     if sh is None:
-        sh = shingles(docs, k, text_col)
+        # no distinct: min(md5) is duplicate-invariant, so the dedup
+        # shuffle before the signature groupBy is pure overhead
+        sh = shingles(docs, k, text_col, distinct=False)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
             .alias(f"h{j}") for j in range(n_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -102,11 +111,13 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 3, n_hashes: int = 4,
         buckets = buckets.join(oversized, ["band", "bucket"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # no trailing distinct: each doc holds exactly ONE bucket per band,
+    # so a (doc_a, doc_b, band) row can only be produced once by the
+    # equi-join — the dedup was a no-op shuffle of the pair set
     return (a.join(b, ["band", "bucket"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"), "band")
-            .distinct())
+                    F.col("b.doc_id").alias("doc_b"), "band"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
@@ -283,9 +294,14 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     One explode + one groupBy with 32 conditional sums — map-side
     partial aggregation keeps the shuffle tiny (one row per doc).
     """
-    t = docs.select("doc_id",
-                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    # hash projected BEFORE the groupBy: referencing the md5 expression
+    # inside all 32 aggregates would evaluate it per aggregate
+    t = (docs.select("doc_id",
+                     F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+         .select("doc_id",
+                 F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+                 .cast("long").alias("hv")))
+    hv = F.col("hv")
     aggs = [F.sum(F.when(F.shiftright(hv, b) % 2 == 1, 1).otherwise(-1))
             .alias(f"b{b}") for b in range(32)]
     g = t.groupBy("doc_id").agg(*aggs)

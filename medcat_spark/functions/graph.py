@@ -654,8 +654,17 @@ def link_prediction_auc(affinity: DataFrame,
     with link_prediction, and report the Adamic-Adar AUC: the fraction
     of (held-out positive, negative) pairs ranked correctly (ties at
     0.5).  One row: (n_pos, n_neg, auc) — the standard offline eval for
-    missing-edge proposers; the pos×neg cross product is bounded by the
-    candidate list, not the graph."""
+    missing-edge proposers.
+
+    The AUC is the rank-sum (Mann-Whitney U) form:
+    ``(Σ avg-rank of positives − n_pos(n_pos+1)/2) / (n_pos·n_neg)`` —
+    algebraically identical to the pairwise comparison (every term is a
+    multiple of ½, exact in doubles, so the rounded value matches the
+    oracle's cross-product form bit-for-bit) but O(n log n): one
+    aggregation per distinct score + one cumulative window, instead of
+    materializing |pos|·|neg| rows through a CartesianProduct."""
+    from pyspark.sql.window import Window
+
     gate = (F.conv(F.substring(
         F.md5(F.concat("subj", F.lit("|"), "obj")), 1, 1), 16, 10)
         .cast("int") % holdout_mod == 0)
@@ -666,17 +675,26 @@ def link_prediction_auc(affinity: DataFrame,
     scored = link_prediction(kept).select("node_a", "node_b",
                                           "adamic_adar")
     pos = scored.join(held, ["node_a", "node_b"], "left_semi") \
-        .select(F.col("adamic_adar").alias("sp"))
+        .select(F.col("adamic_adar").alias("s"), F.lit(1).alias("is_pos"))
     neg = scored.join(held, ["node_a", "node_b"], "left_anti") \
-        .select(F.col("adamic_adar").alias("sn"))
-    pairs = pos.crossJoin(neg)
-    auc = pairs.agg(
-        F.round(F.avg(F.when(F.col("sp") > F.col("sn"), 1.0)
-                      .when(F.col("sp") == F.col("sn"), 0.5)
-                      .otherwise(0.0)), 6).alias("auc"))
-    np_ = pos.agg(F.count("*").alias("n_pos"))
-    nn_ = neg.agg(F.count("*").alias("n_neg"))
-    return (np_.crossJoin(F.broadcast(nn_))
-            .crossJoin(F.broadcast(auc))
-            .select("n_pos", "n_neg",
-                    F.coalesce("auc", F.lit(-1.0)).alias("auc")))
+        .select(F.col("adamic_adar").alias("s"), F.lit(0).alias("is_pos"))
+    per_s = (pos.unionByName(neg)
+             .groupBy("s")
+             .agg(F.sum("is_pos").alias("np_s"), F.count("*").alias("nt_s")))
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_s.withColumn(
+        "cum_before", F.coalesce(F.sum("nt_s").over(w), F.lit(0)))
+    agg = ranked.agg(
+        F.sum(F.col("np_s") * (F.col("cum_before")
+                               + (F.col("nt_s") + 1) / 2.0)).alias("rs"),
+        F.coalesce(F.sum("np_s"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("nt_s"), F.lit(0)).alias("n_tot"))
+    n_pos = F.col("n_pos")
+    n_neg = F.col("n_tot") - n_pos
+    return agg.select(
+        n_pos.alias("n_pos"), n_neg.alias("n_neg"),
+        F.coalesce(
+            F.round((F.col("rs") - n_pos * (n_pos + 1) / 2.0)
+                    / (n_pos * n_neg), 6),
+            F.lit(-1.0)).alias("auc"))

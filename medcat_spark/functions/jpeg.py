@@ -297,9 +297,10 @@ def jpeg_encode_coefficients(blocks, width: int, height: int,
 # --------------------------------------------------------------------------
 
 def jpeg_decode_pixels(b: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (8-bit, Huffman, 1x1 sampling only) to
-    uint8 pixels: (H, W) grayscale or (H, W, 3) RGB via BT.601
-    YCbCr→RGB.  Parses DQT/SOF0/DHT/SOS generically."""
+    """Decode a baseline JPEG (8-bit, Huffman; 1-2 sampling factors per
+    axis, i.e. 4:4:4 / 4:2:0 / 4:2:2) to uint8 pixels: (H, W) grayscale
+    or (H, W, 3) RGB via BT.601 YCbCr→RGB.  Parses DQT/SOF0/DHT/SOS
+    generically."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     i = 2

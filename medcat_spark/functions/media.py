@@ -817,8 +817,8 @@ def gif_decode_frames(b: bytes, max_frames: int = 256):
     """Decode every frame of a GIF87a/89a stream.  Returns a list of
     dicts {frame_idx, delay_ms, pixels} where pixels is the full
     (H, W, 3) uint8 canvas AFTER compositing the frame (sub-rectangles,
-    transparency and disposal none/keep/restore-background honored;
-    restore-previous is rare and raises NotImplementedError).
+    transparency and all four disposal methods honored — none/keep,
+    restore-background, and restore-previous).
 
     ``max_frames`` bounds the decoded canvases (each is H·W·3 bytes):
     a pathological million-frame stream inside an Arrow batch would

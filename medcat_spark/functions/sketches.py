@@ -71,7 +71,11 @@ def histogram_quantiles(df: DataFrame, value_col: str,
     w = (hi - lo) / n_bins
     binc = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(
         (F.col(value_col) - lo) / w).cast("int")))
-    bins = df.groupBy(binc.alias("bin")).agg(F.count("*").alias("n"))
+    # NULL values would otherwise flow into a NULL bin that still
+    # counts toward cum/total (and Spark sorts NULL bins first while
+    # DuckDB sorts them last) — exclude them from the histogram
+    bins = (df.where(F.col(value_col).isNotNull())
+            .groupBy(binc.alias("bin")).agg(F.count("*").alias("n")))
     cum = bins.withColumn(
         "cum", F.sum("n").over(Window.orderBy("bin")
                                .rowsBetween(Window.unboundedPreceding, 0))

@@ -32,7 +32,10 @@ def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str,
     """For every left row, attach the right row's ``value_cols`` with
     the greatest ``right_ts`` <= ``left_ts`` within the same ``on``
     key(s); nulls when no prior right row exists.  Inclusive at equal
-    timestamps (DuckDB ASOF semantics)."""
+    timestamps (DuckDB ASOF semantics).  When several right rows share
+    the same (key, right_ts), the row with the greatest value tuple
+    wins — a documented deterministic tie-break (the window orderBy
+    includes the value columns), so repeated runs and engines agree."""
     on = [on] if isinstance(on, str) else list(on)
     value_cols = ([value_cols] if isinstance(value_cols, str)
                   else list(value_cols))
@@ -49,7 +52,8 @@ def asof_join(left: DataFrame, right: DataFrame, on, left_ts: str,
                    *[F.lit(None).cast(dict(lt.dtypes)[c]).alias(c)
                      for c in lcols])
     u = lt.select(*rt.columns).unionByName(rt.select(*rt.columns))
-    w = (Window.partitionBy(*on).orderBy("_ts", "_side")
+    w = (Window.partitionBy(*on)
+         .orderBy("_ts", "_side", *[f"_v_{c}" for c in value_cols])
          .rowsBetween(Window.unboundedPreceding, 0))
     for c in value_cols:
         u = u.withColumn(f"_v_{c}",

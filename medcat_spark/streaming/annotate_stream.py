@@ -2,8 +2,8 @@
 
 The reference is batch-only (SURVEY §2.10); its closest analogue is the
 resumable char-budget consumer (cat.py:1403-1421).  For continuous
-ingestion at scale the same mapInPandas kernel composes with
-``readStream → annotate → writeStream`` unchanged — mapInPandas is
+ingestion at scale the same Arrow-batch kernel composes with
+``readStream → annotate → writeStream`` unchanged — mapInArrow is
 supported in streaming plans, checkpointing handles exactly-once sink
 commits, and the broadcast model is shared across micro-batches.
 """
@@ -20,8 +20,8 @@ from medcat_spark.pipeline import ANNOTATION_SCHEMA, _annotate_batches
 def annotate_stream(stream_docs: DataFrame, bc) -> DataFrame:
     """docs readStream (doc_id + text|spans) → annotation row stream."""
     has_spans = "spans" in stream_docs.columns
-    ann = stream_docs.mapInPandas(_annotate_batches(bc, has_spans),
-                                  schema=ANNOTATION_SCHEMA)
+    ann = stream_docs.mapInArrow(_annotate_batches(bc, has_spans),
+                                 schema=ANNOTATION_SCHEMA)
     return ann.drop("part_id", "batch_us")
 
 

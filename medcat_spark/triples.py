@@ -40,22 +40,28 @@ def cooccurrence_triples(ann: DataFrame, materialize: bool = True) -> DataFrame:
     groupBy benefits from partial (map-side) aggregation and AQE
     skew-split.  Equivalent SQL shape: SURVEY §2.7 A3.
 
-    ``materialize`` (default) truncates lineage of the distinct
-    (doc_id, cui) set before the self-join so the upstream annotate UDF
-    runs ONCE — without it the plan contains TWO MapInPandas branches and
-    the dominant NER stage executes twice.  At production scale, prefer
-    writing annotations to a table first (jobs/run_kg.py) and feeding
-    that scan here.
+    The per-doc pair expansion is a collect_set + in-array combination
+    (codegen higher-order exprs): ONE scan of ``ann``, one shuffle
+    bounded by (doc, cui) distinct pairs, one pair aggregation — the
+    former distinct + self-join shape cost two extra shuffles and
+    scanned ``ann`` through two plan branches (the reason the old
+    ``materialize`` flag had to localCheckpoint).  Per-doc arrays are
+    bounded by entities-per-doc, so no row ever exceeds that envelope.
+
+    ``materialize`` is kept for API compatibility; the single-scan plan
+    no longer duplicates the upstream annotate stage, so there is no
+    lineage to truncate.
     """
-    dc = ann.select("doc_id", "cui").distinct()
-    if materialize:
-        dc = dc.localCheckpoint(eager=True)
-    a = dc.alias("a")
-    b = dc.alias("b")
-    pairs = (a.join(b, on="doc_id")
-             .where(F.col("a.cui") < F.col("b.cui"))
-             .select(F.col("a.cui").alias("cui_a"),
-                     F.col("b.cui").alias("cui_b")))
+    per_doc = (ann.select("doc_id", "cui")
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_set("cui")).alias("cuis")))
+    cuis = F.col("cuis")
+    pairs = per_doc.select(F.explode(F.flatten(F.transform(
+        cuis,
+        lambda x, i: F.transform(
+            F.slice(cuis, i + F.lit(2), F.size(cuis)),
+            lambda y: F.struct(x.alias("cui_a"), y.alias("cui_b")))
+    ))).alias("p")).select("p.cui_a", "p.cui_b")
     return (pairs.groupBy("cui_a", "cui_b")
             .agg(F.count("*").alias("n_docs"))
             .select(F.concat(F.lit("cui:"), F.col("cui_a")).alias("subj"),

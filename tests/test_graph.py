@@ -489,3 +489,23 @@ def test_linkpred_auc_empty_holdout_sentinel(spark):
         [("A", "affinity", "B")], "subj string, pred string, obj string")
     row = link_prediction_auc(aff, holdout_mod=4).collect()[0]
     assert row["auc"] == -1.0       # nothing scorable on a single edge
+
+
+def test_linkpred_auc_no_cartesian_plan(spark):
+    """The rank-sum AUC must plan without a pos x neg cross product
+    (the pre-r6 shape materialized |pos|*|neg| rows)."""
+    from itertools import combinations
+
+    from medcat_spark.functions.graph import link_prediction_auc
+
+    cl1 = ["A", "B", "C", "D"]
+    cl2 = ["E", "F", "G", "H"]
+    edges = (list(combinations(cl1, 2)) + list(combinations(cl2, 2))
+             + [("D", "E"), ("A", "H")])
+    aff = spark.createDataFrame(
+        [(a, "affinity", b) for a, b in edges],
+        "subj string, pred string, obj string")
+    plan = (link_prediction_auc(aff, holdout_mod=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
