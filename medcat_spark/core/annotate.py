@@ -24,14 +24,52 @@ from medcat_spark.core.tokenizer import Tok, tag_skip_and_punct, tokenize
 def preprocess(text: str, cdb: CdbModel, config: EngineConfig,
                spell_checker: Optional[SpellChecker] = None) -> List[Tok]:
     """P1+P2+P3+P4 over one document (trimmed to max_document_length,
-    reference cat.py:1797-1798)."""
+    reference cat.py:1797-1798).
+
+    Every per-token attribute (case flags, skip/punct tags, lemma and
+    spell-checked norm) is a pure function of the token TEXT given a
+    fixed config+vocab, so the pipeline memoizes the full attribute
+    bundle per distinct token string — across documents, batches and
+    tasks of the same broadcast model.  Positions (start/end/i) stay
+    per-instance.  Semantics are bit-identical to running P2/P3/P4
+    token-by-token (the uncached path below IS that code)."""
     text = text[:config.max_document_length]
-    toks = tokenize(text, config)
-    tag_skip_and_punct(toks, config)
     if spell_checker is None and config.spell_check:
         spell_checker = SpellChecker(cdb.vocab, config)
-    normalize_tokens(toks, config, spell_checker)
+    cache = getattr(config, "_tok_attr_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            config._tok_attr_cache = cache
+        except Exception:       # frozen config: fall back to per-call
+            pass
+    from medcat_spark.core.tokenizer import _SCAN_RE, _SCAN_RE_DIA
+    scan = _SCAN_RE_DIA if config.diacritics else _SCAN_RE
+    toks: List[Tok] = []
+    for i, m in enumerate(scan.finditer(text)):
+        t = m.group()
+        attrs = cache.get(t)
+        if attrs is None:
+            attrs = _token_attrs(t, config, spell_checker)
+            if len(cache) < 2_000_000:     # bound worker memory
+                cache[t] = attrs
+        lower, is_punct, to_skip, is_stop, is_digit, is_upper, norm = attrs
+        toks.append(Tok(t, lower, m.start(), m.end(), i,
+                        is_punct, to_skip, is_stop, is_digit, is_upper, norm))
     return toks
+
+
+def _token_attrs(t: str, config: EngineConfig,
+                 spell_checker: Optional[SpellChecker]):
+    """P2+P3+P4 for ONE token text — the exact per-token bodies of
+    tag_skip_and_punct / normalize_tokens, factored for the memo."""
+    toks = [Tok(t, t.lower(), 0, len(t), 0, False, False, False,
+                t.isdigit(), t.isupper(), t.lower())]
+    tag_skip_and_punct(toks, config)
+    normalize_tokens(toks, config, spell_checker)
+    tk = toks[0]
+    return (tk.lower, tk.is_punct, tk.to_skip, tk.is_stop,
+            tk.is_digit, tk.is_upper, tk.norm)
 
 
 def annotate_document(text: str, cdb: CdbModel, vocab: VocabModel,

@@ -172,8 +172,15 @@ def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, k: int = 3,
              .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
                    ["doc_b", "shingle"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
-    j = (pa.join(inter, ["doc_a", "doc_b"], "left")
-         .na.fill({"inter": 0})
+    if min_jaccard > 0.0:
+        # zero-intersection pairs have jaccard 0 < min_jaccard and can
+        # never survive the filter — skip the candidate left join that
+        # only exists to emit their 0.0 rows
+        base = inter
+    else:
+        base = (pa.join(inter, ["doc_a", "doc_b"], "left")
+                .na.fill({"inter": 0}))
+    j = (base
          .join(sizes.select(F.col("doc_id").alias("doc_a"),
                             F.col("size").alias("size_a")), "doc_a")
          .join(sizes.select(F.col("doc_id").alias("doc_b"),
