@@ -313,7 +313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- metrics joins (SURVEY §2.3 J5, §2.7 A4)
     def _pr(s, d):
-        pred = _uni_ann(s, d).select("doc_id", "start", "cui")
+        # pred feeds both sides of the gold×pred eval joins — checkpoint
+        # so the annotate stage runs once, not per branch
+        pred = (_uni_ann(s, d).select("doc_id", "start", "cui")
+                .localCheckpoint(eager=False))
         gold = pred.where((F.col("doc_id").cast("long") % 2 == 0)
                           & (F.col("cui") != "D001"))
         st = per_cui_stats(pred, gold)
@@ -1116,7 +1119,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (functions/graph.py): the KG consumer-side queries the
     #     north_star's "graph tables" exist to serve
     def _cooc(s, d):
-        return cooccurrence_triples(_uni_ann(s, d))
+        # graph consumers reference the edge relation through many plan
+        # branches (degree both directions, kNN ranks, per-round joins);
+        # without the lazy checkpoint each branch re-executes the whole
+        # annotate MapInArrow chain (measured: 48 Python nodes / 214
+        # exchanges in the kg_linkpred_auc plan)
+        return cooccurrence_triples(_uni_ann(s, d)).localCheckpoint(
+            eager=False)
+
+    def _aff(s, d, k=2):
+        # the sparse affinity graph is itself self-joined by two_hop /
+        # link_prediction / label_propagation — checkpoint it too
+        return knn_graph(_cooc(s, d), k=k).localCheckpoint(eager=False)
 
     q["kg_degree_centrality"] = lambda s, d: concept_degree(_cooc(s, d))
     q["kg_pagerank"] = lambda s, d: pagerank(_cooc(s, d))
@@ -1124,7 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # partners per concept) — the raw co-occurrence graph over a small
     # dictionary approaches completeness, where 2-hop is trivially empty
     q["kg_two_hop"] = lambda s, d: two_hop_neighbors(
-        knn_graph(_cooc(s, d), k=2))
+        _aff(s, d))
     # triangle census via degree-ordered orientation (hub-safe) and
     # bounded BFS from the smallest subject — both recomputed by the
     # oracle in pure SQL (BFS as a RECURSIVE CTE, like the
@@ -1153,7 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hierarchy loads via sources/ontologies.snomed_pt2ch)
     def _hier_rollup(s, d):
         cnt = (_uni_ann(s, d).groupBy("cui")
-               .agg(F.count("*").alias("own")))
+               .agg(F.count("*").alias("own"))
+               .localCheckpoint(eager=False))  # joined by rolled + own
         isa = s.createDataFrame(_ISA, "child string, parent string")
         c1 = isa.select(F.col("child").alias("node"),
                         F.col("parent").alias("anc"))
@@ -1180,17 +1195,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # KG completion: missing-edge candidates on the sparse affinity
     # graph scored by common-neighbors / Jaccard / Adamic-Adar
     q["kg_link_prediction"] = lambda s, d: link_prediction(
-        knn_graph(_cooc(s, d), k=2))
+        _aff(s, d))
     # synchronous label-propagation communities (deterministic variant,
     # 3 unrolled rounds in the oracle)
     q["kg_communities"] = lambda s, d: label_propagation(
-        knn_graph(_cooc(s, d), k=2), iterations=3)
+        _aff(s, d), iterations=3)
 
     # KG-completion offline eval: deterministic edge holdout, score the
     # rest, Adamic-Adar ranking AUC over pos×neg
     def _lp_auc(s, d):
         from medcat_spark.functions.graph import link_prediction_auc
-        return link_prediction_auc(knn_graph(_cooc(s, d), k=2))
+        return link_prediction_auc(_aff(s, d))
     q["kg_linkpred_auc"] = _lp_auc
 
     # temporal KG analytics: per-pair monthly co-occurrence counts
@@ -1199,7 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _cooc_trend(s, d):
         ann = _uni_ann(s, d)
         dc = (ann.select("doc_id", "cui").distinct()
-              .withColumn("m", F.col("doc_id").cast("long") % 6))
+              .withColumn("m", F.col("doc_id").cast("long") % 6)
+              .localCheckpoint(eager=False))   # self-joined below
         a = dc.alias("a")
         b = dc.alias("b")
         monthly = (a.join(b, ["doc_id", "m"])
@@ -1234,7 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graph — the community-quality scorecard
     def _modularity(s, d):
         from medcat_spark.functions.graph import modularity
-        aff = knn_graph(_cooc(s, d), k=2)
+        aff = _aff(s, d)
         return modularity(aff, label_propagation(aff, iterations=3))
     q["kg_modularity"] = _modularity
 
@@ -1292,7 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _cooc_incremental(s, d):
         import tempfile
         from medcat_spark.sources.iceberg import IcebergTable
-        ann = _uni_ann(s, d)
+        # referenced by base+delta AND across the append/upsert actions
+        ann = _uni_ann(s, d).localCheckpoint(eager=False)
         even = F.col("doc_id").cast("long") % 2 == 0
         base = cooccurrence_triples(ann.where(even))
         delta = cooccurrence_triples(ann.where(~even))
@@ -1315,7 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _belief(s, d):
         disamb = demo.disamb_annotations(s, d).select(
             "doc_id", "cui",
-            F.round("context_similarity", 6).alias("sim"))
+            F.round("context_similarity", 6).alias("sim")) \
+            .localCheckpoint(eager=False)    # self-joined by the fuse
         return triple_belief(disamb)
     q["kg_triple_belief"] = _belief
 
