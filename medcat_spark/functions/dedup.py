@@ -194,7 +194,8 @@ def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, k: int = 3,
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_edge_limit: int = 200_000) -> DataFrame:
     """(doc_id, component) for every node in ``pairs``; component = the
     MINIMUM node id reachable through the pair graph (duplicate-cluster
     canonical id).
@@ -218,6 +219,39 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                  pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
              .distinct()
              .localCheckpoint())
+    # Small-graph fast path: after Jaccard verification the duplicate
+    # graph is usually a sparse set of small clusters.  Below the gate
+    # (default 200k directed edges ≈ a few MB) a driver union-find
+    # replaces ~4 Spark jobs PER ROUND of the distributed loop — at
+    # bench scale that is most of the operator's wall-clock, all of it
+    # scheduling latency, not compute.  The gate keeps the distributed
+    # O(log d) pointer-jumping loop for corpus-scale graphs; both paths
+    # produce the identical min-reachable-node labelling.
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]   # path halving
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            u, v = row["u"], row["v"]
+            for n in (u, v):
+                if n not in parent:
+                    parent[n] = n
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        schema = edges.select(F.col("u").alias("doc_id"),
+                              F.col("v").alias("component")).schema
+        return spark.createDataFrame(rows, schema)
     # seed each label with min(node, min neighbour): the first
     # neighbour-propagation round fused into the init aggregation (one
     # groupBy instead of a distinct + a full loop round; every node

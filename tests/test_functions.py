@@ -71,6 +71,19 @@ def test_connected_components_chain_and_pointer_jumping(spark):
                                                          "x2": "x1"}
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    # the r6 small-graph driver union-find must label identically to
+    # the distributed pointer-jumping loop (force it with gate=0)
+    pairs = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5"),
+         ("n5", "n6"), ("x1", "x2"), ("x1", "x1"), ("z9", "z1")],
+        "doc_a string, doc_b string")
+    fast = sorted(map(tuple, ddp.connected_components(pairs).collect()))
+    dist = sorted(map(tuple, ddp.connected_components(
+        pairs, driver_edge_limit=0).collect()))
+    assert fast == dist
+
+
 def test_dedup_clusters_transitive_keeper(dup_docs, spark):
     # a1==a2 exactly, a3 near-dups both -> one cluster of 3 via
     # transitivity; b1/b2 are singletons of themselves
