@@ -29,7 +29,6 @@ from __future__ import annotations
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -252,7 +251,11 @@ class LstmMetaModel:
 
 
 def _score_batches_lstm(bc, meta_name: str):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as pa
+        from medcat_spark.functions.meta_model import _arrow_doc_rows
+        from medcat_spark.pipeline import to_arrow_schema
+        arrow_schema = to_arrow_schema(_SCHEMA)
         key = ("lstm", getattr(bc, "_path", None) or id(bc))
         model: LstmMetaModel = _META_CACHE.get(key)
         if model is None:
@@ -272,18 +275,18 @@ def _score_batches_lstm(bc, meta_name: str):
                 "whitespace-token scorer — meta components that work in "
                 "token-id space (BertMetaModel) need their tokenizer "
                 "files (bbpe-*/vocab.txt) present in the pack")
-        for pdf in batches:
+        for rb in batches:
             rows_meta: List[Tuple[str, int, str]] = []
             windows: List[List[str]] = []
             centers: List[Tuple[int, int]] = []
-            for row in pdf.itertuples(index=False):
-                toks = (row.text or "").split(" ")
+            for doc_id, doc_ents, text in _arrow_doc_rows(rb):
+                toks = (text or "").split(" ")
                 starts, tok_starts, pos = {}, [], 0
                 for i, t in enumerate(toks):
                     starts[pos] = i
                     tok_starts.append(pos)
                     pos += len(t) + 1
-                for ent in row.ents:
+                for ent in doc_ents:
                     center = starts.get(ent["start"])
                     if center is None:
                         continue
@@ -295,41 +298,46 @@ def _score_batches_lstm(bc, meta_name: str):
                                    bisect_right(tok_starts, int(end) - 1) - 1)
                     lo = max(0, center - model.cntx_left)
                     hi = min(len(toks), last + 1 + model.cntx_right)
-                    rows_meta.append((str(row.doc_id), int(ent["start"]),
+                    rows_meta.append((str(doc_id), int(ent["start"]),
                                       ent["cui"]))
                     windows.append(toks[lo:hi])
                     centers.append((center - lo, last - lo))
             if not rows_meta:
                 continue
             preds = model.predict_batch(windows, centers)
-            yield pd.DataFrame({
+            yield pa.RecordBatch.from_pydict({
                 "doc_id": [r[0] for r in rows_meta],
                 "start": [r[1] for r in rows_meta],
                 "cui": [r[2] for r in rows_meta],
-                "meta_name": meta_name,
+                "meta_name": [meta_name] * len(rows_meta),
                 "value": [p[0] for p in preds],
-                "confidence": [p[1] for p in preds]})
+                "confidence": [p[1] for p in preds]},
+                schema=arrow_schema)
     return fn
 
 
 def _score_token_space(model: LstmMetaModel, meta_name: str,
-                       batches: Iterator[pd.DataFrame]):
+                       batches):
     """Reference semantics with a real BBPE tokenizer: the document is
     tokenized ONCE (ids + char offsets), entity centers are located by
     char-span overlap, windows are slices in TOKEN space
     (utils/meta_cat/data_utils.py:80-115 prepare_document)."""
+    import pyarrow as pa
     from bisect import bisect_right
+    from medcat_spark.functions.meta_model import _arrow_doc_rows
+    from medcat_spark.pipeline import to_arrow_schema
+    arrow_schema = to_arrow_schema(_SCHEMA)
     tok = model.tokenizer
-    for pdf in batches:
+    for rb in batches:
         rows_meta: List[Tuple[str, int, str]] = []
         id_windows: List[List[int]] = []
         centers: List[Tuple[int, int]] = []
-        for row in pdf.itertuples(index=False):
-            ids, spans = tok.encode_with_offsets(row.text or "")
+        for doc_id, doc_ents, text in _arrow_doc_rows(rb):
+            ids, spans = tok.encode_with_offsets(text or "")
             if not ids:
                 continue
             tok_starts = [s for s, _e in spans]
-            for ent in row.ents:
+            for ent in doc_ents:
                 start = int(ent["start"])
                 end = ent.get("end")
                 if end is None or end != end:
@@ -343,19 +351,20 @@ def _score_token_space(model: LstmMetaModel, meta_name: str,
                 cl = max(cf, cl)
                 lo = max(0, cf - model.cntx_left)
                 hi = min(len(ids), cl + 1 + model.cntx_right)
-                rows_meta.append((str(row.doc_id), start, ent["cui"]))
+                rows_meta.append((str(doc_id), start, ent["cui"]))
                 id_windows.append(ids[lo:hi])
                 centers.append((cf - lo, cl - lo))
         if not rows_meta:
             continue
         preds = model.predict_batch_ids(id_windows, centers)
-        yield pd.DataFrame({
+        yield pa.RecordBatch.from_pydict({
             "doc_id": [r[0] for r in rows_meta],
             "start": [r[1] for r in rows_meta],
             "cui": [r[2] for r in rows_meta],
-            "meta_name": meta_name,
+            "meta_name": [meta_name] * len(rows_meta),
             "value": [p[0] for p in preds],
-            "confidence": [p[1] for p in preds]})
+            "confidence": [p[1] for p in preds]},
+            schema=arrow_schema)
 
 
 def meta_annotations_lstm(ann: DataFrame, docs: DataFrame, bc,
@@ -365,7 +374,7 @@ def meta_annotations_lstm(ann: DataFrame, docs: DataFrame, bc,
     groupBy(doc) shuffle, broadcast weights, Arrow-batched forward."""
     from medcat_spark.functions.meta_model import docs_with_ents
     return (docs_with_ents(ann, docs, text_col)
-            .mapInPandas(_score_batches_lstm(bc, meta_name), schema=_SCHEMA))
+            .mapInArrow(_score_batches_lstm(bc, meta_name), schema=_SCHEMA))
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,6 @@ from __future__ import annotations
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, IntegerType, StringType,
@@ -172,8 +171,24 @@ _SCHEMA = StructType([
 _META_CACHE: dict = {}
 
 
+def _arrow_doc_rows(rb):
+    """(doc_id, ents, text) tuples from one Arrow batch — the scorer
+    input rows without a pandas DataFrame in between (struct fields
+    arrive as plain dicts, null end as None)."""
+    return zip(rb.column("doc_id").to_pylist(),
+               rb.column("ents").to_pylist(),
+               rb.column("text").to_pylist())
+
+
+def _arrow_out_schema():
+    from medcat_spark.pipeline import to_arrow_schema
+    return to_arrow_schema(_SCHEMA)
+
+
 def _score_batches(bc, meta_name: str):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as pa
+        arrow_schema = _arrow_out_schema()
         key = getattr(bc, "_path", None) or id(bc)
         model: MetaCatModel = _META_CACHE.get(key)
         if model is None:
@@ -185,10 +200,10 @@ def _score_batches(bc, meta_name: str):
         labels = model.labels
         n_cls = len(labels)
         from bisect import bisect_right
-        for pdf in batches:
+        for rb in batches:
             out = {f.name: [] for f in _SCHEMA.fields}
-            for row in pdf.itertuples(index=False):
-                toks = (row.text or "").split(" ")
+            for doc_id, ents, text in _arrow_doc_rows(rb):
+                toks = (text or "").split(" ")
                 starts, tok_starts, pos = {}, [], 0
                 for i, t in enumerate(toks):
                     starts[pos] = i
@@ -204,7 +219,7 @@ def _score_batches(bc, meta_name: str):
                     if s is not None:
                         P[i + 1] = s
                 np.cumsum(P, axis=0, out=P)
-                for ent in row.ents:
+                for ent in ents:
                     center = starts.get(ent["start"])
                     if center is None:
                         continue
@@ -224,7 +239,7 @@ def _score_batches(bc, meta_name: str):
                     lg = (P[hi] - P[lo]) / (hi - lo) + bias
                     i_best = int(np.argmax(lg))
                     e = np.exp(lg - lg.max())
-                    out["doc_id"].append(str(row.doc_id))
+                    out["doc_id"].append(str(doc_id))
                     out["start"].append(int(ent["start"]))
                     out["cui"].append(ent["cui"])
                     out["meta_name"].append(meta_name)
@@ -232,7 +247,7 @@ def _score_batches(bc, meta_name: str):
                     out["confidence"].append(
                         round(float(e[i_best] / e.sum()), 4))
             if out["doc_id"]:
-                yield pd.DataFrame(out)
+                yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
     return fn
 
 
@@ -249,7 +264,7 @@ def meta_annotations_model(ann: DataFrame, docs: DataFrame, bc,
     (cat.py:1249-1257).
     """
     joined = docs_with_ents(ann, docs, text_col)
-    return joined.mapInPandas(_score_batches(bc, meta_name), schema=_SCHEMA)
+    return joined.mapInArrow(_score_batches(bc, meta_name), schema=_SCHEMA)
 
 
 def docs_with_ents(ann, docs, text_col: str = "text",
@@ -491,7 +506,9 @@ _MLP_CACHE: dict = {}
 
 
 def _score_batches_mlp(bc, meta_name: str):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as pa
+        arrow_schema = _arrow_out_schema()
         from bisect import bisect_right
         key = getattr(bc, "_path", None) or id(bc)
         model: MlpMetaModel = _MLP_CACHE.get(key)
@@ -499,17 +516,17 @@ def _score_batches_mlp(bc, meta_name: str):
             model = bc.value
             _MLP_CACHE.clear()
             _MLP_CACHE[key] = model
-        for pdf in batches:
+        for rb in batches:
             out = {f.name: [] for f in _SCHEMA.fields}
             windows: List[List[str]] = []
-            for row in pdf.itertuples(index=False):
-                toks = (row.text or "").split(" ")
+            for doc_id, ents, text in _arrow_doc_rows(rb):
+                toks = (text or "").split(" ")
                 starts, tok_starts, pos = {}, [], 0
                 for i, t in enumerate(toks):
                     starts[pos] = i
                     tok_starts.append(pos)
                     pos += len(t) + 1
-                for ent in row.ents:
+                for ent in ents:
                     center = starts.get(ent["start"])
                     if center is None:
                         continue
@@ -522,7 +539,7 @@ def _score_batches_mlp(bc, meta_name: str):
                     lo = max(0, center - model.cntx_left)
                     hi = min(len(toks), last + 1 + model.cntx_right)
                     windows.append(toks[lo:hi])
-                    out["doc_id"].append(str(row.doc_id))
+                    out["doc_id"].append(str(doc_id))
                     out["start"].append(int(ent["start"]))
                     out["cui"].append(ent["cui"])
                     out["meta_name"].append(meta_name)
@@ -532,7 +549,7 @@ def _score_batches_mlp(bc, meta_name: str):
                 preds = model.predict_batch(windows)
                 out["value"] = [v for v, _ in preds]
                 out["confidence"] = [c for _, c in preds]
-                yield pd.DataFrame(out)
+                yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
     return fn
 
 
@@ -542,8 +559,8 @@ def meta_annotations_mlp(ann: DataFrame, docs: DataFrame, bc,
     """meta_annotations_model with the nonlinear scorer — identical plan
     shape (one groupBy + text join + one mapInPandas), different model."""
     joined = docs_with_ents(ann, docs, text_col)
-    return joined.mapInPandas(_score_batches_mlp(bc, meta_name),
-                              schema=_SCHEMA)
+    return joined.mapInArrow(_score_batches_mlp(bc, meta_name),
+                             schema=_SCHEMA)
 
 
 def oracle_sql_for_model(model: MetaCatModel, toks_cte: str, dict_sql: str,

@@ -26,7 +26,6 @@ from __future__ import annotations
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, IntegerType, StringType,
@@ -154,7 +153,11 @@ _REL_CACHE: dict = {}
 
 
 def _score_batches(bc):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as _pyarrow
+        from medcat_spark.functions.meta_model import _arrow_doc_rows
+        from medcat_spark.pipeline import to_arrow_schema
+        arrow_schema = to_arrow_schema(_SCHEMA)
         key = getattr(bc, "_path", None) or id(bc)
         model: RelCatModel = _REL_CACHE.get(key)
         if model is None:
@@ -167,16 +170,16 @@ def _score_batches(bc):
         labels = model.labels
         n_cls = len(labels)
         max_d = model.max_distance
-        for pdf in batches:
+        for rb in batches:
             out = {f.name: [] for f in _SCHEMA.fields}
-            for row in pdf.itertuples(index=False):
-                toks = (row.text or "").split(" ")
+            for doc_id, doc_ents, text in _arrow_doc_rows(rb):
+                toks = (text or "").split(" ")
                 starts, pos = {}, 0
                 for i, t in enumerate(toks):
                     starts[pos] = i
                     pos += len(t) + 1
                 ents = sorted(
-                    ((starts.get(e["start"]), e) for e in row.ents
+                    ((starts.get(e["start"]), e) for e in doc_ents
                      if starts.get(e["start"]) is not None),
                     key=lambda x: x[0])
                 if len(ents) < 2:
@@ -202,7 +205,7 @@ def _score_batches(bc):
                               + dist_w * (d / max_d) + bias)
                         i_best = int(np.argmax(lg))
                         e = np.exp(lg - lg.max())
-                        out["doc_id"].append(str(row.doc_id))
+                        out["doc_id"].append(str(doc_id))
                         out["start1"].append(int(ea["start"]))
                         out["start2"].append(int(eb["start"]))
                         out["ent1_cui"].append(ea["cui"])
@@ -211,7 +214,8 @@ def _score_batches(bc):
                         out["confidence"].append(
                             round(float(e[i_best] / e.sum()), 4))
             if out["doc_id"]:
-                yield pd.DataFrame(out)
+                yield _pyarrow.RecordBatch.from_pydict(out,
+                                                       schema=arrow_schema)
     return fn
 
 
@@ -227,7 +231,7 @@ def relations_model(ann: DataFrame, docs: DataFrame, bc,
     pairs inside an Arrow batch.
     """
     from medcat_spark.functions.meta_model import docs_with_ents
-    return docs_with_ents(ann, docs, text_col).mapInPandas(
+    return docs_with_ents(ann, docs, text_col).mapInArrow(
         _score_batches(bc), schema=_SCHEMA)
 
 
@@ -344,20 +348,24 @@ def rel_rnn_fixture_model():
 
 
 def _score_batches_rnn(bc, cntx: int = 2):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as _pyarrow
+        from medcat_spark.functions.meta_model import _arrow_doc_rows
+        from medcat_spark.pipeline import to_arrow_schema
+        arrow_schema = to_arrow_schema(_SCHEMA)
         model = bc.value
         max_d = 24
-        for pdf in batches:
+        for rb in batches:
             out = {f.name: [] for f in _SCHEMA.fields}
             seqs = []
-            for row in pdf.itertuples(index=False):
-                toks = (row.text or "").split(" ")
+            for doc_id, doc_ents, text in _arrow_doc_rows(rb):
+                toks = (text or "").split(" ")
                 starts, pos = {}, 0
                 for i, t in enumerate(toks):
                     starts[pos] = i
                     pos += len(t) + 1
                 ents = sorted(
-                    ((starts.get(e["start"]), e) for e in row.ents
+                    ((starts.get(e["start"]), e) for e in doc_ents
                      if starts.get(e["start"]) is not None),
                     key=lambda x: x[0])
                 for i in range(len(ents)):
@@ -375,7 +383,7 @@ def _score_batches_rnn(bc, cntx: int = 2):
                                   + toks[pa:pb] + ["<e2>"]
                                   + toks[pb:hi])
                         seqs.append(marked)
-                        out["doc_id"].append(str(row.doc_id))
+                        out["doc_id"].append(str(doc_id))
                         out["start1"].append(int(ea["start"]))
                         out["start2"].append(int(eb["start"]))
                         out["ent1_cui"].append(ea["cui"])
@@ -384,7 +392,8 @@ def _score_batches_rnn(bc, cntx: int = 2):
                 preds = model.predict_batch(seqs)
                 out["relation"] = [v for v, _ in preds]
                 out["confidence"] = [c for _, c in preds]
-                yield pd.DataFrame(out)
+                yield _pyarrow.RecordBatch.from_pydict(out,
+                                                      schema=arrow_schema)
     return fn
 
 
@@ -394,5 +403,5 @@ def relations_rnn(ann: DataFrame, docs: DataFrame, bc,
     identical plan shape; one padded recurrent forward per Arrow batch
     over all of its pairs' marked windows."""
     from medcat_spark.functions.meta_model import docs_with_ents
-    return docs_with_ents(ann, docs, text_col).mapInPandas(
+    return docs_with_ents(ann, docs, text_col).mapInArrow(
         _score_batches_rnn(bc), schema=_SCHEMA)
