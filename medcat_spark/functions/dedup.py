@@ -217,8 +217,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .unionByName(
                  pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-             .distinct()
              .localCheckpoint())
+    # (no distinct here: the two union branches are disjoint whenever
+    # the input obeys doc_a < doc_b, union-find is idempotent under
+    # duplicates, and the distributed loop below dedups once before
+    # iterating)
     # Small-graph fast path: after Jaccard verification the duplicate
     # graph is usually a sparse set of small clusters.  Below the gate
     # (default 200k directed edges ≈ a few MB) a driver union-find
@@ -252,6 +255,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         schema = edges.select(F.col("u").alias("doc_id"),
                               F.col("v").alias("component")).schema
         return spark.createDataFrame(rows, schema)
+    edges = edges.distinct().localCheckpoint()
     # seed each label with min(node, min neighbour): the first
     # neighbour-propagation round fused into the init aggregation (one
     # groupBy instead of a distinct + a full loop round; every node
