@@ -571,6 +571,34 @@ def bucket_value(value: Any, n: int, iceberg_type: str) -> Optional[int]:
     return (murmur3_32(data) & 0x7FFFFFFF) % n
 
 
+def murmur3_32_long_np(vals):
+    """Vectorized murmur3-x86-32 over int64 values encoded as the spec's
+    8-byte little-endian longs — the numpy twin of
+    ``murmur3_32(struct.pack('<q', v))`` (two 4-byte blocks, no tail),
+    used by the bucket-transform write path.  uint32 arithmetic wraps
+    exactly like the scalar loop's ``& 0xFFFFFFFF`` masking."""
+    import numpy as np
+    v = vals.astype(np.int64).view(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)
+    for blk in (v & np.uint64(0xFFFFFFFF), v >> np.uint64(32)):
+        k = blk.astype(np.uint32)
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
 def truncate_value(value: Any, w: int, iceberg_type: str) -> Any:
     """Iceberg truncate: strings → first w chars; int/long → v - (v mod
     w) with floor semantics (Python's % already floors)."""
@@ -661,8 +689,22 @@ def _transform_column(df, p: Dict[str, Any]):
     n = int(transform[7:-1])
 
     def _bucket_series(s):
-        return s.map(lambda v: None if v is None
-                     else bucket_value(v, n, stype))
+        import numpy as np
+        import pandas as pd
+        if stype in ("int", "long"):
+            # numpy murmur3 over the whole Arrow batch (8-byte LE
+            # longs, spec encoding) instead of a per-element lambda
+            arr = s.to_numpy()
+            mask = pd.isna(arr)
+            vals = np.where(mask, 0, arr).astype(np.int64)
+            h = murmur3_32_long_np(vals)
+            out = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
+            res = pd.Series(out.astype("int64")).astype("Int32")
+            res[np.asarray(mask)] = pd.NA
+            return res
+        return pd.Series(
+            [None if v is None else bucket_value(v, n, stype)
+             for v in s], dtype="object")
     return F.pandas_udf(_bucket_series, "int")(col)
 
 

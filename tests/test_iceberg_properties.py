@@ -103,3 +103,20 @@ def test_nested_evolution_any_op_sequence(spark, tmp_path_factory, ops):
             got[r.doc_id] = [None if sp is None else sp.asDict()
                              for sp in r.spans]
     assert got == _expected(a_name, b_present, added)
+
+
+def test_bucket_transform_vectorized_matches_scalar():
+    """The numpy murmur3 used by the bucket write path must equal the
+    scalar spec implementation bit-for-bit over the int64 range."""
+    import struct
+
+    import numpy as np
+
+    from medcat_spark.sources.iceberg import (bucket_value, murmur3_32,
+                                              murmur3_32_long_np)
+    vals = [0, 1, -1, 34, 2**31 - 1, -2**31, 2**62, -2**62,
+            -2**63, 2**63 - 1, 123456789]
+    h = murmur3_32_long_np(np.array(vals, dtype=np.int64))
+    for i, v in enumerate(vals):
+        assert int(h[i]) == murmur3_32(struct.pack("<q", v))
+        assert (int(h[i]) & 0x7FFFFFFF) % 16 == bucket_value(v, 16, "long")
