@@ -104,12 +104,13 @@ def test_token_space_window_extraction(bbpe_lstm):
 
     class _Bc:  # broadcast stub
         value = m
-    pdf = pd.DataFrame({
+    import pyarrow as pa
+    rb = pa.RecordBatch.from_pandas(pd.DataFrame({
         "doc_id": ["d1"], "text": [text],
-        "ents": [[{"start": start, "end": end, "cui": "C1"}]]})
-    out = list(_score_batches_lstm(_Bc(), "Negation")(iter([pdf])))
+        "ents": [[{"start": start, "end": end, "cui": "C1"}]]}))
+    out = list(_score_batches_lstm(_Bc(), "Negation")(iter([rb])))
     assert len(out) == 1
-    row = out[0].iloc[0]
+    row = out[0].to_pandas().iloc[0]
     assert (row["value"], row["confidence"]) == want
     assert row["start"] == start
 
@@ -133,11 +134,12 @@ def test_multitoken_entity_center_range(bbpe_lstm):
 
     class _Bc:
         value = m
-    pdf = pd.DataFrame({
+    import pyarrow as pa
+    rb = pa.RecordBatch.from_pandas(pd.DataFrame({
         "doc_id": ["d1"], "text": [text],
-        "ents": [[{"start": start, "end": end, "cui": "C9"}]]})
-    out = list(_score_batches_lstm(_Bc(), "Negation")(iter([pdf])))
-    row = out[0].iloc[0]
+        "ents": [[{"start": start, "end": end, "cui": "C9"}]]}))
+    out = list(_score_batches_lstm(_Bc(), "Negation")(iter([rb])))
+    row = out[0].to_pandas().iloc[0]
     assert (row["value"], row["confidence"]) == want
 
 
