@@ -570,6 +570,16 @@ def personalized_pagerank(cooc: DataFrame, seeds: DataFrame | None = None,
         seeds = cooc.select(F.min("subj").alias("node"))
     seeds = seeds.select("node").distinct()
     n_seeds = seeds.count()
+    # a supplied seed absent from the graph would silently dilute the
+    # restart mass (e restricted to graph nodes below, but 1/n_seeds
+    # counts every seed) — fail loudly instead of returning a wrong pr
+    n_in_graph = seeds.join(
+        wdeg.select(F.col("src").alias("node")), "node", "left_semi"
+    ).count()
+    if n_in_graph != n_seeds:
+        raise ValueError(
+            f"{n_seeds - n_in_graph} of {n_seeds} personalized-pagerank "
+            "seeds are not nodes of the graph")
     e_vec = seeds.withColumn("e", F.lit(1.0 / n_seeds))
     nodes = wdeg.select(F.col("src").alias("node"))
     base = nodes.join(F.broadcast(e_vec), "node", "left") \
@@ -665,6 +675,10 @@ def link_prediction_auc(affinity: DataFrame,
     materializing |pos|·|neg| rows through a CartesianProduct."""
     from pyspark.sql.window import Window
 
+    if not 1 <= holdout_mod <= 16:
+        # the gate reads ONE hex digit (0-15); a larger modulus would
+        # silently behave like mod 16 (e.g. 32 holds out ~1/16)
+        raise ValueError(f"holdout_mod must be in 1..16, got {holdout_mod}")
     gate = (F.conv(F.substring(
         F.md5(F.concat("subj", F.lit("|"), "obj")), 1, 1), 16, 10)
         .cast("int") % holdout_mod == 0)
