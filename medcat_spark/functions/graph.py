@@ -34,13 +34,18 @@ from pyspark.sql import functions as F
 
 
 def _symmetrize(cooc: DataFrame) -> DataFrame:
-    """(subj, obj[, n_docs]) A<B triples → both-direction edge list."""
+    """(subj, obj[, n_docs]) A<B triples → both-direction edge list.
+
+    Explode of both directions — ONE scan of the input; the former
+    two-branch union executed an uncached upstream (e.g. a live
+    annotate→cooccurrence chain) twice."""
     w = F.col("n_docs") if "n_docs" in cooc.columns else F.lit(1).cast("long")
-    fwd = cooc.select(F.col("subj").alias("src"), F.col("obj").alias("dst"),
-                      w.alias("w"))
-    rev = cooc.select(F.col("obj").alias("src"), F.col("subj").alias("dst"),
-                      w.alias("w"))
-    return fwd.unionAll(rev)
+    return (cooc.select(F.explode(F.array(
+        F.struct(F.col("subj").alias("src"), F.col("obj").alias("dst"),
+                 w.alias("w")),
+        F.struct(F.col("obj").alias("src"), F.col("subj").alias("dst"),
+                 w.alias("w")))).alias("e"))
+        .select("e.src", "e.dst", "e.w"))
 
 
 def concept_degree(cooc: DataFrame) -> DataFrame:
