@@ -254,10 +254,10 @@ def link_prediction(affinity: DataFrame,
     middle of degree d emits d² wedges; capping stop-concept hubs is
     the production norm before pair generation).  Adamic-Adar is safe:
     any common neighbor has degree ≥ 2, so ln(deg) > 0."""
-    e2 = (affinity.select(F.col("subj").alias("src"),
-                          F.col("obj").alias("dst"))
-          .unionAll(affinity.select(F.col("obj").alias("src"),
-                                    F.col("subj").alias("dst"))))
+    e2 = (affinity.select(F.explode(F.array(
+        F.struct(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        F.struct(F.col("obj").alias("src"), F.col("subj").alias("dst"))))
+        .alias("e")).select("e.src", "e.dst"))
     deg = e2.groupBy("src").agg(F.count("*").alias("deg"))
     if max_degree is not None:
         mid = deg.where(F.col("deg") <= max_degree)
@@ -347,10 +347,10 @@ def label_propagation(affinity: DataFrame, iterations: int = 3,
     sortable); lineage cut per round (connected_components policy)."""
     from pyspark.sql import Window
 
-    e2 = (affinity.select(F.col("subj").alias("src"),
-                          F.col("obj").alias("dst"))
-          .unionAll(affinity.select(F.col("obj").alias("src"),
-                                    F.col("subj").alias("dst"))).cache())
+    e2 = (affinity.select(F.explode(F.array(
+        F.struct(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        F.struct(F.col("obj").alias("src"), F.col("subj").alias("dst"))))
+        .alias("e")).select("e.src", "e.dst").cache())
     labels = (e2.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     w = Window.partitionBy("node").orderBy(F.col("n").desc(),
