@@ -321,19 +321,22 @@ def dedup_clusters(docs: DataFrame, k: int = 3, n_hashes: int = 4,
                                max_bucket_size=max_bucket_size, sh=sh)
     verified = jaccard_on_pairs(docs, cand, k, min_jaccard, text_col, sh=sh)
     comp = connected_components(verified)
-    out = (docs.select("doc_id")
-           .join(comp, "doc_id", "left")
-           .withColumn("cluster_id", F.coalesce("component", "doc_id"))
-           .drop("component"))
-    # cluster_size via a window over the single cluster_id shuffle: the
-    # previous groupBy + self-join shape paid two shuffles and computed
-    # ``out`` twice (once for sizes, once for the final join)
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("cluster_id")
-    return (out.withColumn("cluster_size", F.count("*").over(w))
-            .select("doc_id", "cluster_id", "cluster_size",
-                    (F.col("doc_id") == F.col("cluster_id"))
-                    .alias("is_keeper")))
+    # cluster sizes come from the COMPONENT relation, not a window over
+    # the whole corpus: every member of a multi-doc cluster is in
+    # ``comp`` (it has an edge), so docs absent from comp are exactly
+    # the singletons (size 1).  One tiny groupBy + join on comp
+    # replaces a full-corpus cluster_id shuffle.
+    csize = comp.groupBy("component").agg(F.count("*").alias("_csize"))
+    cmap = comp.join(csize, "component")
+    return (docs.select("doc_id")
+            .join(cmap, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id"))
+                    .alias("cluster_id"),
+                    F.coalesce("_csize", F.lit(1).cast("long"))
+                    .alias("cluster_size"))
+            .withColumn("is_keeper",
+                        F.col("doc_id") == F.col("cluster_id")))
 
 
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
